@@ -1,0 +1,160 @@
+"""Core event-stream analytics — the reference consumer's per-batch queries,
+re-expressed as declarative batch/stream-agnostic DataFrame builders.
+
+Reference parity (file:line cites into /root/reference):
+- parse+filter+derive: reddit_consumer.py:296-309 (P1/P2/P3)
+- grouped stats:       reddit_consumer.py:375-389 (A4/A5/O2)
+- scalar aggs:         reddit_consumer.py:315-316, 344-348, 356-359 (A1-A3)
+
+The `events` fixture plays the wire-stream role (FIXTURES.md §B):
+`event_type` ↔ `type`/`subreddit`, `'error'` rows ↔ keepalives to be
+dropped, `props` JSON ↔ the wire JSON payload, `value` ↔ the numeric
+feature (sentiment/text_length), `ts` ↔ event time.
+
+Scale notes (100 TB posture):
+- Every query here is a single scan → partial agg → final agg: one shuffle,
+  map-side combine, no driver round-trips. At cluster scale the scan prunes
+  date partitions and pushes the `event_type`/null filters into parquet.
+- `countDistinct` shuffles (event_type, user_id) pairs pre-aggregated on the
+  map side; the approx variant (HLL++) needs no second shuffle at all and is
+  the one to use on unbounded cardinalities — both are exposed, mirroring
+  the reference's approx_count_distinct choice (reddit_consumer.py:378).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType(), True)])
+
+
+def valid_events(df: DataFrame) -> DataFrame:
+    """The engine's keepalive/malformed-row filter (reference P2,
+    reddit_consumer.py:300-305): drop heartbeat-like rows and null payloads.
+    """
+    return df.filter((F.col("event_type") != "error") & F.col("value").isNotNull())
+
+
+def parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3: JSON-parse `props`, filter, derive typed columns."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        valid_events(ev)
+        .withColumn("props_k", F.from_json(F.col("props"), PROPS_SCHEMA).getField("k"))
+        .withColumn("event_date", F.to_date("ts"))
+        .withColumn("value_bucket", F.floor(F.col("value") / F.lit(10.0)).cast("int"))
+    )
+
+
+@register(
+    "event_parse_filter_derive",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           user_id,
+           CAST(props->>'k' AS INTEGER)            AS props_k,
+           CAST(ts AS DATE)                         AS event_date,
+           CAST(floor(value / 10.0) AS INTEGER)     AS value_bucket,
+           round(value, 6)                          AS value_r
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    """,
+    doc="P1/P2/P3: from_json parse + conjunctive filter + derived columns",
+)
+def event_parse_filter_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parsed_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "props_k",
+        "event_date",
+        "value_bucket",
+        F.round("value", 6).alias("value_r"),
+    )
+
+
+@register(
+    "event_stats",
+    oracle="""
+    SELECT event_type,
+           count(*)                 AS post_count,
+           count(DISTINCT user_id)  AS unique_users,
+           round(avg(value), 6)     AS avg_value
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    GROUP BY event_type
+    HAVING count(*) > 0
+    ORDER BY post_count DESC, event_type
+    """,
+    doc="Flagship: A4/A5/O2 grouped stats (exact-distinct variant)",
+)
+def event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("post_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .filter(F.col("post_count") > 0)
+        .orderBy(F.desc("post_count"), "event_type")
+    )
+
+
+@register(
+    "event_stats_approx",
+    oracle=None,  # HLL++ sketch result — not SQL-reproducible bit-for-bit
+    doc="A4 faithful variant: approx_count_distinct (HLL++), as the "
+    "reference uses at reddit_consumer.py:378; rows-only check",
+)
+def event_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("post_count"),
+            F.approx_count_distinct("user_id").alias("unique_users"),
+            F.round(F.avg("value"), 6).alias("avg_length"),
+        )
+        .filter(F.col("post_count") > 0)
+        .orderBy(F.desc("post_count"), "event_type")
+    )
+
+
+@register(
+    "event_time_range",
+    oracle="""
+    SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n_rows
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    """,
+    doc="A1/A2: global scalar aggregates (batch time-range diagnostic)",
+)
+def event_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    return ev.agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "event_avg_value",
+    oracle="""
+    SELECT round(avg(value), 6) AS average_value
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    """,
+    doc="A3: the headline global average (reference avg sentiment, "
+    "reddit_consumer.py:356-359)",
+)
+def event_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    return ev.agg(F.round(F.avg("value"), 6).alias("average_value"))

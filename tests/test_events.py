@@ -1,0 +1,41 @@
+"""Core event analytics: parse/filter/derive + grouped stats (SURVEY §2.3/2.5)."""
+
+from __future__ import annotations
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators import events as ev_ops
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+
+def test_valid_events_drops_error_rows(spark, sf_dir):
+    raw = load_table(spark, sf_dir, "events")
+    filtered = ev_ops.valid_events(raw)
+    assert filtered.filter(filtered.event_type == "error").count() == 0
+    assert 0 < filtered.count() < raw.count()
+
+
+def test_parse_filter_derive_types(spark, sf_dir):
+    df = ev_ops.event_parse_filter_derive(spark, sf_dir)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["props_k"] == "int"
+    assert schema["event_date"] == "date"
+    assert schema["value_bucket"] == "int"
+    row = df.filter(df.props_k.isNotNull()).first()
+    assert row is not None and row.props_k >= 0
+
+
+def test_event_stats_matches_manual(spark, sf_dir):
+    df = ev_ops.event_stats(spark, sf_dir).toPandas()
+    assert set(df.columns) == {"event_type", "post_count", "unique_users", "avg_value"}
+    assert "error" not in set(df.event_type)
+    # ordered by post_count desc
+    assert list(df.post_count) == sorted(df.post_count, reverse=True)
+    # exact distinct never exceeds count
+    assert (df.unique_users <= df.post_count).all()
+
+
+def test_event_stats_plan_is_single_shuffle(spark, sf_dir):
+    df = ev_ops.event_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one aggregate pipeline, no join, partial agg present (map-side combine)
+    assert "Exchange" in plan
+    assert "Join" not in plan
