@@ -1,0 +1,147 @@
+"""The reference's wire-contract pipeline: JSON lines → typed posts relation.
+
+Parity (reference file:line):
+- wire schema:        reddit_producer.py:79-86 (submission), :113-115 (keepalive)
+- posts StructType:   reddit_consumer.py:77-84
+- parse + filter:     reddit_consumer.py:296-309 (P1/P2/P3: from_json,
+  drop keepalives/short/null text, derive created_time + text_length)
+
+The registered query synthesizes the wire stream deterministically from the
+`documents` table (to_json), corrupts a known subset of lines (malformed →
+from_json nulls → filtered), interleaves keepalive records, then runs the
+exact parse/filter/derive pipeline. The DuckDB oracle computes the expected
+survivors directly from `documents` — a true end-to-end JSON round-trip
+check with a closed-form answer.
+
+Scale: the whole pipeline is narrow (no shuffle) — parse, filter and derive
+are per-row expressions that fuse into one WholeStageCodegen stage over the
+scan; at 100 TB this is embarrassingly parallel and I/O-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+# The reference's post schema (reddit_consumer.py:77-84).
+POST_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("subreddit", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("created_utc", T.DoubleType()),
+        T.StructField("author", T.StringType()),
+    ]
+)
+
+# Epoch of 2024-01-01 00:00:00 UTC — base for synthetic created_utc.
+_EPOCH_2024 = 1704067200
+
+
+def parse_posts(wire: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1/P2/P3 on a wire DataFrame of JSON lines.
+
+    Works identically on a batch frame and a streaming frame (the socket /
+    file-replay source both yield `value: string`).
+    """
+    data = F.from_json(F.col(value_col), POST_SCHEMA)
+    return (
+        wire.withColumn("data", data)
+        .select("data.*")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & (F.length("text") > 10)
+            & (F.col("type") != "keepalive")
+        )
+        .withColumn("created_time", F.col("created_utc").cast("timestamp"))
+        .withColumn("text_length", F.length("text"))
+    )
+
+
+def synthetic_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic wire-stream fixture from `documents`:
+    - submission JSON per doc (subreddit←source, author←lang),
+    - every 97th line corrupted (unparseable JSON),
+    - keepalive heartbeat interleaved per 20th doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    submission = F.to_json(
+        F.struct(
+            F.lit("submission").alias("type"),
+            F.col("source").alias("subreddit"),
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("text").alias("text"),
+            (F.lit(_EPOCH_2024) + F.col("doc_id")).cast("double").alias("created_utc"),
+            F.col("lang").alias("author"),
+        )
+    )
+    corrupted = F.when(F.col("doc_id") % 97 == 0, F.concat(F.lit("{malformed "), submission)).otherwise(submission)
+    wire = docs.select(corrupted.alias("value"))
+    keepalives = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("keepalive").alias("type"),
+                    (F.lit(_EPOCH_2024) + F.col("doc_id")).cast("double").alias("created_utc"),
+                )
+            ).alias("value")
+        )
+    )
+    return wire.unionByName(keepalives)
+
+
+@register(
+    "wire_posts_pipeline",
+    oracle=f"""
+    SELECT 'submission'                 AS type,
+           source                       AS subreddit,
+           CAST(doc_id AS VARCHAR)      AS id,
+           length(text)                 AS text_length,
+           make_timestamp(({_EPOCH_2024} + doc_id) * 1000000) AS created_time,
+           lang                         AS author
+    FROM documents
+    WHERE doc_id % 97 <> 0
+      AND text IS NOT NULL AND text <> '' AND length(text) > 10
+    """,
+    doc="F1/P1/P2/P3: JSON-lines wire → parsed+filtered+derived posts "
+    "(keepalives and malformed lines dropped)",
+)
+def wire_posts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = parse_posts(synthetic_wire(spark, sf_dir))
+    return posts.select("type", "subreddit", "id", "text_length", "created_time", "author")
+
+
+@register(
+    "doc_source_stats",
+    oracle="""
+    SELECT source,
+           count(*)               AS post_count,
+           count(DISTINCT lang)   AS unique_authors,
+           round(avg(n_chars), 6) AS avg_length
+    FROM documents
+    GROUP BY source
+    HAVING count(*) > 0
+    ORDER BY post_count DESC, source
+    """,
+    doc="A4/A5/O2 on the text corpus: the reference's subreddit_stats "
+    "(reddit_consumer.py:375-389) with exact distinct for the oracle",
+)
+def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("post_count"),
+            F.countDistinct("lang").alias("unique_authors"),
+            F.round(F.avg("n_chars"), 6).alias("avg_length"),
+        )
+        .filter(F.col("post_count") > 0)
+        .orderBy(F.desc("post_count"), "source")
+    )
