@@ -1,0 +1,344 @@
+"""Relational coverage: the standard join matrix + TPC-H-shaped aggregates.
+
+The reference itself needs only one join (J1, a broadcast dim join —
+reddit_consumer.py:230-231), but its correctness suite must exercise the
+full matrix (SURVEY.md §2.4 note): inner/left/semi/anti/full-outer,
+broadcast vs shuffled, pivot/cube, windowed running aggregates. These
+queries double as the bench workload at sf0.1 (the star schema is the only
+fixture that scales).
+
+Scale notes:
+- Dim tables (region/nation/supplier/customer/part) are broadcast —
+  Catalyst picks BroadcastHashJoin under the configured threshold; at
+  100 TB the fact side streams through without a shuffle.
+- Q1-style aggs: single scan → partial/final hash agg; the groupBy keys are
+  tiny-cardinality, so AQE coalesces the post-shuffle partitions.
+- The running-sum window partitions by supplier key — a partitioned
+  shuffle, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                       AS avg_qty,
+           round(avg(l_extendedprice), 6)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan → 8-agg groupBy (partial+final hash agg)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "regional_customer_value",
+    oracle="""
+    SELECT r.r_name,
+           count(*)                   AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal,
+           round(avg(c.c_acctbal), 6) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="J1-style star join: fact × two broadcast dims → grouped agg",
+)
+def regional_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "top_suppliers_revenue",
+    oracle="""
+    SELECT s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*)                                              AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY revenue DESC, s_name
+    LIMIT 5
+    """,
+    doc="broadcast dim join + grouped revenue + top-k",
+)
+def top_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "s_name")
+        .limit(5)
+    )
+
+
+@register(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="left-semi join (EXISTS)",
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="left-anti join (NOT EXISTS)",
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "order_count_histogram",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+    doc="left-outer join preserving order-less customers → distribution "
+    "(count of a nullable column skips nulls in both engines)",
+)
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers")).orderBy("n_orders")
+
+
+@register(
+    "nation_customer_supplier_full_outer",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ),
+    supp AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_customers, 0)         AS n_customers,
+           coalesce(s.n_suppliers, 0)         AS n_suppliers
+    FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    doc="full-outer join of two aggregates (nations with customers but no "
+    "suppliers survive on either side)",
+)
+def nation_customer_supplier_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = cust.join(supp, "nationkey", "full_outer")
+    return (
+        j.select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        ).orderBy("nationkey")
+    )
+
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "priority_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="pivot (explicit value list → conditional aggregation; no extra "
+    "pass to discover pivot values)",
+)
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+    renamed = piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s.lower()}") for s in _STATUSES],
+    )
+    return renamed
+
+
+@register(
+    "status_priority_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status_grp,
+           coalesce(o_orderpriority, 'ALL') AS priority_grp,
+           GROUPING(o_orderstatus)          AS g_status,
+           GROUPING(o_orderpriority)        AS g_priority,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status_grp, priority_grp
+    """,
+    doc="CUBE with grouping flags (all four subtotal planes in one shuffle)",
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() is only resolvable inside the cube's own agg list
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status_grp"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority_grp"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status_grp", "priority_grp")
+    )
+
+
+@register(
+    "supplier_running_revenue",
+    oracle="""
+    SELECT l_suppkey,
+           l_orderkey,
+           l_linenumber,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue_cents,
+           row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+    """,
+    doc="W-style ordered analytics at fact scale: per-key running sum + "
+    "row_number (partitioned shuffle, no global sort). Accumulates integer "
+    "cents: float running sums are association-order-dependent (DuckDB's "
+    "segment-tree vs Spark's sequential frame) and drift at the rounding "
+    "boundary — integer accumulation is exact in both engines.",
+)
+def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(rev_cents).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("running_revenue_cents"),
+        F.row_number().over(w).alias("rn"),
+    )
