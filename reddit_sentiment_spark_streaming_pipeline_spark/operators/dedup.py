@@ -1,0 +1,432 @@
+"""Deduplication suite — exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Not in the reference (it has no dedup), but a first-class requirement for a
+training-data pipeline at 100 TB. All four algorithms are expressed as
+DataFrame algebra over the same md5-based hash primitives the DuckDB oracle
+can evaluate (functions/hashing.py), so every stage is value-checked, not
+just row-counted.
+
+The corpus has no organic duplicates (500 distinct texts), so each query
+augments it deterministically: every 10th doc re-added verbatim (exact
+dups) and every 7th doc re-added with a 3-token tail (near dups, 3-gram
+Jaccard ≈ 0.9) — the same construction in the oracle, giving known true
+positives while organic pairs stay negative.
+
+Scale notes (the whole point of MinHash/SimHash here):
+- Exact dedup: one hash-groupBy shuffle on the 16-byte fingerprint, never
+  on the document text.
+- MinHash: signatures are a per-doc aggregate (shuffle on doc_id, combine-
+  heavy); banding turns pair discovery into an equi-join on (band, hash) —
+  candidates ∝ true near-dups, not |docs|².  The brute-force
+  `ngram_jaccard_pairs` ground truth is intentionally quadratic and exists
+  to validate LSH recall at test scale.
+- SimHash: 64-bit fingerprints packed as 4×16-bit ints; near-dup candidates
+  via chunk-equality bands (Hamming ≤ 8 implies ≥1 equal chunk by
+  pigeonhole when chunks = 4 and threshold < 16), verified with
+  bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
+    LSH_BANDS,
+    MINHASH_K,
+    band_exprs,
+    hamming_expr,
+    minhash_exprs,
+    simhash_chunk_exprs,
+    simhash_sum_exprs,
+    SIMHASH_CHUNKS,
+)
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.5
+HAMMING_THRESHOLD = 8
+
+# ---------------------------------------------------------------- corpus
+
+_CORPUS_SQL = """
+        SELECT doc_id, lower(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lower(text) FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, lower(text) || ' zz extra tail'
+        FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz extra tail")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+@register(
+    "exact_dup_groups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(text) AS fingerprint,
+           count(*)  AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) >= 2
+    ORDER BY fingerprint
+    """,
+    doc="Exact dedup: hash-groupBy on md5 fingerprint (shuffles 16-byte "
+    "keys, not documents); groups with duplicates",
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fingerprint")
+    )
+
+
+@register(
+    "dedup_survivor_stats",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT count(*)                                   AS n_total,
+           count(DISTINCT md5(text))                  AS n_unique,
+           count(*) - count(DISTINCT md5(text))       AS n_removed
+    FROM corpus
+    """,
+    doc="Exact dedup keep-one summary (total / unique / removed)",
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_removed"),
+    )
+
+
+# ------------------------------------------------------- shingles (3-gram)
+
+_TOK_SQL = r"""
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\s+'))                    AS word,
+               generate_subscripts(string_split_regex(text, '\s+'), 1)    AS pos
+        FROM corpus
+"""
+
+_SHINGLE_SQL = f"""
+        corpus AS ({_CORPUS_SQL}),
+        tok AS (SELECT * FROM ({_TOK_SQL}) WHERE word <> ''),
+        sh AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+            FROM tok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 2) OVER w IS NOT NULL
+        )
+"""
+
+
+def shingle_rows(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — 3-word shingles; docs with <3 tokens drop out."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return corpus.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+# ----------------------------------------------------------- MinHash LSH
+
+_SIG_COLS = ", ".join(f"{e} AS m{i}" for i, e in enumerate(minhash_exprs("shingle")))
+_BAND_COLS = ", ".join(f"{e} AS band{b}" for b, e in enumerate(band_exprs("m")))
+_BANDS_LONG = "\n            UNION ALL ".join(
+    f"SELECT doc_id, {b} AS bi, band{b} AS bh FROM bands" for b in range(LSH_BANDS)
+)
+
+_CAND_SQL = f"""
+        {_SHINGLE_SQL},
+        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+        bands AS (SELECT doc_id, {_BAND_COLS} FROM sig),
+        bl AS ({_BANDS_LONG}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bl a JOIN bl b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+"""
+
+
+def minhash_candidates(corpus: DataFrame) -> DataFrame:
+    sh = shingle_rows(corpus)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"m{i}") for i, e in enumerate(minhash_exprs("shingle"))]
+    )
+    bands = sig.select(
+        "doc_id", *[F.expr(e).alias(f"band{b}") for b, e in enumerate(band_exprs("m"))]
+    )
+    bl = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bh"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.bi").alias("bi"), F.col("e.bh").alias("bh"))
+    a, b = bl.alias("a"), bl.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_CAND_SQL}
+    SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash(K=12) + LSH banding (4 bands × 3 rows): candidate pairs "
+    "via equi-join on band hashes — no quadratic pair enumeration",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(dedup_corpus(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs."""
+    shd = sh.distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = shd.alias("x"), shd.alias("y")
+    inter = (
+        pairs.alias("c")
+        .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count(F.lit(1)).alias("nint"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("nint") / (F.col("sa.sz") + F.col("sb.sz") - F.col("nint"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_JACCARD_VERIFY_SQL = """
+        shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS nint
+            FROM cand c
+            JOIN shd x ON x.doc_id = c.doc_a
+            JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.nint * 1.0 / (sa.sz + sb.sz - i.nint), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.nint * 1.0 / (sa.sz + sb.sz - i.nint) >= {thr}
+        ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "minhash_near_dups",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    {_JACCARD_VERIFY_SQL.format(thr=JACCARD_THRESHOLD)}
+    """,
+    doc="LSH candidates verified by exact 3-gram Jaccard ≥ 0.5 — the full "
+    "scalable near-dup pipeline (verification cost ∝ candidates)",
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    cand = minhash_candidates(corpus)
+    return _jaccard_on_pairs(cand, shingle_rows(corpus)).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS nint
+        FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.nint * 1.0 / (sa.sz + sb.sz - i.nint), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.nint * 1.0 / (sa.sz + sb.sz - i.nint) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Brute-force n-gram Jaccard ground truth (quadratic in shared "
+    "shingles — test-scale only; LSH is the 100 TB path)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    shd = shingle_rows(corpus).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = shd.alias("x"), shd.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("nint"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("nint") / (F.col("sa.sz") + F.col("sb.sz") - F.col("nint"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+_SUM_COLS = ", ".join(f"{e} AS s{k}" for k, e in enumerate(simhash_sum_exprs("tf", "h")))
+_CHUNK_COLS = ", ".join(f"{e} AS h{c}" for c, e in enumerate(simhash_chunk_exprs("s")))
+
+_FP_SQL = f"""
+        corpus AS ({_CORPUS_SQL}),
+        tok AS (SELECT * FROM ({_TOK_SQL}) WHERE word <> ''),
+        tfrel AS (
+            SELECT doc_id, word, count(*) AS tf, md5(word) AS h
+            FROM tok GROUP BY doc_id, word
+        ),
+        sums AS (SELECT doc_id, {_SUM_COLS} FROM tfrel GROUP BY doc_id),
+        fp AS (SELECT doc_id, {_CHUNK_COLS} FROM sums)
+"""
+
+
+def simhash_fp(corpus: DataFrame) -> DataFrame:
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    tok = corpus.select("doc_id", F.explode(toks).alias("word"))
+    tfrel = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.expr("md5(word)"))
+    )
+    sums = tfrel.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"s{k}") for k, e in enumerate(simhash_sum_exprs("tf", "h"))]
+    )
+    return sums.select(
+        "doc_id", *[F.expr(e).alias(f"h{c}") for c, e in enumerate(simhash_chunk_exprs("s"))]
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {_FP_SQL}
+    SELECT doc_id, h0, h1, h2, h3 FROM fp
+    """,
+    doc="SimHash-64: tf-weighted ±1 bit sums from md5 nibbles, packed as "
+    "4×16-bit ints (one groupBy shuffle on doc_id)",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fp(dedup_corpus(spark, sf_dir))
+
+
+_CHUNKS_LONG = "\n            UNION ALL ".join(
+    f"SELECT doc_id, {c} AS ci, h{c} AS cv FROM fp" for c in range(SIMHASH_CHUNKS)
+)
+
+
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH {_FP_SQL},
+    cl AS ({_CHUNKS_LONG}),
+    scand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cl a JOIN cl b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming
+    FROM scand s
+    JOIN fp fa ON fa.doc_id = s.doc_a
+    JOIN fp fb ON fb.doc_id = s.doc_b
+    WHERE {hamming_expr('fa.h', 'fb.h', 'duckdb')} <= {HAMMING_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dups: chunk-equality banding (pigeonhole-complete for "
+    "Hamming ≤ 8 over 4 chunks... candidates) + bit_count(xor) verify",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = simhash_fp(dedup_corpus(spark, sf_dir))
+    cl = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("ci"), F.col(f"h{c}").alias("cv"))
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
+    a, b = cl.alias("a"), cl.alias("b")
+    scand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("fa_id"), *[F.col(f"h{c}").alias(f"a{c}") for c in range(SIMHASH_CHUNKS)])
+    fb = fp.select(F.col("doc_id").alias("fb_id"), *[F.col(f"h{c}").alias(f"b{c}") for c in range(SIMHASH_CHUNKS)])
+    ham = F.expr(hamming_expr("a", "b", "spark"))
+    return (
+        scand.join(fa, F.col("fa_id") == F.col("doc_a"))
+        .join(fb, F.col("fb_id") == F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

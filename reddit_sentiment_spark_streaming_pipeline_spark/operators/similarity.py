@@ -1,0 +1,274 @@
+"""Similarity search over the embedding column (training-data extension).
+
+Not in the reference; required by the north star (BASELINE.json): cosine
+top-k + an LSH-bucketed approximate variant over `embeddings`
+(array<float>, dim 64).
+
+Design:
+- Vectors stay as array columns; all arithmetic is JVM-side built-ins
+  (zip_with + aggregate fold) — no Python worker, no UDF.
+- Brute-force top-k: broadcast the (tiny) query set against the corpus —
+  at 100 TB this is the exact-scoring path you run *after* candidate
+  pruning. Ranking uses the ROUNDED cosine plus vec_id so ordering is
+  reproducible across engines (raw float ties are not).
+- ANN path: random-hyperplane LSH (sign of dot with fixed pseudo-random
+  planes, derived from md5 so engine and oracle share them exactly) buckets
+  the corpus; candidates = query's bucket only. At cluster scale the
+  bucket id is the shuffle/partition key, turning O(N·Q) scoring into
+  O(N/2^bits · Q).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+LSH_BITS = 4
+DIM = 64
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j: md5-nibble weights − 7.5."""
+    return [
+        int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) - 7.5
+        for i in range(DIM)
+    ]
+
+
+PLANES = [_plane(j) for j in range(LSH_BITS)]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _plane_lit(j: int) -> Column:
+    return F.array(*[F.lit(w) for w in PLANES[j]])
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(repr(w) for w in PLANES[j]) + "]::DOUBLE[]"
+
+
+def bucket_col(emb: Column) -> Column:
+    """LSH bucket id: sign bits of the plane dots, packed little-endian."""
+    bits = [
+        F.when(dot(emb, _plane_lit(j)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(LSH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = [
+        f"CASE WHEN list_dot_product({emb}, {_plane_sql(j)}) >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(LSH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           label,
+           len(embedding)                                           AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+    FROM embeddings
+    """,
+    doc="Vector column basics: dimension + L2 norm, all JVM-side array ops",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot(e, e)), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    pairs AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_dot_product(qe, ce)
+                     / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)), 6) AS cosine
+        FROM q CROSS JOIN c
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Brute-force cosine top-k (exact baseline): broadcast query set × "
+    "corpus scan, rank on rounded cosine for cross-engine determinism",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", as_double("embedding").alias("ce"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce"))
+                / F.sqrt(dot(F.col("qe"), F.col("qe")) * dot(F.col("ce"), F.col("ce"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "lsh_bucket_histogram",
+    oracle=f"""
+    SELECT {_bucket_sql('embedding::DOUBLE[]')} AS bucket,
+           count(*)                             AS n_vectors
+    FROM embeddings
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc=f"Random-hyperplane LSH bucketing ({LSH_BITS} bits): the partition "
+    "key that makes ANN scale — bucket histogram",
+)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(bucket_col(as_double("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ce,
+               {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ce AS qe, bucket FROM c WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_dot_product(qe, ce)
+                     / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)), 6) AS cosine
+        FROM q JOIN c ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="ANN variant: score only the query's LSH bucket (equi-join on "
+    "bucket id instead of a cross join) — the 100 TB path",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        as_double("embedding").alias("ce"),
+        bucket_col(as_double("embedding")).alias("bucket"),
+    )
+    q = c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ce").alias("qe"), "bucket"
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce"))
+                / F.sqrt(dot(F.col("qe"), F.col("qe")) * dot(F.col("ce"), F.col("ce"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "label_centroid_norms",
+    oracle="""
+    WITH elem AS (
+        SELECT label,
+               vec_id,
+               unnest(embedding::DOUBLE[])                      AS v,
+               generate_subscripts(embedding, 1)                AS pos
+        FROM embeddings
+    ),
+    centroid AS (
+        SELECT label, pos, avg(v) AS cv FROM elem GROUP BY label, pos
+    ),
+    norms AS (
+        SELECT label, round(sqrt(sum(cv * cv)), 6) AS centroid_norm FROM centroid GROUP BY label
+    ),
+    counts AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT n.label, c.n_vectors, n.centroid_norm
+    FROM norms n JOIN counts c USING (label)
+    ORDER BY label
+    """,
+    doc="Element-wise centroid per label (posexplode → two-level agg) + "
+    "centroid norm — grouped vector math without UDFs",
+)
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elem = emb.select(
+        "label", "vec_id", F.posexplode(as_double("embedding")).alias("pos0", "v")
+    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    centroid = elem.groupBy("label", "pos").agg(F.avg("v").alias("cv"))
+    norms = centroid.groupBy("label").agg(F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 6).alias("centroid_norm"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return norms.join(counts, "label").select("label", "n_vectors", "centroid_norm").orderBy("label")

@@ -1,0 +1,56 @@
+"""Dedup suite: exact, MinHash+LSH, n-gram Jaccard ground truth, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators import dedup as dd
+
+
+def test_exact_dup_groups_are_the_synthesized_ones(spark, sf_dir):
+    groups = dd.exact_dup_groups(spark, sf_dir).toPandas()
+    # one group per every-10th doc, each of size 2, surviving id = original
+    assert (groups.n_docs == 2).all()
+    assert (groups.min_doc_id < 1000000).all()
+    stats = dd.dedup_survivor_stats(spark, sf_dir).first()
+    assert stats.n_removed == len(groups)
+    assert stats.n_total == stats.n_unique + stats.n_removed
+
+
+def test_lsh_finds_synthesized_near_dups(spark, sf_dir):
+    pairs = dd.minhash_near_dups(spark, sf_dir).toPandas()
+    # every exact dup (identical signature) and tail-append near-dup must pair
+    # classify against the *original* doc (doc_a < 1e6): (8, 1000008) is an
+    # exact pair, but (1000008, 2000008) also differs by 1e6 and is not
+    exact_pairs = pairs[(pairs.doc_a < 1000000) & (pairs.doc_b == pairs.doc_a + 1000000)]
+    near_pairs = pairs[(pairs.doc_a < 1000000) & (pairs.doc_b == pairs.doc_a + 2000000)]
+    assert len(exact_pairs) > 0 and (exact_pairs.jaccard == 1.0).all()
+    assert len(near_pairs) > 0 and (near_pairs.jaccard >= 0.5).all()
+
+
+def test_lsh_recall_vs_ground_truth(spark, sf_dir):
+    truth = {
+        (r.doc_a, r.doc_b) for r in dd.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b) for r in dd.minhash_near_dups(spark, sf_dir).collect()
+    }
+    assert found <= truth  # verification step guarantees no false positives
+    recall = len(found & truth) / max(len(truth), 1)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9"
+
+
+def test_simhash_identical_docs_have_zero_hamming(spark, sf_dir):
+    pairs = dd.simhash_near_dups(spark, sf_dir).toPandas()
+    exact = pairs[(pairs.doc_a < 1000000) & (pairs.doc_b == pairs.doc_a + 1000000)]
+    assert len(exact) > 0 and (exact.hamming == 0).all()
+
+
+def test_simhash_chunks_are_16bit(spark, sf_dir):
+    fp = dd.simhash_fingerprints(spark, sf_dir)
+    mm = fp.agg(
+        *[F.min(f"h{c}").alias(f"lo{c}") for c in range(4)],
+        *[F.max(f"h{c}").alias(f"hi{c}") for c in range(4)],
+    ).first()
+    for c in range(4):
+        assert 0 <= mm[f"lo{c}"] and mm[f"hi{c}"] <= 65535

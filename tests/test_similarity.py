@@ -1,0 +1,49 @@
+"""Similarity search: brute-force cosine top-k, LSH buckets, centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators import similarity as sim
+
+
+def test_cosine_topk_shape_and_bounds(spark, sf_dir):
+    df = sim.cosine_topk(spark, sf_dir).toPandas()
+    assert set(df.query_id.unique()) == set(range(sim.N_QUERIES))
+    assert df.groupby("query_id").size().eq(sim.TOP_K).all()
+    assert df.cosine.between(-1.000001, 1.000001).all()
+    # per query, ranks are 1..K and cosine non-increasing along rank
+    for _, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, sim.TOP_K + 1))
+        assert (g.cosine.diff().dropna() <= 0).all()
+
+
+def test_cosine_topk_excludes_self(spark, sf_dir):
+    df = sim.cosine_topk(spark, sf_dir)
+    assert df.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+
+
+def test_ann_results_subset_of_bucket(spark, sf_dir):
+    exact = sim.cosine_topk(spark, sf_dir).toPandas()
+    ann = sim.ann_lsh_topk(spark, sf_dir).toPandas()
+    # ANN returns ≤ K per query and its hits are a subset of corpus scored
+    assert ann.groupby("query_id").size().le(sim.TOP_K).all()
+    # recall sanity: ANN's top hit should appear in exact top-k often;
+    # require at least one overlap per query at this tiny scale
+    for qid, g in ann.groupby("query_id"):
+        overlap = set(g.vec_id) & set(exact[exact.query_id == qid].vec_id)
+        assert overlap, f"ANN bucket for query {qid} shares nothing with exact top-k"
+
+
+def test_bucket_histogram_partitions_corpus(spark, sf_dir):
+    hist = sim.lsh_bucket_histogram(spark, sf_dir).toPandas()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert hist.n_vectors.sum() == n
+    assert hist.bucket.between(0, 2**sim.LSH_BITS - 1).all()
+
+
+def test_no_python_udf_in_vector_plans(spark, sf_dir):
+    for q in (sim.cosine_topk, sim.ann_lsh_topk, sim.embedding_norms):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
