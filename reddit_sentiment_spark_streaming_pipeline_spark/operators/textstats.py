@@ -1,0 +1,212 @@
+"""Text-analysis operators for a training-data pipeline: token stats,
+quality scoring, language-ID heuristic, rolling-hash fingerprinting.
+
+All are per-document narrow pipelines (expression-only or one doc_id-keyed
+aggregation) — embarrassingly parallel at 100 TB — and every one is
+value-checked against a DuckDB oracle built from the same closed forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import STOPWORDS, stopwords_sql_list, tokens
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+# ------------------------------------------------------------ token stats
+
+_TOK_POS_SQL = r"""
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+'))                 AS word,
+               generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+        FROM documents
+"""
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> '')
+    SELECT doc_id,
+           count(*)                          AS n_tokens,
+           count(DISTINCT word)              AS n_distinct,
+           round(avg(length(word)), 6)       AS avg_token_len
+    FROM tok GROUP BY doc_id
+    """,
+    doc="Token counting: total / distinct / mean length per document",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.round(F.avg(F.length("word")), 6).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------- quality scores
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    t AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(CASE WHEN word IN ({stopwords_sql_list()}) THEN 1 ELSE 0 END) AS n_stop
+        FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           length(d.text)                                                  AS n_chars,
+           t.n_tokens,
+           round(t.n_stop * 1.0 / t.n_tokens, 6)                           AS stopword_ratio,
+           round(length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) * 1.0
+                 / length(d.text), 6)                                      AS punct_ratio,
+           round(least(t.n_tokens, 100) / 100.0 * (1 - t.n_stop * 1.0 / t.n_tokens), 6) AS quality_score
+    FROM documents d JOIN t USING (doc_id)
+    """,
+    doc="Quality scoring: length / stopword ratio / punctuation ratio / "
+    "composite score — the cheap pre-filter of a training-data pipeline",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    stop_ratio = n_stop / n_tokens.cast("double")
+    punct = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct / F.length("text").cast("double"), 6).alias("punct_ratio"),
+        F.round(F.least(n_tokens, F.lit(100)) / F.lit(100.0) * (1 - stop_ratio), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+# ------------------------------------------------------- language ID
+
+# Deterministic per-language marker tokens (heuristic n-gram-style lang-ID;
+# the corpus vocabulary is shared across langs, so discrimination is weak —
+# the operator contract is determinism, ties break alphabetically).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "das", "data", "group"],
+    "en": ["the", "a", "and", "fast", "query"],
+    "es": ["el", "la", "los", "part", "row"],
+    "fr": ["le", "la", "les", "table", "merge"],
+    "zh": ["zh", "hash", "vector", "stream"],
+}
+_LANGS = sorted(LANG_MARKERS)
+
+
+def _score_col(toks: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+
+
+def _score_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"sum(CASE WHEN word IN ({lst}) THEN 1 ELSE 0 END)"
+
+
+@register(
+    "lang_id_scores",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    s AS (
+        SELECT doc_id,
+               {", ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in _LANGS)}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           d.lang,
+           CASE {" ".join(f"WHEN s_{lang} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{lang}'" for lang in _LANGS)} END AS predicted_lang,
+           greatest({", ".join("s_" + x for x in _LANGS)}) AS marker_hits
+    FROM documents d JOIN s USING (doc_id)
+    """,
+    doc="Language-ID heuristic: marker-token scoring per language, argmax "
+    "with alphabetical tie-break",
+)
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id", "lang", *[_score_col(toks, lang).alias(f"s_{lang}") for lang in _LANGS]
+    )
+    g = F.greatest(*[F.col(f"s_{lang}") for lang in _LANGS])
+    expr = None
+    for lang in _LANGS:
+        cond = F.col(f"s_{lang}") == g
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "lang",
+        expr.alias("predicted_lang"),
+        g.alias("marker_hits"),
+    )
+
+
+# ------------------------------------------------- rolling-hash fingerprint
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+_FP_WINDOW = 16
+# 31^k mod p weights, k = 0..15 (precomputed so no pow() dialect drift)
+_WEIGHTS = []
+_w = 1
+for _ in range(_FP_WINDOW):
+    _WEIGHTS.append(_w)
+    _w = (_w * _FP_BASE) % _FP_MOD
+
+_HEX = "0123456789abcdef"
+
+
+def _tok_hash_sql(word: str = "word") -> str:
+    """Token hash 0..255 from the first two md5 nibbles (dialect-shared)."""
+    return (
+        f"((instr('{_HEX}', substr(md5({word}), 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr(md5({word}), 2, 1)) - 1))"
+    )
+
+
+_WEIGHT_CASE = "CASE " + " ".join(
+    f"WHEN (rn - 1) % {_FP_WINDOW} = {k} THEN {w}" for k, w in enumerate(_WEIGHTS)
+) + " END"
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    seq AS (
+        SELECT doc_id, word,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM tok
+    )
+    SELECT doc_id,
+           count(*)                                                   AS n_tokens,
+           CAST(sum(CAST({_tok_hash_sql()} AS BIGINT) * {_WEIGHT_CASE}) % {_FP_MOD} AS BIGINT) AS fingerprint
+    FROM seq GROUP BY doc_id
+    """,
+    doc="Rolling-hash document fingerprint (Rabin–Karp-style position-"
+    "weighted token hash mod p) — order-sensitive, integer-exact in both "
+    "engines",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seq = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("rn"), "word")
+    contrib = F.expr(f"CAST({_tok_hash_sql('word')} AS BIGINT) * {_WEIGHT_CASE}")
+    return seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum(contrib) % _FP_MOD).alias("fingerprint"),
+    )

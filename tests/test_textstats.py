@@ -1,0 +1,73 @@
+"""Text analysis + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators import multimodal as mm
+from reddit_sentiment_spark_streaming_pipeline_spark.operators import textstats as ts
+
+
+def test_token_stats_consistency(spark, sf_dir):
+    df = ts.token_stats(spark, sf_dir).toPandas()
+    assert (df.n_distinct <= df.n_tokens).all()
+    assert (df.avg_token_len > 0).all()
+
+
+def test_quality_scores_bounds(spark, sf_dir):
+    df = ts.quality_scores(spark, sf_dir).toPandas()
+    assert df.stopword_ratio.between(0, 1).all()
+    assert df.punct_ratio.between(0, 1).all()
+    assert df.quality_score.between(0, 1).all()
+
+
+def test_lang_id_deterministic_argmax(spark, sf_dir):
+    df = ts.lang_id_scores(spark, sf_dir).toPandas()
+    assert df.predicted_lang.isin(list(ts.LANG_MARKERS)).all()
+    assert (df.marker_hits >= 0).all()
+
+
+def test_fingerprint_is_order_sensitive(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    fp = {r.doc_id: r.fingerprint for r in ts.doc_fingerprints(spark, str(tmp_path)).collect()}
+    assert fp[1] == fp[3]  # identical text → identical fingerprint
+    assert fp[1] != fp[2]  # same bag of words, different order → different
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"bytes")
+
+
+def test_media_features_match_scalar_stub(spark, sf_dir):
+    rows = mm.media_features(spark, sf_dir).orderBy("media_id").limit(5).collect()
+    media = mm.media_table(spark, sf_dir).orderBy("media_id").limit(5).collect()
+    for r, m in zip(rows, media):
+        n, mean = mm.fake_decode_features(bytes(m.payload))
+        assert r.n_bytes == n
+        assert r.mean_nibble == round(mean, 6)
+
+
+def test_metadata_query_prunes_payload_column(spark, sf_dir, tmp_path):
+    # materialize the media table (payload stored as a real binary column),
+    # then check a metadata-only agg never reads the payload bytes
+    out = str(tmp_path / "media.parquet")
+    mm.media_table(spark, sf_dir).write.parquet(out)
+    stored = spark.read.parquet(out)
+    agg = stored.groupBy("mime").agg(F.sum("n_bytes").alias("total_bytes"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read_schema, f"payload column not pruned: {read_schema}"
+    assert "n_bytes" in read_schema and "mime" in read_schema
