@@ -78,6 +78,21 @@ def event_parse_filter_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_stats_frame(valid: DataFrame) -> DataFrame:
+    """A4/A5/O2 grouped stats over an already-filtered events frame —
+    shared between the batch query and the streaming foreachBatch path."""
+    return (
+        valid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("post_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .filter(F.col("post_count") > 0)
+        .orderBy(F.desc("post_count"), "event_type")
+    )
+
+
 @register(
     "event_stats",
     oracle="""
@@ -94,17 +109,7 @@ def event_parse_filter_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Flagship: A4/A5/O2 grouped stats (exact-distinct variant)",
 )
 def event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = valid_events(load_table(spark, sf_dir, "events"))
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("post_count"),
-            F.countDistinct("user_id").alias("unique_users"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-        )
-        .filter(F.col("post_count") > 0)
-        .orderBy(F.desc("post_count"), "event_type")
-    )
+    return event_stats_frame(valid_events(load_table(spark, sf_dir, "events")))
 
 
 @register(

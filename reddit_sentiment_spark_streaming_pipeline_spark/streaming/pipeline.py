@@ -1,0 +1,122 @@
+"""The streaming engine: native windowed queries + the foreachBatch
+multi-sink consumer (the reference's process_batch, made idiomatic).
+
+Reference parity and deliberate divergences (SURVEY §2.9, §3.1):
+- foreachBatch multi-sink fan-out (K1/K3/T10, reddit_consumer.py:282-444)
+  is kept — but the batch is persisted ONCE (the reference recomputes the
+  parse/filter/UDF pipeline ~10× per batch, X9), sinks append to stable
+  directories, and the checkpoint is durable (the reference deletes its
+  checkpoint on every startup, T6).
+- Aggregations that the reference ran per-batch by hand become *native*
+  streaming queries with real event-time windows + watermark (T2/T3 were
+  absent in the reference: WINDOW_SEC read but unused).
+- Batch timestamping: max(ts) of the batch with a fixed epoch fallback —
+  the reference falls back to datetime.now() (nondeterministic,
+  reddit_consumer.py:315-317).
+
+Scale: one persist per micro-batch; every sink write is a column-pruned
+aggregate append (no coalesce(1) on anything unbounded); watermark bounds
+streaming state; the file/Kafka source gives exactly-once into parquet via
+the checkpoint.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import event_stats_frame, valid_events
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.windows import tumbling_counts_frame
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.retention import enforce_retention
+
+EPOCH_FALLBACK = datetime.datetime(1970, 1, 1)
+WATERMARK = "2 hours"
+
+
+# ------------------------------------------------- native windowed stream
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Event-time tumbling counts with a watermark (append-mode safe)."""
+    return tumbling_counts_frame(valid_events(events).withWatermark("ts", WATERMARK))
+
+
+def start_windowed_query(events: DataFrame, query_name: str = "windowed_counts") -> StreamingQuery:
+    return (
+        windowed_counts_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+# ------------------------------------------------ foreachBatch consumer
+
+
+class BatchSinks:
+    """Append-only parquet sinks + retention, one directory per table."""
+
+    def __init__(self, out_root: str, retention_bytes: int | None = None):
+        self.out_root = out_root
+        self.retention_bytes = retention_bytes
+        self.raw_dir = os.path.join(out_root, "raw")
+        self.stats_dir = os.path.join(out_root, "event_stats")
+        self.avg_dir = os.path.join(out_root, "avg_value")
+
+    def dirs(self) -> list[str]:
+        return [self.raw_dir, self.stats_dir, self.avg_dir]
+
+
+def process_batch(batch_df: DataFrame, batch_id: int, sinks: BatchSinks) -> None:
+    """The per-micro-batch analytics DAG (reference process_batch parity)."""
+    batch_df.persist()
+    try:
+        if batch_df.isEmpty():
+            return
+        # K1: raw append (date-partitionable at scale)
+        batch_df.write.mode("append").parquet(sinks.raw_dir)
+
+        valid = valid_events(batch_df)
+        # A1: batch event-time stamp, deterministic fallback
+        batch_time = valid.agg(F.max("ts")).first()[0] or EPOCH_FALLBACK
+
+        # A3/K3: headline average for the batch
+        avg_row = valid.agg(F.round(F.avg("value"), 6).alias("average_value"))
+        (
+            avg_row.withColumn("timestamp", F.lit(batch_time))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sinks.avg_dir)
+        )
+
+        # A4/A5/O2/K3: grouped stats
+        (
+            event_stats_frame(valid)
+            .withColumn("timestamp", F.lit(batch_time))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sinks.stats_dir)
+        )
+
+        if sinks.retention_bytes:
+            for d in sinks.dirs():
+                enforce_retention(d, sinks.retention_bytes)
+    finally:
+        batch_df.unpersist()
+
+
+def start_pipeline(events: DataFrame, out_root: str,
+                   retention_bytes: int | None = None) -> StreamingQuery:
+    """Wire the consumer: one stream → persisted batch → multi-sink appends,
+    with a durable checkpoint under the output root."""
+    sinks = BatchSinks(out_root, retention_bytes)
+    return (
+        events.writeStream.foreachBatch(lambda df, bid: process_batch(df, bid, sinks))
+        .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+        .start()
+    )

@@ -1,0 +1,93 @@
+"""Structured Streaming: file replay, watermark windows, foreachBatch sinks,
+checkpoint resume, retention."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.windows import windowed_event_counts
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming import pipeline as pl
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import read_replay_stream, write_replay_chunks
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.retention import enforce_retention
+
+
+def _replay(spark, sf_dir, tmp_path, n_chunks=4):
+    replay_dir = str(tmp_path / "replay")
+    n = write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=n_chunks)
+    return replay_dir, n
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
+    replay_dir, _ = _replay(spark, sf_dir, tmp_path)
+    stream = read_replay_stream(spark, replay_dir)
+    q = pl.start_windowed_query(stream, "wq_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM wq_test").toPandas()
+    batch = windowed_event_counts(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # append mode emits only watermark-closed windows → subset of batch,
+    # but every emitted row must match the batch result exactly
+    merged = got.merge(batch, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged.n_s == merged.n_b).all()
+    assert (merged.sum_value_s == merged.sum_value_b).all()
+
+
+def test_foreachbatch_pipeline_sinks(spark, sf_dir, tmp_path):
+    replay_dir, n_rows = _replay(spark, sf_dir, tmp_path)
+    out_root = str(tmp_path / "out")
+    stream = read_replay_stream(spark, replay_dir)
+    q = pl.start_pipeline(stream, out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sinks = pl.BatchSinks(out_root)
+    raw = spark.read.parquet(sinks.raw_dir)
+    assert raw.count() == n_rows  # K1 captured every wire row
+    avg = spark.read.parquet(sinks.avg_dir)
+    n_batches = avg.select("batch_id").distinct().count()
+    assert avg.count() == n_batches  # one headline row per micro-batch
+    assert n_batches >= 2  # maxFilesPerTrigger=1 really did micro-batch
+    stats = spark.read.parquet(sinks.stats_dir)
+    assert stats.filter(F.col("event_type") == "error").count() == 0
+    # per-batch grouped counts re-aggregate to the batch-query totals
+    total = stats.agg(F.sum("post_count")).first()[0]
+    valid_total = raw.filter((F.col("event_type") != "error") & F.col("value").isNotNull()).count()
+    assert total == valid_total
+
+
+def test_checkpoint_resume_no_duplicates(spark, sf_dir, tmp_path):
+    replay_dir, n_rows = _replay(spark, sf_dir, tmp_path, n_chunks=3)
+    out_root = str(tmp_path / "out2")
+    stream = read_replay_stream(spark, replay_dir)
+    q = pl.start_pipeline(stream, out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart against the same checkpoint: no re-processing, no duplicates
+    q2 = pl.start_pipeline(read_replay_stream(spark, replay_dir), out_root)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    raw = spark.read.parquet(pl.BatchSinks(out_root).raw_dir)
+    assert raw.count() == n_rows
+
+
+def test_retention_caps_directory(tmp_path):
+    d = tmp_path / "ret"
+    d.mkdir()
+    for i in range(10):
+        (d / f"f{i:02d}.parquet").write_bytes(b"x" * 1000)
+        os.utime(d / f"f{i:02d}.parquet", (i, i))  # deterministic mtimes
+    deleted = enforce_retention(str(d), max_bytes=4500)
+    assert len(deleted) == 6  # oldest six go, four fit under the cap
+    kept = sorted(p.name for p in d.iterdir())
+    assert kept == [f"f{i:02d}.parquet" for i in range(6, 10)]
