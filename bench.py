@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is forced with the noop datasource sink — the full plan runs
+JVM-side (scan → shuffle → agg → sink) without collect()-to-driver cost,
+so timings reflect engine throughput, not Py4J serialization. One small
+warm-up query absorbs JVM/codegen startup so per-query numbers are
+comparable across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+from reddit_sentiment_spark_streaming_pipeline_spark import registry  # noqa: E402
+from reddit_sentiment_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+
+# One per workload category (SURVEY §2 + training-data extensions):
+HEADLINE = [
+    "event_stats",               # flagship grouped agg (A4/A5/O2)
+    "wire_posts_pipeline",       # JSON wire parse + filter + derive (P1-P3)
+    "doc_sentiment",             # lexicon sentiment, built-in expressions (U1)
+    "refs_rollup",               # regexp_extract_all + ROLLUP (F3-F6, A7/A8)
+    "tfidf_topk",                # keyword query (§2.11)
+    "q1_pricing_summary",        # heavy scan+agg at lineitem scale
+    "supplier_running_revenue",  # ordered analytics at fact scale (W1-W4)
+    "regional_customer_value",   # star join, broadcast dims (J1)
+    "windowed_event_counts",     # event-time tumbling windows (T2)
+    "session_windows",           # sessionization
+    "minhash_near_dups",         # MinHash+LSH near-dup dedup
+    "cosine_topk",               # embedding similarity search
+    "rolling_sentiment_band",    # dashboard rolling mean/stddev band
+    "token_stats",               # text analysis / token counting
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    specs = registry.load_all()
+
+    # warm-up: JVM classloading + codegen, cheapest registered query
+    run_noop(specs["latest_event"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_noop(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()
