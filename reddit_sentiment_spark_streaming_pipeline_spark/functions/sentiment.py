@@ -91,6 +91,39 @@ def sentiment_expr(text_col: str | Column) -> Column:
     return F.when(col.isNull(), F.lit(0.0)).otherwise(F.round(compound, 6))
 
 
+def valence_sum_expr(text_col: str | Column) -> Column:
+    """The raw lexicon fold only (no compound normalization)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    lex_map = F.create_map(*[F.lit(x) for kv in sorted(LEXICON.items()) for x in kv])
+    tokens = F.split(F.lower(col), " ")
+    return F.aggregate(
+        tokens,
+        F.lit(0.0),
+        lambda acc, w: acc + F.coalesce(F.element_at(lex_map, w), F.lit(0.0)),
+    )
+
+
+def with_sentiment(df, text_col: str = "text", out: str = "sentiment"):
+    """Append a sentiment column via two projections.
+
+    The aggregate fold is a CodegenFallback expression, so referencing it
+    three times in one projection (s, s·s, and the null guard) evaluates
+    the whole fold three times per row (~7× slower at sf0.1). Materializing
+    the raw sum as its own attribute makes the compound arithmetic cheap;
+    CollapseProject leaves the split alone because the producer expression
+    is non-trivial and multiply-referenced.
+    """
+    raw, isnull = f"__{out}_raw", f"__{out}_isnull"
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    step = df.withColumn(isnull, col.isNull()).withColumn(raw, valence_sum_expr(col))
+    s = F.col(raw)
+    compound = F.round(s / F.sqrt(s * s + F.lit(ALPHA)), 6)
+    return (
+        step.withColumn(out, F.when(F.col(isnull), F.lit(0.0)).otherwise(compound))
+        .drop(raw, isnull)
+    )
+
+
 # T.DoubleType() (not the DDL string "double"): string return types are
 # parsed via the active SparkContext, which doesn't exist at import time.
 @F.pandas_udf(T.DoubleType())

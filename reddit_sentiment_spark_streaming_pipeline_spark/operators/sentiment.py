@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import (
     lexicon_values_sql,
-    sentiment_expr,
     sentiment_pandas_udf,
+    with_sentiment,
 )
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
@@ -56,7 +56,7 @@ _DOC_SENTIMENT_SQL = f"""
 )
 def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", sentiment_expr("text").alias("sentiment"))
+    return with_sentiment(docs).select("doc_id", "sentiment")
 
 
 @register(
@@ -86,7 +86,7 @@ def doc_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def avg_sentiment_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(sentiment_expr("text").alias("sentiment")).agg(
+    return with_sentiment(docs).agg(
         F.round(F.avg("sentiment"), 6).alias("average_sentiment"),
         F.count(F.lit(1)).alias("n_docs"),
     )
@@ -108,7 +108,7 @@ def avg_sentiment_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def avg_sentiment_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("lang", sentiment_expr("text").alias("sentiment"))
+        with_sentiment(docs)
         .groupBy("lang")
         .agg(
             F.round(F.avg("sentiment"), 6).alias("avg_sentiment"),
