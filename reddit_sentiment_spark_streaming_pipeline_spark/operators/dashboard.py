@@ -127,6 +127,35 @@ def timeframe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "membership_filter",
+    oracle="""
+    SELECT lang,
+           source,
+           count(*)                 AS n_docs,
+           round(avg(n_chars), 6)   AS avg_chars
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr')
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="P8: membership filter (df[df.subreddit.isin(subs)], "
+    "streamlit_app.py:337) — isin folds to an IN predicate pushed to the "
+    "parquet scan",
+)
+def membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang").isin("en", "de", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
     "top3_event_types",
     oracle="""
     SELECT event_type, count(*) AS post_count

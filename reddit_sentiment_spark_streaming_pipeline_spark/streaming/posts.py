@@ -1,0 +1,166 @@
+"""The reference's full per-batch analytics over the wire stream.
+
+This is the complete `process_batch` (reddit_consumer.py:282-444) re-built
+idiomatically: one persisted parse of the micro-batch feeds every sink —
+the reference recomputed the parse/filter/UDF pipeline for each of its ~10
+actions per batch (SURVEY §3.1, X9).
+
+Result tables (exact reference shapes):
+- ``sentiment(timestamp, average_sentiment)`` — one row per micro-batch
+  (reddit_consumer.py:361-366).
+- ``subreddit_stats(subreddit, post_count, unique_authors, avg_length,
+  timestamp)`` — one row per (batch × subreddit); the reference writes no
+  timestamp and its dashboard back-fills one from file ctime
+  (streamlit_app.py:114-115) — here the batch event-time is written so the
+  column is real, not forensic.
+- ``references(timestamp, total_user_refs, total_sub_refs, total_urls)``
+  — one row per batch (reddit_consumer.py:422-429).
+Plus raw wire append (K1) and the processed posts table (K2 made an append
+to one directory instead of one overwrite-file per batch).
+
+Scale: every write is either the raw pass-through or a per-batch aggregate
+of bounded cardinality; nothing collects to the driver except three scalar
+rows. unique_authors keeps approx_count_distinct (HLL++) exactly like the
+reference (reddit_consumer.py:379) — exact distinct would shuffle author
+strings per subreddit for no consumer benefit.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import with_sentiment
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.posts import parse_posts
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.refs import (
+    SUB_REF_PATTERN,
+    URL_PATTERN,
+    USER_REF_PATTERN,
+)
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.retention import enforce_retention
+
+EPOCH_FALLBACK = datetime.datetime(1970, 1, 1)
+
+
+class PostsSinks:
+    """The reference's five output tables under one root."""
+
+    def __init__(self, out_root: str, retention_bytes: int | None = None):
+        self.out_root = out_root
+        self.retention_bytes = retention_bytes
+        self.raw_dir = os.path.join(out_root, "raw")
+        self.processed_dir = os.path.join(out_root, "processed")
+        self.sentiment_dir = os.path.join(out_root, "sentiment")
+        self.stats_dir = os.path.join(out_root, "subreddit_stats")
+        self.refs_dir = os.path.join(out_root, "references")
+
+    def dirs(self) -> list[str]:
+        return [self.raw_dir, self.processed_dir, self.sentiment_dir,
+                self.stats_dir, self.refs_dir]
+
+
+def enrich_posts(wire: DataFrame) -> DataFrame:
+    """Wire lines → the engine's central posts fact table:
+    parse/filter/derive (P1-P3) + sentiment (U1) in one narrow pass."""
+    return with_sentiment(parse_posts(wire))
+
+
+def subreddit_stats_frame(posts: DataFrame) -> DataFrame:
+    """A4/A5/O2 (reddit_consumer.py:375-384), HLL++ distinct kept."""
+    return (
+        posts.groupBy("subreddit")
+        .agg(
+            F.count(F.lit(1)).alias("post_count"),
+            F.approx_count_distinct("author").alias("unique_authors"),
+            F.round(F.avg("text_length"), 6).alias("avg_length"),
+        )
+        .filter(F.col("post_count") > 0)
+        .orderBy(F.desc("post_count"), "subreddit")
+    )
+
+
+def references_totals_frame(posts: DataFrame) -> DataFrame:
+    """F3-F6 + A8 grand totals (reddit_consumer.py:398-420) in one pass."""
+    return (
+        posts.select(
+            F.size(F.regexp_extract_all("text", F.lit(USER_REF_PATTERN), F.lit(0))).alias("u"),
+            F.size(F.regexp_extract_all("text", F.lit(SUB_REF_PATTERN), F.lit(0))).alias("s"),
+            F.size(F.regexp_extract_all("text", F.lit(URL_PATTERN), F.lit(0))).alias("l"),
+        )
+        .agg(
+            F.sum("u").cast("double").alias("total_user_refs"),
+            F.sum("s").cast("double").alias("total_sub_refs"),
+            F.sum("l").cast("double").alias("total_urls"),
+        )
+    )
+
+
+def process_posts_batch(batch_df: DataFrame, batch_id: int, sinks: PostsSinks) -> None:
+    batch_df.persist()
+    try:
+        if batch_df.isEmpty():
+            return
+        # K1: raw wire append — keepalives and malformed lines included,
+        # so the raw table is a replayable record of the stream
+        batch_df.write.mode("append").parquet(sinks.raw_dir)
+
+        posts = enrich_posts(batch_df).persist()
+        try:
+            # A1: batch event-time stamp, deterministic fallback (the
+            # reference falls back to now(), reddit_consumer.py:315-317)
+            batch_time = posts.agg(F.max("created_time")).first()[0] or EPOCH_FALLBACK
+            stamp = F.lit(batch_time)
+
+            # K2: processed posts append (reference: one overwrite-file per
+            # batch, reddit_consumer.py:321-327 — append scales, files don't)
+            posts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                sinks.processed_dir
+            )
+
+            # A3/K3: sentiment(timestamp, average_sentiment)
+            (
+                posts.agg(F.round(F.avg("sentiment"), 6).alias("average_sentiment"))
+                .select(stamp.alias("timestamp"), "average_sentiment")
+                .write.mode("append")
+                .parquet(sinks.sentiment_dir)
+            )
+
+            # A4/A5/K3: subreddit_stats
+            (
+                subreddit_stats_frame(posts)
+                .withColumn("timestamp", stamp)
+                .write.mode("append")
+                .parquet(sinks.stats_dir)
+            )
+
+            # A7/A8/K3: references totals
+            (
+                references_totals_frame(posts)
+                .select(stamp.alias("timestamp"), "total_user_refs",
+                        "total_sub_refs", "total_urls")
+                .write.mode("append")
+                .parquet(sinks.refs_dir)
+            )
+        finally:
+            posts.unpersist()
+
+        if sinks.retention_bytes:
+            for d in sinks.dirs():
+                enforce_retention(d, sinks.retention_bytes)
+    finally:
+        batch_df.unpersist()
+
+
+def start_posts_pipeline(wire: DataFrame, out_root: str,
+                         retention_bytes: int | None = None) -> StreamingQuery:
+    """Wire stream (`value: string`) → the five reference tables."""
+    sinks = PostsSinks(out_root, retention_bytes)
+    return (
+        wire.writeStream.foreachBatch(lambda df, bid: process_posts_batch(df, bid, sinks))
+        .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+        .start()
+    )

@@ -37,6 +37,45 @@ def write_replay_chunks(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks
     return len(pdf)
 
 
+def write_wire_chunks(wire_df, out_dir: str, n_chunks: int = 4) -> int:
+    """Split a wire frame (`value: string`, JSON lines) into n text chunk
+    files — the replayable stand-in for the producer's TCP stream. Returns
+    the line count."""
+    os.makedirs(out_dir, exist_ok=True)
+    lines = [r.value for r in wire_df.collect()]
+    chunk = (len(lines) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = lines[i * chunk : (i + 1) * chunk]
+        if part:
+            with open(os.path.join(out_dir, f"chunk_{i:04d}.txt"), "w") as f:
+                f.write("\n".join(part) + "\n")
+    return len(lines)
+
+
+def read_wire_stream(spark: SparkSession, wire_dir: str,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming `value: string` frame over wire chunk files."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(wire_dir)
+    )
+
+
+def read_wire_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """The reference's ingestion path (S1, reddit_consumer.py:143-152):
+    TCP lines with arrival timestamp. Non-replayable — no fault tolerance;
+    kept for wire-contract parity, tests and production use the file/Kafka
+    path. The reference also set Kafka-only options (maxOffsetsPerTrigger,
+    socketTimeout) here that the socket source silently ignores — omitted."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .option("includeTimestamp", "true")
+        .load()
+    )
+
+
 def read_replay_stream(spark: SparkSession, replay_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """Streaming DataFrame over the replay directory (schema from files).

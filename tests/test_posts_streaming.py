@@ -1,0 +1,119 @@
+"""The full reference consumer over the wire stream: five sink tables,
+socket-source parity."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.posts import parse_posts, synthetic_wire
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming import posts as P
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import (
+    read_wire_socket,
+    read_wire_stream,
+    write_wire_chunks,
+)
+
+
+def test_posts_pipeline_five_tables(spark, sf_dir, tmp_path):
+    wire_dir = str(tmp_path / "wire")
+    n_lines = write_wire_chunks(synthetic_wire(spark, sf_dir), wire_dir, n_chunks=3)
+    out_root = str(tmp_path / "out")
+    q = P.start_posts_pipeline(read_wire_stream(spark, wire_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sinks = P.PostsSinks(out_root)
+
+    raw = spark.read.parquet(sinks.raw_dir)
+    assert raw.count() == n_lines  # K1 keeps keepalives + malformed lines
+
+    processed = spark.read.parquet(sinks.processed_dir)
+    batch_posts = P.enrich_posts(synthetic_wire(spark, sf_dir))
+    assert processed.count() == batch_posts.count()
+    n_batches = processed.select("batch_id").distinct().count()
+    assert n_batches >= 2  # micro-batching actually happened
+
+    # sentiment: one row per batch, each equal to the per-batch average
+    # recomputed from the processed table (modulo the written rounding)
+    sent = spark.read.parquet(sinks.sentiment_dir)
+    assert sent.count() == n_batches
+    recomputed = (
+        processed.groupBy("batch_id")
+        .agg(F.round(F.avg("sentiment"), 6).alias("expect"))
+    )
+    per_batch = (
+        processed.groupBy("batch_id").agg(F.max("created_time").alias("timestamp"))
+        .join(sent, "timestamp")
+        .join(recomputed, "batch_id")
+    )
+    assert per_batch.count() == n_batches
+    bad = per_batch.filter(F.abs(F.col("average_sentiment") - F.col("expect")) > 1e-9)
+    assert bad.count() == 0
+
+    # subreddit_stats re-aggregates to the full post count
+    stats = spark.read.parquet(sinks.stats_dir)
+    assert stats.agg(F.sum("post_count")).first()[0] == batch_posts.count()
+    assert stats.filter(F.col("unique_authors") < 1).count() == 0
+
+    # references grand totals across batches == batch-mode totals
+    refs = spark.read.parquet(sinks.refs_dir)
+    assert refs.count() == n_batches
+    got = refs.agg(F.sum("total_user_refs"), F.sum("total_sub_refs"), F.sum("total_urls")).first()
+    want = P.references_totals_frame(batch_posts).first()
+    assert tuple(got) == tuple(want)
+
+
+def test_socket_wire_source(spark):
+    """S1 parity: real TCP server → socket source → parse_posts."""
+    lines = []
+    for i in range(30):
+        lines.append(json.dumps({
+            "type": "submission", "subreddit": f"sub{i % 3}", "id": str(i),
+            "text": f"hello world this is post number {i}",
+            "created_utc": 1704067200.0 + i, "author": f"user{i % 5}",
+        }))
+        if i % 10 == 0:
+            lines.append(json.dumps({"type": "keepalive", "created_utc": 1704067200.0 + i}))
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(timeout=60)  # keep the connection open until told
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        parse_posts(read_wire_socket(spark, "127.0.0.1", port))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("socket_posts")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.sql("SELECT count(*) c FROM socket_posts").first().c == 30:
+                break
+            time.sleep(0.5)
+        got = spark.sql("SELECT * FROM socket_posts").toPandas()
+    finally:
+        q.stop()
+        stop.set()
+        server.close()
+    assert len(got) == 30  # keepalives dropped by the P2 predicates
+    assert set(got.subreddit) == {"sub0", "sub1", "sub2"}
+    assert got.text_length.min() > 10

@@ -91,3 +91,37 @@ def test_retention_caps_directory(tmp_path):
     assert len(deleted) == 6  # oldest six go, four fit under the cap
     kept = sorted(p.name for p in d.iterdir())
     assert kept == [f"f{i:02d}.parquet" for i in range(6, 10)]
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import valid_events
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stateful import start_running_totals
+
+    replay_dir, _ = _replay(spark, sf_dir, tmp_path, n_chunks=3)
+    q = start_running_totals(read_replay_stream(spark, replay_dir), "rt_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT event_type, max(cum_rows) AS cum_rows, max(cum_value) AS cum_value,"
+        " sum(batch_rows) AS total_batch_rows, count(*) AS n_updates"
+        " FROM rt_test GROUP BY event_type"
+    ).toPandas().set_index("event_type")
+    want = (
+        valid_events(load_table(spark, sf_dir, "events"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(got.index) == set(want.index)
+    for k in want.index:
+        # final state equals the batch aggregate; per-batch emissions sum to it
+        assert got.loc[k, "cum_rows"] == want.loc[k, "n"]
+        assert got.loc[k, "total_batch_rows"] == want.loc[k, "n"]
+        assert abs(got.loc[k, "cum_value"] - want.loc[k, "s"]) < 1e-6
+        assert got.loc[k, "n_updates"] >= 2  # state really crossed batches
