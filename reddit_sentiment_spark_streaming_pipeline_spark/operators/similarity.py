@@ -239,6 +239,134 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+_CENTROID_LO = 100  # vec_id 100..107 serve as the deterministic coarse quantizer
+
+# Squared L2 distance via three dot products: |x|² − 2x·c + |c|², rounded so
+# the argmin ordering is identical across engines; ties break on cid.
+_DIST_SQL = ("round(list_dot_product(ce, ce) - 2 * list_dot_product(ce, cv)"
+             " + list_dot_product(cv, cv), 6)")
+
+_IVF_SQL = f"""
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    cent AS (
+        SELECT vec_id - {_CENTROID_LO} AS cid, ce AS cv
+        FROM c WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_LO + N_CENTROIDS - 1}
+    ),
+    dists AS (
+        SELECT c.vec_id, cent.cid, {_DIST_SQL} AS dist
+        FROM c CROSS JOIN cent
+    ),
+    mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+    assign AS (
+        SELECT d.vec_id, min(d.cid) AS cid
+        FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+        GROUP BY d.vec_id
+    )
+"""
+
+
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, ce, cid): nearest-centroid assignment — broadcast the 8
+    centroids, one map-side pass plus a partial-aggregable arg-min; at
+    cluster scale cid becomes the inverted-list partition key."""
+    c = emb.select("vec_id", as_double("embedding").alias("ce"))
+    cent = c.filter(F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)).select(
+        (F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv")
+    )
+    dist = F.round(
+        dot(F.col("ce"), F.col("ce"))
+        - 2 * dot(F.col("ce"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    )
+    return c.join(assign, "vec_id")
+
+
+@register(
+    "ivf_cluster_sizes",
+    oracle=f"""
+    WITH {_IVF_SQL}
+    SELECT cid, count(*) AS n_vectors
+    FROM assign
+    GROUP BY cid
+    ORDER BY cid
+    """,
+    doc="IVF coarse quantizer: nearest-centroid assignment histogram "
+    "(inverted-list sizes; centroids = 8 fixed corpus vectors)",
+)
+def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        _ivf_assign(emb)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cid")
+    )
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH {_IVF_SQL},
+    corpus AS (SELECT a.vec_id, c.ce, a.cid FROM assign a JOIN c USING (vec_id)),
+    q AS (
+        SELECT vec_id AS query_id, ce AS qe, cid
+        FROM corpus WHERE vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+        SELECT q.query_id, corpus.vec_id,
+               round(list_dot_product(qe, ce)
+                     / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)), 6) AS cosine
+        FROM q JOIN corpus ON corpus.cid = q.cid
+        WHERE corpus.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="IVF ANN (nprobe=1): score only the query's inverted list — "
+    "candidate set ∝ N/n_centroids; exact cosine re-rank inside the list",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _ivf_assign(emb)
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ce").alias("qe"), "cid"
+    )
+    pairs = (
+        corpus.join(F.broadcast(q), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce"))
+                / F.sqrt(dot(F.col("qe"), F.col("qe")) * dot(F.col("ce"), F.col("ce"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "label_centroid_norms",
     oracle="""

@@ -47,6 +47,48 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer regex (simplified to the portable subset of
+# Java regex ∩ RE2): contractions, space-prefixed letter/digit runs,
+# punctuation runs. The "BPE-ish" token count — the unit LLM training
+# budgets are measured in, vs whitespace words.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+_BPE_SQL = BPE_PATTERN.replace("'", "''")  # quote-doubled for the SQL literal
+
+
+@register(
+    "bpe_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BPE_SQL}'))      AS n_bpe_tokens,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> w <> ''))                          AS n_ws_tokens,
+           round(len(regexp_extract_all(lower(text), '{_BPE_SQL}')) * 1.0
+                 / greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                            w -> w <> '')), 1), 6) AS fertility
+    FROM documents
+    """,
+    doc="BPE-ish token counting: GPT-2-style pre-tokenizer regex vs "
+    "whitespace words, with tokens-per-word fertility — narrow per-row "
+    "expressions, no shuffle",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = docs.select("doc_id", F.lower("text").alias("lt"))
+    counted = lowered.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("lt", F.lit(BPE_PATTERN), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.filter(F.split("lt", r"\s+"), lambda w: w != "")).alias("n_ws_tokens"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        F.round(
+            F.col("n_bpe_tokens") / F.greatest(F.col("n_ws_tokens"), F.lit(1)), 6
+        ).alias("fertility"),
+    )
+
+
 # --------------------------------------------------------- quality scores
 
 

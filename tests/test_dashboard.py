@@ -41,3 +41,35 @@ def test_latest_event_plan_is_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert df.count() == 1
+
+
+def test_partitioned_parquet_sink(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sinks import write_partitioned_parquet
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "part")
+    write_partitioned_parquet(ev, out)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert "event_date" in back.columns
+    # partition pruning: a single-date filter must scan one partition dir
+    one_day = back.select(F.min("event_date")).first()[0]
+    pruned = back.filter(F.col("event_date") == F.lit(one_day))
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    import os
+    n_dirs = len([d for d in os.listdir(out) if d.startswith("event_date=")])
+    assert n_dirs > 1  # data really spans multiple dates
+    assert pruned.count() > 0
+
+
+def test_jdbc_writer_is_config_only(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.sinks import jdbc_writer
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(5)
+    w = jdbc_writer(ev, "jdbc:postgresql://db/x", "reddit_data",
+                    num_partitions=4, user="u")
+    assert w is not None  # constructing the native writer needs no driver jar

@@ -1,0 +1,60 @@
+"""Physical-plan posture regression tests.
+
+Correctness is the oracle's job; these pin the *scale* properties —
+broadcast joins for dims, predicate pushdown into parquet scans, top-k via
+TakeOrderedAndProject, payload columns pruned out — so a refactor that
+silently degrades the 100 TB plan fails CI even though results stay right.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from reddit_sentiment_spark_streaming_pipeline_spark import registry
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = registry.get(name).fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, "regional_customer_value", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_membership_filter_pushes_in_predicate(spark, sf_dir):
+    plan = plan_of(spark, "membership_filter", sf_dir)
+    assert "In(lang" in plan  # IN reaches the parquet scan
+
+
+def test_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, "top3_event_types", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_metadata_query_prunes_payload(spark, sf_dir):
+    plan = plan_of(spark, "media_metadata_stats", sf_dir)
+    # the binary payload column must not appear in any scan's ReadSchema
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "payload" not in line
+
+
+def test_ann_paths_avoid_cross_join(spark, sf_dir):
+    # the LSH probe must be a pure hash join on the bucket id
+    plan = plan_of(spark, "ann_lsh_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # IVF: the 8-row centroid fan-out is a deliberate broadcast nested loop
+    # (the quantizer scoring pass); the inverted-list probe itself must
+    # still be a hash join and nothing may be a cartesian product
+    plan = plan_of(spark, "ivf_ann_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
