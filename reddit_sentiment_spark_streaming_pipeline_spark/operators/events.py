@@ -163,3 +163,36 @@ def event_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = valid_events(load_table(spark, sf_dir, "events"))
     return ev.agg(F.round(F.avg("value"), 6).alias("average_value"))
+
+
+@register(
+    "scalar_function_matrix",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d')                                          AS day,
+           string_split(event_type || ':' || CAST(event_id AS VARCHAR), ':')[1] AS kind,
+           CAST(string_split(event_type || ':' || CAST(event_id AS VARCHAR), ':')[2]
+                AS BIGINT)                                                   AS parsed_id,
+           CAST(epoch(ts) AS BIGINT)                                         AS epoch_s,
+           round(CAST(CAST(round(value, 3) AS VARCHAR) AS DOUBLE), 3)        AS value_roundtrip
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    """,
+    doc="SURVEY §2.8 scalar coverage in one query: date_format (F14), "
+    "split+getItem on 'k:v' strings (F7), string↔numeric casts (F8), "
+    "epoch↔timestamp conversion (F9) — all narrow row expressions",
+)
+def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    packed = F.split(
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string")), ":"
+    )
+    step = ev.select("event_id", "ts", "value", packed.alias("packed"))
+    return step.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("packed").getItem(0).alias("kind"),
+        F.col("packed").getItem(1).cast("bigint").alias("parsed_id"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.round(F.round("value", 3).cast("string").cast("double"), 3).alias("value_roundtrip"),
+    )

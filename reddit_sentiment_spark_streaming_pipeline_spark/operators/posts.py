@@ -47,12 +47,17 @@ def parse_posts(wire: DataFrame, value_col: str = "value") -> DataFrame:
     """P1/P2/P3 on a wire DataFrame of JSON lines.
 
     Works identically on a batch frame and a streaming frame (the socket /
-    file-replay source both yield `value: string`).
+    file-replay source both yield `value: string`). When the source carries
+    an arrival timestamp (the socket source with includeTimestamp, A2's
+    `ingest_time` at reddit_consumer.py:299), it is kept under that name.
     """
     data = F.from_json(F.col(value_col), POST_SCHEMA)
+    carried = (
+        [F.col("timestamp").alias("ingest_time")] if "timestamp" in wire.columns else []
+    )
     return (
         wire.withColumn("data", data)
-        .select("data.*")
+        .select("data.*", *carried)
         .filter(
             F.col("text").isNotNull()
             & (F.col("text") != "")

@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import lexicon_values_sql, with_sentiment
 from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import valid_events
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.posts import _EPOCH_2024, parse_posts, synthetic_wire
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -89,6 +91,56 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "avg_value")
         .orderBy("window_start")
     )
+
+
+def windowed_sentiment_frame(posts: DataFrame) -> DataFrame:
+    """10-min tumbling event-time windows of per-subreddit sentiment over an
+    enriched posts frame — the WINDOW_SEC the reference configured but never
+    applied (reddit_consumer.py:33), shared by batch query and stream."""
+    return (
+        posts.groupBy(F.window("created_time", "10 minutes").alias("w"), "subreddit")
+        .agg(
+            F.count(F.lit(1)).alias("n_posts"),
+            F.round(F.avg("sentiment"), 6).alias("avg_sentiment"),
+        )
+        .select(F.col("w.start").alias("window_start"), "subreddit", "n_posts", "avg_sentiment")
+    )
+
+
+@register(
+    "windowed_subreddit_sentiment",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {lexicon_values_sql()}),
+    posts AS (
+        SELECT doc_id, source AS subreddit, text,
+               make_timestamp(({_EPOCH_2024} + doc_id) * 1000000) AS created_time
+        FROM documents
+        WHERE doc_id % 97 <> 0
+          AND text IS NOT NULL AND text <> '' AND length(text) > 10
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM posts
+    ),
+    valence AS (
+        SELECT t.doc_id, sum(coalesce(CAST(l.score AS DOUBLE), 0.0)) AS s
+        FROM tok t LEFT JOIN lex l ON t.word = l.word
+        GROUP BY t.doc_id
+    )
+    SELECT time_bucket(INTERVAL 10 MINUTE, p.created_time) AS window_start,
+           p.subreddit,
+           count(*)                                        AS n_posts,
+           round(avg(round(v.s / sqrt(v.s * v.s + 15.0), 6)), 6) AS avg_sentiment
+    FROM posts p JOIN valence v USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY window_start, subreddit
+    """,
+    doc="Event-time windowed sentiment per subreddit over the parsed wire "
+    "stream — the full reference pipeline with real windows (batch form; "
+    "streaming/posts.py runs the same frame with a watermark)",
+)
+def windowed_subreddit_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = with_sentiment(parse_posts(synthetic_wire(spark, sf_dir)))
+    return windowed_sentiment_frame(posts).orderBy("window_start", "subreddit")
 
 
 @register(

@@ -155,6 +155,16 @@ def process_posts_batch(batch_df: DataFrame, batch_id: int, sinks: PostsSinks) -
         batch_df.unpersist()
 
 
+def windowed_sentiment_stream(wire: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Native streaming form of `windowed_subreddit_sentiment`: the parsed
+    wire stream with an event-time watermark feeding the shared windowed
+    frame (append-mode safe; state bounded by the watermark)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.windows import windowed_sentiment_frame
+
+    posts = enrich_posts(wire).withWatermark("created_time", watermark)
+    return windowed_sentiment_frame(posts)
+
+
 def start_posts_pipeline(wire: DataFrame, out_root: str,
                          retention_bytes: int | None = None) -> StreamingQuery:
     """Wire stream (`value: string`) → the five reference tables."""

@@ -117,3 +117,31 @@ def test_socket_wire_source(spark):
     assert len(got) == 30  # keepalives dropped by the P2 predicates
     assert set(got.subreddit) == {"sub0", "sub1", "sub2"}
     assert got.text_length.min() > 10
+
+
+def test_windowed_sentiment_stream_matches_batch(spark, sf_dir, tmp_path):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.windows import windowed_subreddit_sentiment
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.posts import windowed_sentiment_stream
+
+    wire_dir = str(tmp_path / "wire")
+    write_wire_chunks(synthetic_wire(spark, sf_dir), wire_dir, n_chunks=3)
+    # complete mode: sf0.001's wire spans <1 window, so append-mode would
+    # emit nothing until the watermark passes — complete gives the final
+    # table, which must equal the batch query exactly
+    q = (
+        windowed_sentiment_stream(read_wire_stream(spark, wire_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wss_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    keys = ["window_start", "subreddit"]
+    got = spark.sql("SELECT * FROM wss_test").toPandas().sort_values(keys, ignore_index=True)
+    batch = windowed_subreddit_sentiment(spark, sf_dir).toPandas()
+    assert len(got) == len(batch) > 0
+    assert (got[keys + ["n_posts", "avg_sentiment"]]
+            == batch[keys + ["n_posts", "avg_sentiment"]]).all().all()
