@@ -342,3 +342,60 @@ def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev_cents).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("running_revenue_cents"),
         F.row_number().over(w).alias("rn"),
     )
+
+
+@register(
+    "set_ops_customer_cohorts",
+    oracle="""
+    WITH y95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT 'retained' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'churned', count(*)
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'new', count(*)
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+    ORDER BY cohort
+    """,
+    doc="Set operations (INTERSECT / EXCEPT, absent from the reference but "
+    "part of the relational surface): year-over-year customer retention "
+    "cohorts — distinct-key sets stay partitioned on the shuffled key, so "
+    "each set op is one co-partitioned aggregate, no row explosion",
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = cohort(1995), cohort(1996)
+    counts = [
+        y95.intersect(y96).agg(F.count(F.lit(1))).select(
+            F.lit("retained").alias("cohort"), F.col("count(1)").alias("n_customers")
+        ),
+        y95.subtract(y96).agg(F.count(F.lit(1))).select(
+            F.lit("churned").alias("cohort"), F.col("count(1)").alias("n_customers")
+        ),
+        y96.subtract(y95).agg(F.count(F.lit(1))).select(
+            F.lit("new").alias("cohort"), F.col("count(1)").alias("n_customers")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("cohort")

@@ -165,6 +165,18 @@ def windowed_sentiment_stream(wire: DataFrame, watermark: str = "2 hours") -> Da
     return windowed_sentiment_frame(posts)
 
 
+def deduped_posts_stream(wire: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-id posts: at-least-once wire delivery
+    (producer reconnects, replayed chunks) deduped on the post id within
+    the event-time watermark — state is bounded by the watermark instead of
+    growing with the stream (dropDuplicates without one never evicts)."""
+    return (
+        parse_posts(wire)
+        .withWatermark("created_time", watermark)
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+
+
 def start_posts_pipeline(wire: DataFrame, out_root: str,
                          retention_bytes: int | None = None) -> StreamingQuery:
     """Wire stream (`value: string`) → the five reference tables."""

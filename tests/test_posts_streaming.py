@@ -145,3 +145,30 @@ def test_windowed_sentiment_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(batch) > 0
     assert (got[keys + ["n_posts", "avg_sentiment"]]
             == batch[keys + ["n_posts", "avg_sentiment"]]).all().all()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.posts import deduped_posts_stream
+
+    wire = synthetic_wire(spark, sf_dir)
+    # at-least-once delivery: the first chunk is replayed verbatim
+    wire_dir = str(tmp_path / "wire")
+    write_wire_chunks(wire, wire_dir, n_chunks=3)
+    import shutil
+    shutil.copy(f"{wire_dir}/chunk_0000.txt", f"{wire_dir}/chunk_0003.txt")
+
+    q = (
+        deduped_posts_stream(read_wire_stream(spark, wire_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_posts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT id, count(*) n FROM dedup_posts GROUP BY id").toPandas()
+    n_distinct = parse_posts(wire).select("id").distinct().count()
+    assert len(got) == n_distinct  # every post exactly once
+    assert got.n.max() == 1  # the replayed chunk produced no duplicates
