@@ -112,6 +112,54 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir))
 
 
+FRAME_CHARS = 256  # frame-sampling stride (characters of the fake payload)
+
+_FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_chars int, frame_hash string"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """1→N frame sampling via mapInPandas: each payload yields one row per
+    FRAME_CHARS slice (the video→frames shape — decode stubbed as UTF-8
+    slicing, the Arrow batch contract and row-expansion real)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for media_id, payload in zip(pdf.media_id, pdf.payload):
+                text = bytes(payload).decode("utf-8")
+                for k in range((len(text) + FRAME_CHARS - 1) // FRAME_CHARS):
+                    frame = text[k * FRAME_CHARS : (k + 1) * FRAME_CHARS]
+                    ids.append(media_id)
+                    idxs.append(k)
+                    sizes.append(len(frame))
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_chars": sizes,
+                 "frame_hash": hashes}
+            )
+
+    return media.mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+@register(
+    "media_frame_samples",
+    oracle=f"""
+    SELECT doc_id                                   AS media_id,
+           CAST(k AS INTEGER)                       AS frame_idx,
+           length(substr(text, k * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS frame_chars,
+           md5(substr(text, k * {FRAME_CHARS} + 1, {FRAME_CHARS}))    AS frame_hash
+    FROM documents,
+         LATERAL unnest(range(0, (length(text) + {FRAME_CHARS} - 1) // {FRAME_CHARS})) AS t(k)
+    ORDER BY media_id, frame_idx
+    """,
+    doc="Multimodal 1→N frame sampling: mapInPandas expands each payload "
+    "into per-frame rows (frame-sample/resize shape; Arrow batches, no "
+    "per-row Python overhead beyond the stubbed decode)",
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir)).orderBy("media_id", "frame_idx")
+
+
 @register(
     "media_metadata_stats",
     oracle="""

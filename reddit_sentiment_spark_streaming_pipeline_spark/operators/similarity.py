@@ -239,6 +239,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DUP_THRESHOLD = 0.99
+
+# The corpus is random (organic max cosine ≈ 0.51 at sf0.01), so near-dup
+# pairs are constructed: every 10th vector re-added with its first element
+# scaled ×1.05 → cosine ≈ 0.999 against its source, far above organic pairs.
+_DUP_CORPUS_SQL = """
+        SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_concat([embedding[1] * 1.05], embedding[2:]::DOUBLE[])
+        FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def _dup_corpus(emb: DataFrame) -> DataFrame:
+    base = emb.select("vec_id", as_double("embedding").alias("ce"))
+    perturbed = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("ce", 1) * 1.05),
+            F.slice("ce", 2, DIM - 1),
+        ).alias("ce"),
+    )
+    return base.unionByName(perturbed)
+
+
+@register(
+    "embedding_near_dups",
+    oracle=f"""
+    WITH base AS ({_DUP_CORPUS_SQL}),
+    c AS (
+        SELECT vec_id, ce, {_bucket_sql('ce')} AS bucket FROM base
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.ce, b.ce)
+                     / sqrt(list_dot_product(a.ce, a.ce)
+                            * list_dot_product(b.ce, b.ce)), 6) AS cosine
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine
+    FROM pairs
+    WHERE cosine >= {COSINE_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup detection: LSH-bucket candidate pairs "
+    "(equi-join on bucket, no quadratic pair enumeration) verified by "
+    "exact cosine ≥ 0.99 — the semantic-dedup path for a training corpus",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = _dup_corpus(emb).select("vec_id", "ce", bucket_col(F.col("ce")).alias("bucket"))
+    a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"), "bucket")
+    b = c.select(F.col("vec_id").alias("vec_b"), F.col("ce").alias("eb"), "bucket")
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / F.sqrt(dot(F.col("ea"), F.col("ea")) * dot(F.col("eb"), F.col("eb"))),
+        6,
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 N_CENTROIDS = 8
 _CENTROID_LO = 100  # vec_id 100..107 serve as the deterministic coarse quantizer
 
