@@ -83,7 +83,19 @@ def main() -> int:
         args = args[1:]
     specs = registry.load_all()
     names = args or sorted(specs)
-    spark = get_spark("check")
+    if os.environ.get("CHECK_HOSTILE"):
+        # reproduce the driver's conditions: default configs, no UTC pin,
+        # no AQE/Arrow tuning — the loaders must self-defend
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("check")
     con = duck_con(sf_dir)
     failures = []
     for name in names:
