@@ -35,10 +35,15 @@ HEADLINE = [
     "regional_customer_value",   # star join, broadcast dims (J1)
     "windowed_event_counts",     # event-time tumbling windows (T2)
     "session_windows",           # sessionization
+    "windowed_subreddit_sentiment",  # full wire pipeline under event-time windows
     "minhash_near_dups",         # MinHash+LSH near-dup dedup
-    "cosine_topk",               # embedding similarity search
+    "embedding_near_dups",       # embedding-cosine near-dup dedup
+    "cosine_topk",               # embedding similarity search (exact)
+    "ivf_ann_topk",              # embedding similarity search (IVF ANN)
     "rolling_sentiment_band",    # dashboard rolling mean/stddev band
     "token_stats",               # text analysis / token counting
+    "bpe_token_counts",          # BPE-ish tokenizer counts
+    "media_frame_samples",       # multimodal mapInPandas frame sampling
 ]
 
 

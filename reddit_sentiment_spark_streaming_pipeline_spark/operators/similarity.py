@@ -270,13 +270,13 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
     oracle=f"""
     WITH base AS ({_DUP_CORPUS_SQL}),
     c AS (
-        SELECT vec_id, ce, {_bucket_sql('ce')} AS bucket FROM base
+        SELECT vec_id, ce, {_bucket_sql('ce')} AS bucket,
+               sqrt(list_dot_product(ce, ce)) AS nrm
+        FROM base
     ),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.ce, b.ce)
-                     / sqrt(list_dot_product(a.ce, a.ce)
-                            * list_dot_product(b.ce, b.ce)), 6) AS cosine
+               round(list_dot_product(a.ce, b.ce) / (a.nrm * b.nrm), 6) AS cosine
         FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine
@@ -290,14 +290,19 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    c = _dup_corpus(emb).select("vec_id", "ce", bucket_col(F.col("ce")).alias("bucket"))
-    a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"), "bucket")
-    b = c.select(F.col("vec_id").alias("vec_b"), F.col("ce").alias("eb"), "bucket")
-    cos = F.round(
-        dot(F.col("ea"), F.col("eb"))
-        / F.sqrt(dot(F.col("ea"), F.col("ea")) * dot(F.col("eb"), F.col("eb"))),
-        6,
+    # norms computed once per vector, not per candidate pair — pair scoring
+    # inside a bucket is the quadratic part, so it gets one dot, not three
+    c = _dup_corpus(emb).select(
+        "vec_id",
+        "ce",
+        bucket_col(F.col("ce")).alias("bucket"),
+        F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
     )
+    a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"),
+                 "bucket", F.col("nrm").alias("na"))
+    b = c.select(F.col("vec_id").alias("vec_b"), F.col("ce").alias("eb"),
+                 "bucket", F.col("nrm").alias("nb"))
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
