@@ -47,3 +47,16 @@ def test_no_python_udf_in_vector_plans(spark, sf_dir):
     for q in (sim.cosine_topk, sim.ann_lsh_topk, sim.embedding_norms):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
+
+
+def test_embedding_near_dup_recall(spark, sf_dir):
+    """Found pairs must be exactly (source, perturbed-copy) pairs; recall of
+    the single-table 4-bit LSH is imperfect but every hit is a true dup."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import embedding_near_dups
+
+    got = embedding_near_dups(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got.vec_b - got.vec_a == 1000000).all()  # no false positives
+    assert (got.cosine >= 0.99).all()
