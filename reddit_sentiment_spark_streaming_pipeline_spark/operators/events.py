@@ -196,3 +196,41 @@ def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("epoch_s"),
         F.round(F.round("value", 3).cast("string").cast("double"), 3).alias("value_roundtrip"),
     )
+
+
+N_SALTS = 8
+
+
+@register(
+    "salted_event_stats",
+    oracle="""
+    SELECT event_type,
+           count(*)              AS post_count,
+           round(sum(value), 6)  AS sum_value
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY post_count DESC, event_type
+    """,
+    doc="Skew-mitigation pattern: two-phase salted aggregation. event_type "
+    "has ~6 distinct values — at 100 TB a plain groupBy sends each key's "
+    "entire volume to one reducer; salting fans each key over N_SALTS "
+    "partial aggregates, then a second tiny aggregate merges them. Results "
+    "must equal the direct groupBy (same oracle shape as event_stats).",
+)
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    # deterministic salt (id-derived, not rand()) so the plan is replayable
+    salted = ev.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum("value").alias("sv"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("post_count"),
+            F.round(F.sum("sv"), 6).alias("sum_value"),
+        )
+        .orderBy(F.desc("post_count"), "event_type")
+    )

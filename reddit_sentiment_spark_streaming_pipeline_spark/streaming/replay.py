@@ -76,6 +76,26 @@ def read_wire_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
+def read_wire_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
+                    max_offsets_per_trigger: int = 1000):
+    """Production wire source: Kafka JSON lines → `value: string`.
+
+    This is where the reference's ignored `maxOffsetsPerTrigger`
+    (reddit_consumer.py:149 — a Kafka option set on a socket source)
+    actually works: real replay, offsets-based exactly-once, and
+    backpressure. Returns the configured reader; `.load()` requires the
+    spark-sql-kafka package, which this container doesn't ship, so tests
+    cover construction and the file-replay source covers the semantics.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .option("startingOffsets", "earliest")
+    )
+
+
 def read_replay_stream(spark: SparkSession, replay_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """Streaming DataFrame over the replay directory (schema from files).
