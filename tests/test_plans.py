@@ -58,3 +58,42 @@ def test_ann_paths_avoid_cross_join(spark, sf_dir):
     plan = plan_of(spark, "ivf_ann_topk", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located bucketed tables join without an Exchange on either side."""
+    import contextlib
+    import io
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.bucketing import bucketed_join, write_bucketed
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    custs = load_table(spark, sf_dir, "customer")
+    try:
+        write_bucketed(orders, "b_orders", "o_custkey", 8)
+        write_bucketed(
+            custs.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 8
+        )
+        # disable broadcast so an un-bucketed plan WOULD shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket alignment replaced the shuffle
+        # and it still computes the right thing
+        want = orders.join(
+            custs, orders.o_custkey == custs.c_custkey
+        ).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
