@@ -165,6 +165,33 @@ def windowed_sentiment_stream(wire: DataFrame, watermark: str = "2 hours") -> Da
     return windowed_sentiment_frame(posts)
 
 
+def subreddit_dim(spark, sf_dir: str) -> DataFrame:
+    """Tiny static dimension: subreddit → activity category (derived
+    deterministically from the corpus so tests have a closed form)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.col("source").alias("subreddit"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "subreddit",
+            F.when(F.col("n_docs") >= 100, F.lit("high"))
+            .when(F.col("n_docs") >= 30, F.lit("mid"))
+            .otherwise(F.lit("low"))
+            .alias("category"),
+        )
+    )
+
+
+def enriched_posts_stream(wire: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension — Catalyst broadcasts the dim into every batch, so the
+    stream side never shuffles. The standard dimension-lookup pattern that
+    replaces driver-side dict lookups at scale."""
+    return parse_posts(wire).join(F.broadcast(dim), "subreddit", "left")
+
+
 def deduped_posts_stream(wire: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once-per-id posts: at-least-once wire delivery
     (producer reconnects, replayed chunks) deduped on the post id within

@@ -97,3 +97,19 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Global guard: no registered query may degrade to CartesianProduct.
+
+    (Scalar broadcasts appear as BroadcastNestedLoopJoin with a 1-row side
+    and are fine; an unconstrained CartesianProduct at 100 TB is not.)
+    """
+    from reddit_sentiment_spark_streaming_pipeline_spark import registry
+
+    offenders = []
+    for name in sorted(registry.load_all()):
+        plan = plan_of(spark, name, "/root/testdata/sf0.001")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []

@@ -172,3 +172,28 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     n_distinct = parse_posts(wire).select("id").distinct().count()
     assert len(got) == n_distinct  # every post exactly once
     assert got.n.max() == 1  # the replayed chunk produced no duplicates
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.posts import enriched_posts_stream, subreddit_dim
+
+    wire_dir = str(tmp_path / "wire")
+    write_wire_chunks(synthetic_wire(spark, sf_dir), wire_dir, n_chunks=3)
+    dim = subreddit_dim(spark, sf_dir)
+    q = (
+        enriched_posts_stream(read_wire_stream(spark, wire_dir), dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_posts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) n, count(category) with_cat FROM enriched_posts"
+    ).first()
+    want = parse_posts(synthetic_wire(spark, sf_dir)).count()
+    assert got.n == want
+    assert got.with_cat == want  # every subreddit resolved in the static dim
