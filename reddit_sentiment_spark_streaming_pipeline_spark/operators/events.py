@@ -234,3 +234,64 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("post_count"), "event_type")
     )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile ≡ "
+    "DuckDB quantile_cont). At 100 TB swap for approx_percentile "
+    "(t-digest) — kept exact here so the oracle is byte-checkable",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "value_time_correlation",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, epoch(ts)), 6)        AS value_time_corr,
+           round(covar_samp(value, epoch(ts)), 6)  AS value_time_covar,
+           round(stddev_samp(value), 6)            AS value_stddev
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Bivariate statistics per group: sample correlation / covariance "
+    "of value against event time, plus stddev — single-pass partial-"
+    "aggregable moments, no second scan",
+)
+def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    # cast-to-double keeps fractional seconds (unix_timestamp truncates,
+    # which would skew covariance against DuckDB's epoch())
+    epoch = F.col("ts").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", epoch), 6).alias("value_time_corr"),
+            F.round(F.covar_samp("value", epoch), 6).alias("value_time_covar"),
+            F.round(F.stddev_samp("value"), 6).alias("value_stddev"),
+        )
+        .orderBy("event_type")
+    )
