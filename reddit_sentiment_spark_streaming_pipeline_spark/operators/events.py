@@ -295,3 +295,48 @@ def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "value_mad_by_type",
+    oracle="""
+    WITH valid AS (
+        SELECT event_type, value FROM events
+        WHERE event_type <> 'error' AND value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM valid GROUP BY event_type
+    )
+    SELECT v.event_type,
+           round(quantile_cont(abs(v.value - med.m), 0.5), 6) AS mad,
+           count(*)                                           AS n
+    FROM valid v JOIN med USING (event_type)
+    GROUP BY v.event_type
+    ORDER BY v.event_type
+    """,
+    doc="Median absolute deviation per group via applyInPandas: the "
+    "grouped-custom-aggregate API shape (Arrow batch per group, state "
+    "fits in memory because groups are bounded); the oracle is the "
+    "two-pass median-of-residuals SQL formulation",
+)
+def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = valid_events(load_table(spark, sf_dir, "events")).select("event_type", "value")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf.value.median()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf.event_type.iloc[0]],
+                "mad": [round(float((pdf.value - m).abs().median()), 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(mad, schema="event_type string, mad double, n bigint")
+        .orderBy("event_type")
+    )
