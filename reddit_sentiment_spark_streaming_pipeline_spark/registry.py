@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.windows",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal",
+    "reddit_sentiment_spark_streaming_pipeline_spark.operators.temporal",
     "reddit_sentiment_spark_streaming_pipeline_spark.sql",
 ]
 
