@@ -437,3 +437,91 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------ dedup cluster formation
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_SQL},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS nint
+        FROM cand c
+        JOIN shd x ON x.doc_id = c.doc_a
+        JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.nint * 1.0 / (sa.sz + sb.sz - i.nint) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labeled AS (SELECT node AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY node)
+    SELECT cluster_rep, count(*) AS n_docs
+    FROM labeled
+    GROUP BY cluster_rep
+    ORDER BY cluster_rep
+    """,
+    doc="Dedup cluster formation: connected components over the verified "
+    "near-dup graph via iterative min-label propagation (each round is one "
+    "distributed join+agg; rounds ~ log of cluster diameter, which is tiny "
+    "for dup chains). The keep-one policy falls out: survivor = min doc_id "
+    "per cluster. Oracle: recursive-CTE transitive closure.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = _jaccard_on_pairs(minhash_candidates(corpus), shingle_rows(corpus)).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "lab", F.col("doc_id")
+    ).persist()
+    try:
+        for _ in range(10):  # diameter bound; dup chains converge in 2-3
+            neighbor_min = (
+                edges.join(labels, edges.doc_a == labels.doc_id)
+                .groupBy(edges.doc_b.alias("doc_id"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            updated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                    (F.coalesce("nlab", "lab") < F.col("lab")).alias("changed"),
+                )
+            ).persist()
+            n_changed = updated.filter("changed").count()
+            old, labels = labels, updated.drop("changed").persist()
+            labels.count()  # materialize BEFORE evicting parents, or the
+            # next round recomputes the whole lineage back to the corpus
+            old.unpersist()
+            updated.unpersist()
+            if n_changed == 0:
+                break
+        return (
+            labels.groupBy(F.col("lab").alias("cluster_rep"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("cluster_rep")
+        )
+    finally:
+        edges.unpersist()
