@@ -252,3 +252,42 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum(contrib) % _FP_MOD).alias("fingerprint"),
     )
+
+
+@register(
+    "hash_split_assignment",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE
+                   WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="Deterministic hash-split assignment (80/10/10 train/val/test): "
+    "content-hash modulo, not rand() — the only sampling that is stable "
+    "across reruns, engines and cluster sizes, and that keeps exact "
+    "duplicates in the same split by construction",
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    assigned = docs.select(
+        "lang",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
