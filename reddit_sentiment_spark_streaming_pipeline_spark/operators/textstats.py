@@ -255,6 +255,121 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    bg AS (
+        SELECT doc_id, word || ' ' || lead(word, 1) OVER w AS g
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, 1) OVER w IS NOT NULL
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    agg AS (
+        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_bigram_count
+        FROM bgc GROUP BY doc_id
+    ),
+    tstats AS (
+        SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+        FROM tok GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           a.n_bigrams,
+           a.max_bigram_count,
+           round(a.max_bigram_count * 1.0 / a.n_bigrams, 6)  AS top_bigram_ratio,
+           round(t.n_distinct * 1.0 / t.n_tokens, 6)         AS distinct_token_ratio,
+           CAST(a.max_bigram_count * 1.0 / a.n_bigrams > 0.05
+                OR t.n_distinct * 1.0 / t.n_tokens < 0.3 AS INT) AS is_repetitive
+    FROM agg a JOIN tstats t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Repetition-based quality filter (C4/Gopher-style): top-bigram "
+    "frequency ratio and distinct-token ratio per document, flagging "
+    "degenerate repetitive text. One doc_id-keyed shuffle for the bigram "
+    "histogram; token stats come from the array expression, shuffle-free",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokdf = docs.select("doc_id", tokens("text").alias("toks"))
+    # bigram histogram → per-doc totals (one shuffle on doc_id)
+    bg = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (
+        tokdf.select("doc_id", F.explode(bg).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = bgc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram_count")
+    )
+    # distinct/total token ratio straight off the token array — no shuffle
+    tstats = tokdf.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    top_ratio = F.col("max_bigram_count") / F.col("n_bigrams")
+    dist_ratio = F.col("n_distinct") / F.col("n_tokens")
+    return (
+        agg.join(tstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "max_bigram_count",
+            F.round(top_ratio, 6).alias("top_bigram_ratio"),
+            F.round(dist_ratio, 6).alias("distinct_token_ratio"),
+            ((top_ratio > 0.05) | (dist_ratio < 0.3)).cast("int").alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+               CASE WHEN lang = 'en' THEN 10 ELSE 50 END               AS rate_pct
+        FROM documents
+    )
+    SELECT lang,
+           any_value(rate_pct)                                   AS rate_pct,
+           count(*)                                              AS n_total,
+           sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)    AS n_sampled
+    FROM tagged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Stratified deterministic sampling: per-stratum rates (downsample "
+    "dominant 'en' to 10%, keep 50% of the rest) decided by content-hash "
+    "bucket, not rand() — reproducible across engines, reruns and cluster "
+    "sizes, and duplicate texts sample identically by construction",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    tagged = docs.select("lang", bucket.alias("bucket"), rate.alias("rate_pct"))
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.first("rate_pct").alias("rate_pct"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "hash_split_assignment",
     oracle="""
     WITH assigned AS (

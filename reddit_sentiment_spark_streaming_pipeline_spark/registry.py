@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats",
+    "reddit_sentiment_spark_streaming_pipeline_spark.operators.pii",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.windows",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.temporal",
