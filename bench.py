@@ -44,6 +44,9 @@ HEADLINE = [
     "token_stats",               # text analysis / token counting
     "bpe_token_counts",          # BPE-ish tokenizer counts
     "media_frame_samples",       # multimodal mapInPandas frame sampling
+    "pii_redaction",             # PII regex scan + redact (zero shuffle)
+    "benchmark_contamination",   # n-gram overlap vs broadcast benchmark set
+    "repetition_stats",          # repetition-based quality filter
 ]
 
 
