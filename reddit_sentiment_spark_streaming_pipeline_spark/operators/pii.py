@@ -110,7 +110,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         _count("text", PHONE_RE).alias("n_phones"),
         _count("text", IPV4_RE).alias("n_ips"),
         F.length(redacted).alias("redacted_chars"),
-    ).orderBy("doc_id")
+    )  # no orderBy: a global sort on a corpus-sized output is pure shuffle
 
 
 @register(

@@ -325,7 +325,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dist_ratio, 6).alias("distinct_token_ratio"),
             ((top_ratio > 0.05) | (dist_ratio < 0.3)).cast("int").alias("is_repetitive"),
         )
-        .orderBy("doc_id")
+        # no orderBy: per-doc output scales with the corpus; don't global-sort it
     )
 
 
