@@ -157,7 +157,8 @@ def sample_frames(media: DataFrame) -> DataFrame:
     "per-row Python overhead beyond the stubbed decode)",
 )
 def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(media_table(spark, sf_dir)).orderBy("media_id", "frame_idx")
+    # no orderBy: the frame table scales with the corpus — don't global-sort it
+    return sample_frames(media_table(spark, sf_dir))
 
 
 @register(

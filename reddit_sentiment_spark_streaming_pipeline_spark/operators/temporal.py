@@ -99,7 +99,7 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").cast("double") - F.col("click_ts").cast("double")
             ).alias("lag_seconds"),
         )
-        .orderBy("purchase_id")
+        # no orderBy: one row per purchase (fact-scale) — don't global-sort it
     )
 
 
@@ -155,5 +155,5 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nearby"),
             F.round(F.avg("value"), 6).alias("avg_nearby_value"),
         )
-        .orderBy("error_id")
+        # no orderBy: one row per error event (fact-scale) — don't global-sort it
     )
