@@ -99,6 +99,45 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         shutil.rmtree("spark-warehouse", ignore_errors=True)
 
 
+def test_pii_scan_is_shuffle_free(spark, sf_dir):
+    """The PII detect/redact pass over the corpus must stay a narrow
+    scan→project pipeline — at 100 TB an Exchange here is a full-corpus
+    shuffle for nothing."""
+    plan = plan_of(spark, "pii_redaction", sf_dir)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # formatted explain's whole-stage-codegen marker
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """K1-at-scale: a date filter on the partitioned table must prune
+    partitions at the scan, not read-then-filter."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sinks import write_partitioned_parquet
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_date")
+    write_partitioned_parquet(events, path, ts_col="ts")
+
+    one_day = events.select(F.to_date("ts").alias("d")).distinct().limit(1).collect()[0].d
+    back = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    # the date predicate must appear as a PartitionFilter on the scan
+    assert "PartitionFilters" in plan
+    assert any(
+        "PartitionFilters" in line and "event_date" in line for line in plan.splitlines()
+    )
+    n_day = events.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert back.count() == n_day
+
+
 def test_no_query_plans_a_cartesian_product(spark):
     """Global guard: no registered query may degrade to CartesianProduct.
 
