@@ -54,6 +54,37 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def time_streaming_replay(spark, sf_dir: str, n_chunks: int = 10) -> float:
+    """Drain the whole events table through the watermarked event-time
+    windowed aggregation as n_chunks micro-batches; returns seconds.
+
+    Chunk writing is setup and untimed — the measured span is the
+    Structured Streaming engine processing every micro-batch (the
+    reference's operating mode, reddit_consumer.py:495-502).
+    """
+    import shutil
+    import tempfile
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import start_windowed_query
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_chunks,
+    )
+
+    replay_dir = tempfile.mkdtemp(prefix="bench_replay_")
+    try:
+        write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=n_chunks)
+        t0 = time.perf_counter()
+        q = start_windowed_query(read_replay_stream(spark, replay_dir), "bench_wq")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -67,6 +98,11 @@ def main() -> None:
         t0 = time.perf_counter()
         run_noop(specs[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Structured Streaming drain: the reference's operating mode — the whole
+    # events table replayed as micro-batches through the watermarked
+    # event-time windowed agg (not a registry query; timed end-to-end).
+    timings["streaming_replay"] = time_streaming_replay(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
