@@ -47,3 +47,11 @@ def get_spark(app_name: str = "reddit_sentiment_spark_streaming_pipeline_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def smoke_test(spark: SparkSession) -> bool:
+    """Startup self-check (S3, reference reddit_consumer.py:473-475): a
+    literal/range source round-trip proving the session executes jobs."""
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(F.lit(1).alias("ok")).count() == 1

@@ -47,3 +47,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(path)
+
+
+def from_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Local-collection source (S4, reference reddit_consumer.py:230):
+    driver-built dim tables (e.g. a ≤10k-row vocabulary). Small by
+    construction — always broadcast-joinable."""
+    return spark.createDataFrame(rows, schema)
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """Pandas-DataFrame source (S5, reference reddit_consumer.py:366,429).
+    With Arrow enabled (session.py) the transfer is columnar, not
+    row-pickled as in the reference (Arrow off, reddit_consumer.py:68)."""
+    return spark.createDataFrame(pdf)
