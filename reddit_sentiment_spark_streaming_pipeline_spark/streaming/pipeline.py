@@ -45,14 +45,33 @@ def windowed_counts_stream(events: DataFrame) -> DataFrame:
     return tumbling_counts_frame(valid_events(events).withWatermark("ts", WATERMARK))
 
 
-def start_windowed_query(events: DataFrame, query_name: str = "windowed_counts") -> StreamingQuery:
-    return (
-        windowed_counts_stream(events)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+def start_windowed_query(events: DataFrame, query_name: str = "windowed_counts",
+                         state_partitions: int | None = None) -> StreamingQuery:
+    """Start the windowed agg stream; `state_partitions` sizes the stateful
+    shuffle (one state store per partition, committed every micro-batch).
+
+    Size it to stream volume, not core count: each state partition pays a
+    per-batch commit (delta file + snapshot bookkeeping), so a low-volume
+    stream on 32 partitions spends more time committing empty stores than
+    aggregating. Structured Streaming pins the value into the checkpoint at
+    the first batch, so the session conf is restored right after start().
+    """
+    spark = events.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        return (
+            windowed_counts_stream(events)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, prev)
 
 
 # ------------------------------------------------ foreachBatch consumer
