@@ -38,6 +38,27 @@ def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
     assert (merged.sum_value_s == merged.sum_value_b).all()
 
 
+def test_windowed_stream_sized_state_partitions(spark, sf_dir, tmp_path):
+    """state_partitions takes effect for the stream (pinned at first batch)
+    while the session conf is restored for everything after start()."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    replay_dir, _ = _replay(spark, sf_dir, tmp_path)
+    stream = read_replay_stream(spark, replay_dir)
+    q = pl.start_windowed_query(stream, "wq_sized", state_partitions=4)
+    try:
+        assert spark.conf.get(key) == before  # restored immediately
+        q.processAllAvailable()
+        assert int(q.lastProgress["stateOperators"][0]["numShufflePartitions"]) == 4
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM wq_sized").toPandas()
+    batch = windowed_event_counts(spark, sf_dir).toPandas()
+    merged = got.merge(batch, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert (merged.n_s == merged.n_b).all()
+
+
 def test_foreachbatch_pipeline_sinks(spark, sf_dir, tmp_path):
     replay_dir, n_rows = _replay(spark, sf_dir, tmp_path)
     out_root = str(tmp_path / "out")
