@@ -76,17 +76,12 @@ def word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("total_tf"),
     )
     # CountVectorizer's vocabSize cap: keep the most frequent terms
-    # (deterministic word-asc tie-break). Word cardinality ≪ corpus size, so
-    # this window runs on the small aggregated relation, not the token rows.
-    from pyspark.sql import Window as W
-
-    vocab = (
-        wordstats.withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("total_tf"), "word"))
-        )
-        .filter(F.col("rk") <= VOCAB_SIZE)
-        .drop("rk")
-    )
+    # (deterministic word-asc tie-break). orderBy+limit compiles to
+    # TakeOrderedAndProject — per-partition top-k merged at the driver — so
+    # unlike a global row_number() window it never funnels the whole word
+    # relation through one partition (word cardinality at corpus scale is
+    # itself huge).
+    vocab = wordstats.orderBy(F.desc("total_tf"), "word").limit(VOCAB_SIZE)
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return vocab.crossJoin(F.broadcast(n)).select(
         "word",
