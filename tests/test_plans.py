@@ -38,6 +38,14 @@ def test_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_vocab_cap_avoids_global_window(spark, sf_dir):
+    # CountVectorizer-style vocabSize cap must be distributed top-k, not a
+    # single-partition row_number() window over every distinct word
+    plan = plan_of(spark, "tfidf_word_stats", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_metadata_query_prunes_payload(spark, sf_dir):
     plan = plan_of(spark, "media_metadata_stats", sf_dir)
     # the binary payload column must not appear in any scan's ReadSchema
