@@ -237,3 +237,91 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("g").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------- filter funnel
+
+MIN_TOKENS = 20            # too-short cut
+MAX_PII_MATCHES = 1        # reject when email+phone+ip matches exceed this
+MIN_DISTINCT_RATIO = 0.45  # Gopher-style degenerate-repetition cut
+
+
+@register(
+    "filter_funnel",
+    oracle=rf"""
+    WITH corpus AS ({_PII_CORPUS_SQL}),
+    tok AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+            FROM corpus
+        ) WHERE word <> ''
+    ),
+    t AS (
+        SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+        FROM tok GROUP BY doc_id
+    ),
+    p AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{PHONE_RE}'))
+             + len(regexp_extract_all(text, '{IPV4_RE}')) AS n_pii
+        FROM corpus
+    ),
+    staged AS (
+        SELECT CASE
+            WHEN t.n_tokens < {MIN_TOKENS}                              THEN '1_too_short'
+            WHEN p.n_pii > {MAX_PII_MATCHES}                            THEN '2_pii_heavy'
+            WHEN t.n_distinct * 1.0 / t.n_tokens < {MIN_DISTINCT_RATIO} THEN '3_repetitive'
+            ELSE '4_kept' END AS stage
+        FROM t JOIN p USING (doc_id)
+    ),
+    tot AS (SELECT count(*) AS total FROM staged)
+    SELECT stage, count(*) AS n_docs,
+           round(count(*) * 1.0 / max(total), 6) AS pct
+    FROM staged CROSS JOIN tot
+    GROUP BY stage
+    ORDER BY stage
+    """,
+    doc="Corpus-cleaning funnel report: every document is attributed to the "
+    "FIRST rule that rejects it (too short → PII-heavy → repetitive) or to "
+    "the kept bucket, with per-stage counts and corpus fraction — the "
+    "acceptance report a training-data pipeline publishes per snapshot. "
+    "One pass over the corpus: per-doc stats are array expressions (token "
+    "array materialized once in its own projection), the only shuffle is "
+    "the 4-row stage aggregate; the grand total joins back via broadcast",
+)
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import tokens
+
+    corpus = pii_corpus(spark, sf_dir)
+    n_pii = (
+        _count("text", EMAIL_RE) + _count("text", PHONE_RE) + _count("text", IPV4_RE)
+    )
+    tokdf = corpus.select("doc_id", n_pii.alias("n_pii"), tokens("text").alias("toks"))
+    stats = tokdf.select(
+        "doc_id",
+        "n_pii",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    stage = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "1_too_short")
+        .when(F.col("n_pii") > MAX_PII_MATCHES, "2_pii_heavy")
+        .when(
+            F.col("n_distinct") / F.col("n_tokens").cast("double") < MIN_DISTINCT_RATIO,
+            "3_repetitive",
+        )
+        .otherwise("4_kept")
+    )
+    staged = stats.select(stage.alias("stage"))
+    counts = staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = staged.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias("pct"),
+        )
+        .orderBy("stage")
+    )

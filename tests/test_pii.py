@@ -54,3 +54,15 @@ def test_contamination_flags_benchmark_sources(spark, sf_dir):
 def test_broadcast_in_contamination_plan(spark, sf_dir):
     plan = pii.benchmark_contamination(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_filter_funnel_partitions_the_corpus(spark, sf_dir):
+    got = pii.filter_funnel(spark, sf_dir).toPandas()
+    n_docs = pii.pii_corpus(spark, sf_dir).count()
+    # stages partition the corpus: disjoint by construction, counts sum up
+    assert got.n_docs.sum() == n_docs
+    assert abs(got.pct.sum() - 1.0) < 1e-4
+    assert list(got.stage) == sorted(got.stage)  # funnel order
+    assert "4_kept" in set(got.stage)
+    kept = got[got.stage == "4_kept"].n_docs.iloc[0]
+    assert 0 < kept < n_docs  # some docs rejected, most kept
