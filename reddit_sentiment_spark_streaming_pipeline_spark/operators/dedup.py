@@ -531,6 +531,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             updated.unpersist()
             if n_changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                "dedup_clusters: min-label propagation did not converge in 10 "
+                f"rounds ({n_changed} labels still changing) — component "
+                "diameter exceeds the bound; raise the round limit"
+            )
         return (
             labels.groupBy(F.col("lab").alias("cluster_rep"))
             .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -173,7 +173,7 @@ def event_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_split(event_type || ':' || CAST(event_id AS VARCHAR), ':')[1] AS kind,
            CAST(string_split(event_type || ':' || CAST(event_id AS VARCHAR), ':')[2]
                 AS BIGINT)                                                   AS parsed_id,
-           CAST(epoch(ts) AS BIGINT)                                         AS epoch_s,
+           CAST(floor(epoch(ts)) AS BIGINT)                                  AS epoch_s,
            round(CAST(CAST(round(value, 3) AS VARCHAR) AS DOUBLE), 3)        AS value_roundtrip
     FROM events
     WHERE event_type <> 'error' AND value IS NOT NULL

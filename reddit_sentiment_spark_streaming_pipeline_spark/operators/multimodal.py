@@ -166,7 +166,7 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(doc_id % 640 + 16 AS INTEGER) // 100 AS width_bucket,
            count(*)                                   AS n_items,
-           sum(octet_length(encode(text)))                    AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)   AS total_bytes,
            round(avg(octet_length(encode(text))), 6)          AS avg_bytes
     FROM documents
     GROUP BY 1

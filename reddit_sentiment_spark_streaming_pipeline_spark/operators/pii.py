@@ -126,8 +126,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*)                                    AS n_docs,
-           sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END)  AS n_docs_with_pii,
-           sum(n_pii)                                  AS n_pii_total
+           CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)  AS n_docs_with_pii,
+           CAST(sum(n_pii) AS BIGINT)                                  AS n_pii_total
     FROM per_doc
     GROUP BY lang
     ORDER BY lang

@@ -85,9 +85,9 @@ def refs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH aug AS ({_AUG_SQL})
     SELECT coalesce(source, 'ALL')                                    AS source_grp,
-           sum(len(regexp_extract_all(text_aug, '/u/\\w+')))          AS total_user_refs,
-           sum(len(regexp_extract_all(text_aug, '/r/\\w+')))          AS total_sub_refs,
-           sum(len(regexp_extract_all(text_aug, 'https?://[^\\s]+'))) AS total_urls
+           CAST(sum(len(regexp_extract_all(text_aug, '/u/\\w+'))) AS BIGINT)          AS total_user_refs,
+           CAST(sum(len(regexp_extract_all(text_aug, '/r/\\w+'))) AS BIGINT)          AS total_sub_refs,
+           CAST(sum(len(regexp_extract_all(text_aug, 'https?://[^\\s]+'))) AS BIGINT) AS total_urls
     FROM aug
     GROUP BY ROLLUP (source)
     ORDER BY source_grp

@@ -317,10 +317,10 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey,
            l_orderkey,
            l_linenumber,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
                OVER (PARTITION BY l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue_cents,
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_revenue_cents,
            row_number() OVER (PARTITION BY l_suppkey
                               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
     FROM lineitem

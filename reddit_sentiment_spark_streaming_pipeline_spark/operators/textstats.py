@@ -171,7 +171,7 @@ def _score_sql(lang: str) -> str:
     SELECT d.doc_id,
            d.lang,
            CASE {" ".join(f"WHEN s_{lang} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{lang}'" for lang in _LANGS)} END AS predicted_lang,
-           greatest({", ".join("s_" + x for x in _LANGS)}) AS marker_hits
+           CAST(greatest({", ".join("s_" + x for x in _LANGS)}) AS BIGINT) AS marker_hits
     FROM documents d JOIN s USING (doc_id)
     """,
     doc="Language-ID heuristic: marker-token scoring per language, argmax "
@@ -192,7 +192,7 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         expr.alias("predicted_lang"),
-        g.alias("marker_hits"),
+        g.cast("long").alias("marker_hits"),
     )
 
 
@@ -266,7 +266,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
     agg AS (
-        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_bigram_count
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS max_bigram_count
         FROM bgc GROUP BY doc_id
     ),
     tstats AS (
@@ -341,7 +341,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            any_value(rate_pct)                                   AS rate_pct,
            count(*)                                              AS n_total,
-           sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)    AS n_sampled
+           CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM tagged
     GROUP BY lang
     ORDER BY lang

@@ -44,7 +44,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # unify int32/int64 for compare
+            df[c] = df[c].astype("int64")  # unify int32/int64; stay integer
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
     return df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
@@ -58,7 +58,22 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+        a_int = pd.api.types.is_integer_dtype(av)
+        b_int = pd.api.types.is_integer_dtype(bv)
+        a_flt = pd.api.types.is_float_dtype(av)
+        b_flt = pd.api.types.is_float_dtype(bv)
+        # The driver hashes dtype/representation: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT sum) is a FAIL even when
+        # values are numerically equal. Mirror that strictness here.
+        if (a_int and b_flt) or (a_flt and b_int):
+            return False, (
+                f"column {c!r}: dtype mismatch spark={av.dtype} oracle={bv.dtype} "
+                "(integer vs float representation — driver hash would differ; "
+                "CAST the oracle sum to BIGINT or the Spark column to double)"
+            )
+        if a_int and b_int:
+            bad = av != bv  # exact integer equality, no tolerance
+        elif a_flt and b_flt:
             bad = ~(
                 (av.isna() & bv.isna())
                 | ((av - bv).abs() <= FLOAT_ATOL)
