@@ -77,9 +77,11 @@ def time_streaming_replay(spark, sf_dir: str, n_chunks: int = 10) -> float:
         t0 = time.perf_counter()
         # State partitions sized to stream volume (~30k rows/batch), not
         # core count: each partition's state store pays a commit per batch,
-        # which dominates at this scale (15.7s @ 32 parts vs 5.3s @ 8).
+        # which dominates at this scale (measured at sf0.1: 15.7s @ 32,
+        # 6.4s @ 8, 5.0s @ 4 — 4 keeps headroom without paying for empty
+        # store commits; a production stream re-sizes this to its volume).
         q = start_windowed_query(read_replay_stream(spark, replay_dir), "bench_wq",
-                                 state_partitions=8)
+                                 state_partitions=4)
         try:
             q.processAllAvailable()
         finally:
@@ -94,8 +96,26 @@ def main() -> None:
     spark = get_spark("bench")
     specs = registry.load_all()
 
-    # warm-up: JVM classloading + codegen, cheapest registered query
+    # warm-up: JVM classloading + codegen (cheapest registered query), one
+    # Arrow/pandas-UDF round-trip to fork the Python worker pool, and one
+    # footer-read per benched table so scans measure engine throughput,
+    # not first-touch metadata I/O.
     run_noop(specs["latest_event"].fn(spark, sf_dir))
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _ident(it):
+        yield from it
+
+    spark.createDataFrame(pd.DataFrame({"x": [1, 2]})).mapInPandas(
+        _ident, "x bigint"
+    ).write.format("noop").mode("overwrite").save()
+    for t in ("documents", "embeddings", "lineitem", "orders", "customer",
+              "nation", "region", "supplier"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).select(F.lit(1)).limit(1).write.format(
+                "noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

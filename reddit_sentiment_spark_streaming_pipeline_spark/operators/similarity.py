@@ -49,6 +49,19 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count.
+
+    The embeddings parquet is a handful of row groups, so scans yield 2-3
+    partitions — and every downstream broadcast join keeps that partitioning,
+    pinning the interpreted HOF dot-product scoring (CodegenFallback, the
+    true cost here) to 2-3 of the available cores. On a cluster the same
+    spread falls out of the exchange on the bucket/centroid key; in local
+    mode it needs to be explicit. Cost: one tiny shuffle of id+vector rows.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
@@ -132,7 +145,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", as_double("embedding").alias("ce"))
+    corpus = spread(emb.select("vec_id", as_double("embedding").alias("ce")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
     )
@@ -294,7 +307,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside a bucket is the quadratic part, so it gets one dot, not three.
     # Persisted: both self-join sides read this, and without the cache each
     # side recomputes bucket hashing + norm over the full table (2.1× cost).
-    c = _dup_corpus(emb).select(
+    c = spread(_dup_corpus(emb)).select(
         "vec_id",
         "ce",
         bucket_col(F.col("ce")).alias("bucket"),
@@ -345,7 +358,7 @@ def _ivf_assign(emb: DataFrame) -> DataFrame:
     """(vec_id, ce, cid): nearest-centroid assignment — broadcast the 8
     centroids, one map-side pass plus a partial-aggregable arg-min; at
     cluster scale cid becomes the inverted-list partition key."""
-    c = emb.select("vec_id", as_double("embedding").alias("ce"))
+    c = spread(emb.select("vec_id", as_double("embedding").alias("ce")))
     cent = c.filter(F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)).select(
         (F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv")
     )
