@@ -242,13 +242,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs."""
+    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs.
+
+    Join strategy is pinned, not left to AQE: the candidate set is the
+    small side (∝ true near-dups) and is broadcast; the shingle⋈shingle
+    intersection join keys on (doc_id, shingle) and is forced shuffle-hash
+    — its build side is the full shingle table, which sits near the
+    broadcast threshold at test scale, so AQE occasionally picked a
+    tens-of-MB broadcast of it (2× wall-clock, unbounded at corpus scale).
+    """
     shd = sh.distinct()
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x, y = shd.alias("x"), shd.alias("y")
+    x, y = shd.alias("x"), shd.hint("shuffle_hash").alias("y")
     inter = (
-        pairs.alias("c")
-        .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
+        x.join(F.broadcast(pairs.alias("c")), F.col("x.doc_id") == F.col("c.doc_a"))
         .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
         .groupBy("c.doc_a", "c.doc_b")
         .agg(F.count(F.lit(1)).alias("nint"))
