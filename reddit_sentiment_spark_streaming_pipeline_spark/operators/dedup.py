@@ -509,45 +509,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh).select(
         "doc_a", "doc_b"
     )
+    # The iterate state (edges + labels) is ∝ docs-with-a-near-dup, orders
+    # of magnitude smaller than the corpus — but its LINEAGE is not:
+    # `pairs` embeds the whole minhash+Jaccard pipeline, the symmetric
+    # union references it twice, and every propagation round nests the
+    # previous round's plan, so the logical tree grows geometrically and
+    # the driver spends seconds per action just re-analyzing it (9s for a
+    # round over 3k cached rows). localCheckpoint truncates the plan to
+    # the materialized partitions — the standard lineage cut for iterative
+    # algorithms (on a cluster with lossy executors, checkpoint() to the
+    # reliable store instead). State is also partitioned explicitly by the
+    # round's join key at a small fixed width: cached/checkpointed plans
+    # keep their materialized partitioning, so without this every round
+    # inherits the session's full shuffle width (200 near-empty tasks per
+    # stage on a default session).
+    state_parts = 8
+    pairs = pairs.localCheckpoint()
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
-        "lab", F.col("doc_id")
-    ).persist()
-    try:
-        for _ in range(10):  # diameter bound; dup chains converge in 2-3
-            neighbor_min = (
-                edges.join(labels, edges.doc_a == labels.doc_id)
-                .groupBy(edges.doc_b.alias("doc_id"))
-                .agg(F.min("lab").alias("nlab"))
-            )
-            updated = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-                    (F.coalesce("nlab", "lab") < F.col("lab")).alias("changed"),
-                )
-            ).persist()
-            n_changed = updated.filter("changed").count()
-            old, labels = labels, updated.drop("changed").persist()
-            labels.count()  # materialize BEFORE evicting parents, or the
-            # next round recomputes the whole lineage back to the corpus
-            old.unpersist()
-            updated.unpersist()
-            if n_changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                "dedup_clusters: min-label propagation did not converge in 10 "
-                f"rounds ({n_changed} labels still changing) — component "
-                "diameter exceeds the bound; raise the round limit"
-            )
-        return (
-            labels.groupBy(F.col("lab").alias("cluster_rep"))
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy("cluster_rep")
+    ).repartition(state_parts, "doc_a").localCheckpoint()
+
+    def one_round(labels: DataFrame) -> DataFrame:
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(edges.doc_b.alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
         )
-    finally:
-        edges.unpersist()
+        return (
+            labels.join(neighbor_min.repartition(state_parts, "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab")
+            )
+        )
+
+    # Dup chains (exact + tail-edit copies of one base doc) have diameter
+    # ≤ 2, so 3 propagation rounds are chained LAZILY into one plan — the
+    # eager round-per-job loop paid 2 driver actions and a full shuffle
+    # round-trip per iteration (10+ jobs; 52s at sf0.1, now ~2 jobs). The
+    # convergence check then runs one extra round and counts label changes:
+    # 0 proves the fixpoint; otherwise keep iterating eagerly (organic
+    # graphs with longer chains), failing loudly after a diameter bound
+    # instead of silently emitting partial clusters.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .repartition(state_parts, "doc_id")
+        .withColumn("lab", F.col("doc_id"))
+    )
+    for _ in range(3):
+        labels = one_round(labels)
+    labels = labels.localCheckpoint()
+    for _ in range(10):
+        nxt = one_round(labels).localCheckpoint()
+        n_changed = (
+            nxt.join(labels.withColumnRenamed("lab", "prev"), "doc_id")
+            .filter(F.col("lab") != F.col("prev"))
+            .count()
+        )
+        if n_changed == 0:
+            break
+        labels = nxt
+    else:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge "
+            f"({n_changed} labels still changing) — component diameter "
+            "exceeds the round bound; raise it"
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("cluster_rep"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster_rep")
+    )
