@@ -65,8 +65,52 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Presentation order: any prefix of the registry spans every operator
+# family (reference parity rows first within each slice, then the
+# training-data extensions), so a harness that samples or time-caps a
+# prefix of `queries()` still exercises the full breadth of the engine.
+# Names not listed keep registration order after these.
+_SHOWCASE_ORDER = [
+    # flagship + scalar/filter/agg core (SURVEY §2.3/2.5/2.8)
+    "event_stats", "event_parse_filter_derive", "scalar_function_matrix",
+    "salted_event_stats", "value_percentiles",
+    # wire parse + sentiment (P1-P3, U1)
+    "wire_posts_pipeline", "doc_sentiment", "doc_sentiment_udf",
+    "avg_sentiment_by_lang",
+    # refs (F3-F6, A7/A8) and TF-IDF (§2.11)
+    "refs_extract", "refs_rollup",
+    "tfidf_word_stats", "tfidf_topk", "tfidf_topk_mlpipe",
+    # dashboard analytics (P7/P8, W1-W4, O3-O5)
+    "rolling_sentiment_band", "dedup_keep_last", "timeframe_filter",
+    "union_dedup_activity", "latest_event",
+    # event-time windows (T2)
+    "windowed_event_counts", "sliding_window_avg", "session_windows",
+    "windowed_subreddit_sentiment",
+    # relational / join matrix
+    "q1_pricing_summary", "supplier_running_revenue",
+    "regional_customer_value", "customers_with_orders_semi",
+    "customers_without_orders_anti", "nation_customer_supplier_full_outer",
+    "priority_status_pivot",
+    # temporal joins + SQL surface
+    "asof_purchase_click", "range_join_error_context",
+    "sql_surface_order_priorities",
+    # dedup suite
+    "exact_dup_groups", "minhash_near_dups", "simhash_near_dups",
+    "dedup_clusters",
+    # similarity search
+    "cosine_topk", "embedding_near_dups", "ivf_ann_topk", "ann_lsh_topk",
+    # text analysis
+    "token_stats", "lang_id_scores", "quality_scores", "repetition_stats",
+    "stratified_sample_counts",
+    # PII / contamination / multimodal
+    "pii_prevalence_by_lang", "benchmark_contamination",
+    "media_metadata_stats", "media_features",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry,
+    ordered so any prefix covers every operator family."""
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -75,7 +119,9 @@ def load_all() -> dict[str, QuerySpec]:
             # *target* module being absent, not its broken imports.
             if mod not in str(e):
                 raise
-    return dict(_REGISTRY)
+    out = {n: _REGISTRY[n] for n in _SHOWCASE_ORDER if n in _REGISTRY}
+    out.update((n, s) for n, s in _REGISTRY.items() if n not in out)
+    return out
 
 
 def get(name: str) -> QuerySpec:
