@@ -74,6 +74,23 @@ def time_streaming_replay(spark, sf_dir: str, n_chunks: int = 10) -> float:
     replay_dir = tempfile.mkdtemp(prefix="bench_replay_")
     try:
         write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=n_chunks)
+        # untimed: the session's FIRST stateful streaming query pays one-off
+        # engine setup (streaming classloading, state-store provider init,
+        # checkpoint manager) — absorb it with a single-batch drain of the
+        # same windowed-agg shape over one tiny chunk, so the timed span
+        # measures micro-batch throughput, not first-query setup.
+        warm_dir = tempfile.mkdtemp(prefix="bench_replay_warm_")
+        try:
+            import glob
+            import shutil as _sh
+            first_chunk = sorted(glob.glob(os.path.join(replay_dir, "*.parquet")))[0]
+            _sh.copy(first_chunk, warm_dir)
+            wq = start_windowed_query(read_replay_stream(spark, warm_dir),
+                                      "bench_wq_warm", state_partitions=4)
+            wq.processAllAvailable()
+            wq.stop()
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
         t0 = time.perf_counter()
         # State partitions sized to stream volume (~30k rows/batch), not
         # core count: each partition's state store pays a commit per batch,
