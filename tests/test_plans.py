@@ -160,3 +160,36 @@ def test_no_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_jaccard_verify_broadcasts_candidates_not_shingles(spark, sf_dir):
+    # The verification join's broadcast side must be the candidate set
+    # (small by construction); broadcasting the shingle table is bounded
+    # only by corpus size. The shingle-shingle intersection join is pinned
+    # shuffle-hash so AQE's runtime size estimate can't flip it.
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import dedup as dd
+
+    sh = dd.shingle_rows(dd.dedup_corpus(spark, sf_dir))
+    cand = dd.minhash_candidates_from_shingles(sh)
+    df = dd._jaccard_on_pairs(cand, sh)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan  # the x-y shingle intersection join
+    assert "BroadcastHashJoin" in plan  # candidates (and sizes) broadcast
+
+
+def test_dedup_clusters_plan_is_lineage_cut(spark, sf_dir):
+    # The returned plan must hang off checkpointed state, not re-derive
+    # the minhash pipeline per round: no parquet scan, no md5 signature
+    # aggregation, and shallow enough that the driver isn't re-analyzing
+    # a geometric plan every action (the 52s-at-sf0.1 failure mode).
+    df = registry.get("dedup_clusters").fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan parquet" not in plan
+    assert "md5" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
