@@ -3,11 +3,17 @@
 MinHash and SimHash need hash functions that are *identical* in Spark and
 in the DuckDB oracle. Both engines share md5(string) → lowercase hex, and
 both accept the SQL fragment grammar used here (substr/instr/CASE/&), so
-every expression below is generated once and evaluated in both dialects.
+every expression below evaluates to the same values in both dialects.
 
-- MinHash: hash_i(shingle) = md5('<i>:' || shingle); the signature component
-  is the lexicographic MIN of the hex strings — a valid uniform permutation
-  proxy, engine-independent.
+- MinHash: ONE md5 per shingle, truncated to a 28-bit integer ``hv``; the
+  K signature components are MINs of affine permutation proxies
+  ``(a_k * hv + b_k) mod P`` (P = 2^31-1, a_k/b_k frozen 31-bit odds).
+  Products stay < 2^59, inside signed-64 range in both engines — DuckDB
+  *errors* on bigint overflow rather than wrapping, so the bound is a
+  correctness requirement, not a nicety. One hash + cheap integer
+  arithmetic replaces K md5 evaluations per shingle (the dominant CPU of
+  the near-dup pipeline at corpus scale) and the min-agg compares 8-byte
+  ints instead of 32-byte hex strings.
 - SimHash: 64 bits from the first 16 hex nibbles of md5(word); per-bit
   tf-weighted ±1 sums; packed into four 16-bit integer chunks so Hamming
   distance is bit_count(xor) instead of 64 string comparisons.
@@ -19,6 +25,16 @@ MINHASH_K = 12  # signature length
 LSH_BANDS = 4  # bands (rows per band = K / BANDS = 3)
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime modulus)
+# Frozen odd 31-bit multiplier/offset pairs (generated once from
+# random.Random(20260813), hardcoded for cross-engine reproducibility).
+MINHASH_AB = [
+    (2128164061, 398802783), (596987483, 1147225395), (1916785055, 1479347477),
+    (972347433, 116450323), (291219901, 430979123), (234034475, 1406942089),
+    (1761180997, 1267685541), (924035317, 1172698797), (2038977239, 402639407),
+    (2143289125, 1357670271), (1355823819, 2113210627), (668925749, 252657891),
+]
+
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4  # 4 × 16-bit chunks
 _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
@@ -26,19 +42,36 @@ _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 _HEX = "0123456789abcdef"
 
 
-def minhash_exprs(shingle_col: str = "shingle") -> list[str]:
-    """K aggregate SQL expressions: MIN(md5('<i>:' || shingle))."""
+def hex28_expr(col: str, dialect: str) -> str:
+    """First 7 hex chars of md5(col) as a 28-bit bigint.
+
+    The one md5-per-shingle the MinHash pipeline pays. Spark parses hex
+    via conv(); DuckDB via the '0x…' string cast (it has no conv).
+    """
+    if dialect == "spark":
+        return f"cast(conv(substr(md5({col}), 1, 7), 16, 10) as bigint)"
+    if dialect == "duckdb":
+        return f"CAST('0x' || substr(md5({col}), 1, 7) AS BIGINT)"
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def minhash_exprs(hv_col: str = "hv") -> list[str]:
+    """K aggregate SQL expressions over a precomputed ``hex28`` column:
+    MIN((a_k * hv + b_k) mod P). Pure integer arithmetic — dialect-free."""
     return [
-        f"min(md5(concat('{i}:', {shingle_col})))" for i in range(MINHASH_K)
+        f"min(({a} * {hv_col} + {b}) % {MINHASH_P})" for a, b in MINHASH_AB
     ]
 
 
 def band_exprs(sig_prefix: str = "m") -> list[str]:
-    """Band hash = md5 of the concatenated signature slice."""
+    """Band hash = md5 of the ':'-joined signature slice (separator needed:
+    integer signature components render variable-width)."""
     out = []
     for b in range(LSH_BANDS):
-        cols = ", ".join(f"{sig_prefix}{b * LSH_ROWS + j}" for j in range(LSH_ROWS))
-        out.append(f"md5(concat({cols}))")
+        cols = ", ".join(
+            f"{sig_prefix}{b * LSH_ROWS + j}" for j in range(LSH_ROWS)
+        )
+        out.append(f"md5(concat_ws(':', {cols}))")
     return out
 
 

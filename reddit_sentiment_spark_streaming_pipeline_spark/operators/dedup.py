@@ -36,6 +36,7 @@ from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
     MINHASH_K,
     band_exprs,
     hamming_expr,
+    hex28_expr,
     minhash_exprs,
     simhash_chunk_exprs,
     simhash_sum_exprs,
@@ -168,7 +169,7 @@ def shingle_rows(corpus: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------------- MinHash LSH
 
-_SIG_COLS = ", ".join(f"{e} AS m{i}" for i, e in enumerate(minhash_exprs("shingle")))
+_SIG_COLS = ", ".join(f"{e} AS m{i}" for i, e in enumerate(minhash_exprs("hv")))
 _BAND_COLS = ", ".join(f"{e} AS band{b}" for b, e in enumerate(band_exprs("m")))
 _BANDS_LONG = "\n            UNION ALL ".join(
     f"SELECT doc_id, {b} AS bi, band{b} AS bh FROM bands" for b in range(LSH_BANDS)
@@ -176,7 +177,8 @@ _BANDS_LONG = "\n            UNION ALL ".join(
 
 _CAND_SQL = f"""
         {_SHINGLE_SQL},
-        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+        shv AS (SELECT doc_id, {hex28_expr('shingle', 'duckdb')} AS hv FROM sh),
+        sig AS (SELECT doc_id, {_SIG_COLS} FROM shv GROUP BY doc_id),
         bands AS (SELECT doc_id, {_BAND_COLS} FROM sig),
         bl AS ({_BANDS_LONG}),
         cand AS (
@@ -198,8 +200,9 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     split + array transform + explode) is the pipeline's dominant cost and
     would otherwise run twice.
     """
-    sig = sh.groupBy("doc_id").agg(
-        *[F.expr(e).alias(f"m{i}") for i, e in enumerate(minhash_exprs("shingle"))]
+    shv = sh.select("doc_id", F.expr(hex28_expr("shingle", "spark")).alias("hv"))
+    sig = shv.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"m{i}") for i, e in enumerate(minhash_exprs("hv"))]
     )
     bands = sig.select(
         "doc_id", *[F.expr(e).alias(f"band{b}") for b, e in enumerate(band_exprs("m"))]
@@ -215,15 +218,30 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.bi").alias("bi"), F.col("e.bh").alias("bh"))
-    a, b = bl.alias("a"), bl.alias("b")
+    # Pairs come from grouping each LSH bucket and expanding doc-id
+    # combinations inside the bucket array — ONE shuffle of the band table,
+    # where the equivalent self-join shuffles it twice and needs a third
+    # shuffle to dedup. Bucket arrays are small by construction (a bucket ∝
+    # one near-dup cluster); a production run on organic data would cap
+    # pathological buckets (millions of byte-identical docs) before the
+    # quadratic expansion — the same cap the self-join formulation needs,
+    # since both land a hot key on one reducer.
+    grp = (
+        bl.groupBy("bi", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -242,16 +260,28 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs.
+    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs. ``sh`` must be
+    SET-shingles — (doc_id, shingle) with distinct rows.
+
+    The shingle table is first pruned to docs that appear in a candidate
+    pair (broadcast semi-join — the candidate doc set is small ∝ true
+    near-dups), so every downstream shuffle/agg touches candidate shingles
+    only, not the corpus: verification cost scales with the duplicate
+    rate, not the corpus size.
 
     Join strategy is pinned, not left to AQE: the candidate set is the
-    small side (∝ true near-dups) and is broadcast; the shingle⋈shingle
-    intersection join keys on (doc_id, shingle) and is forced shuffle-hash
-    — its build side is the full shingle table, which sits near the
-    broadcast threshold at test scale, so AQE occasionally picked a
-    tens-of-MB broadcast of it (2× wall-clock, unbounded at corpus scale).
+    small side and is broadcast; the shingle⋈shingle intersection join
+    keys on (doc_id, shingle) and is forced shuffle-hash — its build side
+    sits near the broadcast threshold at test scale, so AQE occasionally
+    picked a tens-of-MB broadcast of it (2× wall-clock, unbounded at
+    corpus scale).
     """
-    shd = sh.distinct()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shd = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     x, y = shd.alias("x"), shd.hint("shuffle_hash").alias("y")
     inter = (
@@ -300,9 +330,10 @@ _JACCARD_VERIFY_SQL = """
     "scalable near-dup pipeline (verification cost ∝ candidates)",
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Shingles feed both LSH banding and Jaccard verification; persist so
-    # the expensive shingling scan runs once (MEMORY_AND_DISK, LRU-evicted).
-    sh = shingle_rows(dedup_corpus(spark, sf_dir)).persist()
+    # Set-shingles feed both LSH banding (min-agg is duplicate-insensitive)
+    # and Jaccard verification; distinct+persist pays the dedup shuffle once
+    # and caches the smaller deduped rows (MEMORY_AND_DISK, LRU-evicted).
+    sh = shingle_rows(dedup_corpus(spark, sf_dir)).distinct().persist()
     cand = minhash_candidates_from_shingles(sh)
     return _jaccard_on_pairs(cand, sh).orderBy("doc_a", "doc_b")
 
@@ -505,7 +536,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup_corpus(spark, sf_dir)
-    sh = shingle_rows(corpus).persist()
+    sh = shingle_rows(corpus).distinct().persist()
     pairs = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh).select(
         "doc_a", "doc_b"
     )
