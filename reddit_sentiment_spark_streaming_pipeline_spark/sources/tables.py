@@ -37,16 +37,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # otherwise results drift against the DuckDB oracle on non-UTC hosts.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects. Read nanos as long, then integer-divide to
-        # microseconds (exact on int64 — a double division would lose
-        # precision above 2^53) to match DuckDB's ns→us truncation.
+        # Older fixture generations wrote events.ts as TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects. Read nanos as long, then
+        # integer-divide to microseconds (exact on int64 — a double division
+        # would lose precision above 2^53) to match DuckDB's ns→us
+        # truncation. Harmless for micros fixtures (ts arrives as timestamp).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # Naive parquet timestamps (isAdjustedToUTC=false) infer as
+    # TIMESTAMP_NTZ, which Spark refuses to cast to numeric epoch and which
+    # diverges from DuckDB's naive-timestamp reading in window/interval
+    # arithmetic. With the session timezone pinned UTC above, an NTZ →
+    # TIMESTAMP cast is value-identical, so normalize every NTZ column.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def from_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
