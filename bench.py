@@ -113,10 +113,9 @@ def main() -> None:
     spark = get_spark("bench")
     specs = registry.load_all()
 
-    # warm-up: JVM classloading + codegen (cheapest registered query), one
-    # Arrow/pandas-UDF round-trip to fork the Python worker pool, and one
-    # footer-read per benched table so scans measure engine throughput,
-    # not first-touch metadata I/O.
+    # warm-up: JVM classloading + codegen, one Arrow/pandas-UDF round-trip
+    # to fork the Python worker pool, and one footer-read per benched table
+    # so scans measure engine throughput, not first-touch metadata I/O.
     run_noop(specs["latest_event"].fn(spark, sf_dir))
     import pandas as pd
     from pyspark.sql import functions as F
@@ -133,6 +132,21 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).select(F.lit(1)).limit(1).write.format(
                 "noop").mode("overwrite").save()
+    # One untimed pass of every headline query at the smoke scale factor:
+    # whole-stage codegen compiles per generated-class shape, and the first
+    # action on a shape pays ~seconds of JIT regardless of data volume
+    # (measured: minhash_near_dups 15.6s cold vs 2.9s warm at sf0.1).
+    # Compiling on sf0.001 makes the timed sf0.1 numbers measure data-scale
+    # throughput — what actually extrapolates to a cluster — not one-time
+    # driver-side compilation.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                run_noop(specs[name].fn(spark, warm_dir))
+            except Exception:  # noqa: BLE001 — warm-up is best-effort
+                pass
+        spark.catalog.clearCache()  # drop sf0.001 persists before timing
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

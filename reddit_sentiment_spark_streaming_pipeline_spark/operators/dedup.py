@@ -69,7 +69,15 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat("text", F.lit(" zz extra tail")).alias("text"),
     )
-    return docs.unionByName(exact).unionByName(near)
+    # The union inherits the parquet scan's partitioning (1 file → ~1
+    # partition per branch), which would run the CPU-dominant downstream
+    # work — tokenize, shingle, md5 — on 3 cores of 32. One cheap shuffle
+    # of the raw docs here spreads every consumer across the cluster.
+    return (
+        docs.unionByName(exact)
+        .unionByName(near)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 # ------------------------------------------------------------ exact dedup
@@ -265,36 +273,44 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
     The shingle table is first pruned to docs that appear in a candidate
     pair (broadcast semi-join — the candidate doc set is small ∝ true
-    near-dups), so every downstream shuffle/agg touches candidate shingles
-    only, not the corpus: verification cost scales with the duplicate
-    rate, not the corpus size.
-
-    Join strategy is pinned, not left to AQE: the candidate set is the
-    small side and is broadcast; the shingle⋈shingle intersection join
-    keys on (doc_id, shingle) and is forced shuffle-hash — its build side
-    sits near the broadcast threshold at test scale, so AQE occasionally
-    picked a tens-of-MB broadcast of it (2× wall-clock, unbounded at
-    corpus scale).
+    near-dups), then rolled up to ONE array row per candidate doc. Each
+    pair's intersection is a single `array_intersect` over two ~doc-sized
+    arrays instead of a shingle⋈shingle shuffle join: the whole verify is
+    two broadcast joins of the per-doc array table (bounded by candidates
+    × doc size, the same bound that makes the pair broadcast safe), and
+    its cost scales with the duplicate rate, not the corpus size. At
+    cluster scale with a huge candidate set, the same plan degrades
+    gracefully to two shuffle joins keyed on doc id — still linear.
     """
+    # The pair list is referenced three times below (both sides of the
+    # cand_docs union + the final join); without a materialization each
+    # reference re-runs the whole upstream MinHash candidate pipeline —
+    # measured 3× the candidate cost per action at sf0.1. The pair set is
+    # tiny (∝ true near-dups), so an eager localCheckpoint is the right
+    # lineage cut (reliable checkpoint on a lossy cluster).
+    pairs = pairs.localCheckpoint()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shd = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x, y = shd.alias("x"), shd.hint("shuffle_hash").alias("y")
-    inter = (
-        x.join(F.broadcast(pairs.alias("c")), F.col("x.doc_id") == F.col("c.doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
-        .groupBy("c.doc_a", "c.doc_b")
-        .agg(F.count(F.lit(1)).alias("nint"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("nint") / (F.col("sa.sz") + F.col("sb.sz") - F.col("nint"))
+    docsets = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("sz"))
+    ).persist()
+    sa = F.broadcast(docsets.select(
+        F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs"), F.col("sz").alias("a_sz")
+    ))
+    sb = F.broadcast(docsets.select(
+        F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs"), F.col("sz").alias("b_sz")
+    ))
+    nint = F.size(F.array_intersect("a_shs", "b_shs"))
+    jac = nint / (F.col("a_sz") + F.col("b_sz") - nint)
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        pairs.join(sa, F.col("a_id") == F.col("doc_a"))
+        .join(sb, F.col("b_id") == F.col("doc_b"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -162,11 +162,11 @@ def test_no_query_plans_a_cartesian_product(spark):
     assert offenders == []
 
 
-def test_jaccard_verify_broadcasts_candidates_not_shingles(spark, sf_dir):
-    # The verification join's broadcast side must be the candidate set
-    # (small by construction); broadcasting the shingle table is bounded
-    # only by corpus size. The shingle-shingle intersection join is pinned
-    # shuffle-hash so AQE's runtime size estimate can't flip it.
+def test_jaccard_verify_broadcasts_candidate_arrays_only(spark, sf_dir):
+    # Verification is two broadcast joins of the per-candidate-doc shingle
+    # ARRAY table (bounded by candidates × doc size) against the pair list
+    # — the corpus-sized flat shingle table must never be a broadcast
+    # build side, and no shingle⋈shingle pair-expansion join may remain.
     from reddit_sentiment_spark_streaming_pipeline_spark.operators import dedup as dd
 
     sh = dd.shingle_rows(dd.dedup_corpus(spark, sf_dir))
@@ -176,8 +176,11 @@ def test_jaccard_verify_broadcasts_candidates_not_shingles(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "ShuffledHashJoin" in plan  # the x-y shingle intersection join
-    assert "BroadcastHashJoin" in plan  # candidates (and sizes) broadcast
+    assert plan.count("BroadcastHashJoin") >= 2  # pair⋈arrays ×2
+    assert "array_intersect" in plan  # per-pair set intersection, no join
+    # the broadcast semi-join that prunes shingles keys on doc_id only —
+    # a broadcast keyed on the shingle column would be the corpus-sized one
+    assert "LeftSemi" in plan
 
 
 def test_dedup_clusters_plan_is_lineage_cut(spark, sf_dir):
