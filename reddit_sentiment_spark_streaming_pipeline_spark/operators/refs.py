@@ -42,7 +42,10 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(""))
     url_part = F.when(
         F.col("doc_id") % 5 == 0,
-        F.concat(F.lit(" https://example.com/p"), (F.col("doc_id") % 7).cast("string")),
+        F.concat(
+            F.lit(" https://site"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.com/p"), (F.col("doc_id") % 7).cast("string"),
+        ),
     ).otherwise(F.lit(""))
     return docs.withColumn("text_aug", F.concat(F.col("text"), user_part, sub_part, url_part))
 
@@ -52,7 +55,7 @@ _AUG_SQL = """
                text
                || CASE WHEN doc_id % 3 = 0 THEN ' /u/user' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END
                || CASE WHEN doc_id % 4 = 0 THEN ' /r/' || source ELSE '' END
-               || CASE WHEN doc_id % 5 = 0 THEN ' https://example.com/p' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' https://site' || CAST(doc_id % 4 AS VARCHAR) || '.example.com/p' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
                AS text_aug
         FROM documents
 """
@@ -119,4 +122,36 @@ def refs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_urls",
         )
         .orderBy("source_grp")
+    )
+
+
+@register(
+    "url_domain_stats",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL}),
+    urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(text_aug, 'https?://[^\\s]+')) AS url
+        FROM aug
+    )
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1)  AS domain,
+           count(*)                                     AS n_urls,
+           count(DISTINCT doc_id)                       AS n_docs
+    FROM urls
+    GROUP BY 1
+    ORDER BY domain
+    """,
+    doc="URL extraction -> explode -> domain parse -> per-domain rollup: "
+    "the domain-level stats a corpus filter ranks sources by (extraction "
+    "codegen'd per row; one shuffle on the low-cardinality domain key)",
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = augmented_docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text_aug", F.lit(URL_PATTERN), F.lit(0))).alias("url"),
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("domain")
     )

@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.windows",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.temporal",
+    "reddit_sentiment_spark_streaming_pipeline_spark.operators.analytic",
     "reddit_sentiment_spark_streaming_pipeline_spark.sql",
 ]
 
@@ -80,9 +81,10 @@ _SHOWCASE_ORDER = [
     # refs (F3-F6, A7/A8) and TF-IDF (§2.11)
     "refs_extract", "refs_rollup",
     "tfidf_word_stats", "tfidf_topk", "tfidf_topk_mlpipe",
-    # dashboard analytics (P7/P8, W1-W4, O3-O5)
+    # dashboard analytics (P7/P8, W1-W4, O3-O5) + window/grouping breadth
     "rolling_sentiment_band", "dedup_keep_last", "timeframe_filter",
-    "union_dedup_activity", "latest_event",
+    "union_dedup_activity", "latest_event", "window_function_matrix",
+    "grouping_sets_order_stats",
     # event-time windows (T2)
     "windowed_event_counts", "sliding_window_avg", "session_windows",
     "windowed_subreddit_sentiment",
