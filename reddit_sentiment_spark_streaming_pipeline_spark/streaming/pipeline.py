@@ -74,6 +74,44 @@ def start_windowed_query(events: DataFrame, query_name: str = "windowed_counts",
             spark.conf.set(key, prev)
 
 
+# ------------------------------------------------- stream-stream join
+
+JOIN_LOOKBACK = "10 minutes"  # clicks buffered this long behind a purchase
+
+
+def purchase_click_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream inner self-join: each purchase matched to the same
+    user's clicks in the preceding JOIN_LOOKBACK.
+
+    Watermarks on BOTH sides plus the time-interval condition are what
+    bound the join state: Spark buffers each side only until the other
+    side's watermark passes the interval, so state is O(rate × lookback),
+    not O(stream). Without the interval the join would be unbounded and
+    Spark rejects it in append mode.
+    """
+    v = valid_events(events)
+    purchases = (
+        v.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id"))
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        v.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK}")),
+    ).select("user_id", "purchase_id", "p_ts", "c_ts", "click_value")
+
+
 # ------------------------------------------------ foreachBatch consumer
 
 

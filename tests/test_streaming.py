@@ -146,3 +146,55 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
         assert got.loc[k, "total_batch_rows"] == want.loc[k, "n"]
         assert abs(got.loc[k, "cum_value"] - want.loc[k, "s"]) < 1e-6
         assert got.loc[k, "n_updates"] >= 2  # state really crossed batches
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked interval self-join, drained over replay chunks, must
+    equal the batch interval join over the same events (inner join of two
+    fully-arrived sides — no append-mode row can be dropped once the whole
+    stream is drained and the final watermark has passed)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import valid_events
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    replay_dir, _ = _replay(spark, sf_dir, tmp_path)
+    stream = read_replay_stream(spark, replay_dir)
+    q = (
+        pl.purchase_click_join_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state = q.lastProgress["stateOperators"][0]
+        # the interval condition must actually evict buffered rows
+        assert int(state["numRowsRemoved"]) > 0
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ssj_test").toPandas()
+
+    v = valid_events(load_table(spark, sf_dir, "events"))
+    p = v.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    c = v.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    batch = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {pl.JOIN_LOOKBACK}")),
+        )
+        .select("user_id", "purchase_id", "p_ts", "c_ts", "click_value")
+        .toPandas()
+    )
+    key = ["purchase_id", "c_ts"]
+    assert len(got) == len(batch) > 0
+    g = got.sort_values(key, ignore_index=True)
+    b = batch.sort_values(key, ignore_index=True)
+    assert g[["user_id", "purchase_id", "c_ts"]].equals(b[["user_id", "purchase_id", "c_ts"]])
+    assert (g.click_value - b.click_value).abs().max() < 1e-9
