@@ -488,3 +488,69 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = centroid.groupBy("label").agg(F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 6).alias("centroid_norm"))
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     return norms.join(counts, "label").select("label", "n_vectors", "centroid_norm").orderBy("label")
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_IVF_SQL},
+    corpus AS (SELECT a.vec_id, c.ce, a.cid FROM assign a JOIN c USING (vec_id)),
+    q AS (
+        SELECT vec_id AS query_id, ce AS qe, cid
+        FROM corpus WHERE vec_id < {N_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(qe, c.ce)
+                             / sqrt(list_dot_product(qe, qe) * list_dot_product(c.ce, c.ce)), 6) DESC,
+                           c.vec_id) AS rn
+            FROM q CROSS JOIN c
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rn <= {TOP_K}
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, corpus.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(qe, corpus.ce)
+                             / sqrt(list_dot_product(qe, qe) * list_dot_product(corpus.ce, corpus.ce)), 6) DESC,
+                           corpus.vec_id) AS rn
+            FROM q JOIN corpus ON corpus.cid = q.cid
+            WHERE corpus.vec_id <> q.query_id
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(a.vec_id) AS BIGINT)                   AS n_hits,
+           round(count(a.vec_id) * 1.0 / {TOP_K}, 6)         AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    doc="ANN quality evaluation: recall@k of the IVF(nprobe=1) candidate "
+    "list against the exact cosine top-k, per query — the measurement that "
+    "decides nprobe/centroid count before scaling the index out. Both "
+    "rankings reuse the engine's own query operators.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = ivf_ann_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    return (
+        exact.join(
+            F.broadcast(approx),
+            (F.col("a_qid") == F.col("query_id")) & (F.col("a_vid") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vid").alias("n_hits"),
+            F.round(F.count("a_vid") / F.lit(TOP_K), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
