@@ -554,3 +554,125 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+KMEANS_ITERS = 2
+
+_KMEANS_SQL = f"""
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    cent0 AS (
+        SELECT vec_id - {_CENTROID_LO} AS cid, ce AS cv
+        FROM c WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_LO + N_CENTROIDS - 1}
+    ),
+    assign1 AS (
+        SELECT vec_id, min(cid) AS cid FROM (
+            SELECT c.vec_id, t.cid,
+                   {_DIST_SQL.replace('cv', 't.cv')} AS dist,
+                   min({_DIST_SQL.replace('cv', 't.cv')})
+                       OVER (PARTITION BY c.vec_id) AS md
+            FROM c CROSS JOIN cent0 t
+        ) WHERE dist = md GROUP BY vec_id
+    ),
+    cent1 AS (
+        SELECT cid, list(e.v ORDER BY e.pos) AS cv
+        FROM (
+            SELECT a.cid, u.pos, avg(u.v) AS v
+            FROM assign1 a
+            JOIN c USING (vec_id),
+            LATERAL (SELECT unnest(c.ce) AS v, generate_subscripts(c.ce, 1) AS pos) u
+            GROUP BY a.cid, u.pos
+        ) e GROUP BY cid
+    ),
+    assign2 AS (
+        SELECT vec_id, min(cid) AS cid FROM (
+            SELECT c.vec_id, t.cid,
+                   {_DIST_SQL.replace('cv', 't.cv')} AS dist,
+                   min({_DIST_SQL.replace('cv', 't.cv')})
+                       OVER (PARTITION BY c.vec_id) AS md
+            FROM c CROSS JOIN cent1 t
+        ) WHERE dist = md GROUP BY vec_id
+    ),
+    cent2 AS (
+        SELECT cid, list(e.v ORDER BY e.pos) AS cv
+        FROM (
+            SELECT a.cid, u.pos, avg(u.v) AS v
+            FROM assign2 a
+            JOIN c USING (vec_id),
+            LATERAL (SELECT unnest(c.ce) AS v, generate_subscripts(c.ce, 1) AS pos) u
+            GROUP BY a.cid, u.pos
+        ) e GROUP BY cid
+    )
+"""
+
+
+@register(
+    "kmeans_refined_clusters",
+    oracle=f"""
+    WITH {_KMEANS_SQL}
+    SELECT a.cid,
+           count(*)                                              AS n_vectors,
+           round(sqrt(list_dot_product(t.cv, t.cv)), 6)          AS centroid_norm
+    FROM assign2 a JOIN cent2 t USING (cid)
+    GROUP BY a.cid, t.cv
+    ORDER BY a.cid
+    """,
+    doc=f"Distributed k-means ({KMEANS_ITERS} Lloyd iterations from the "
+    "fixed IVF seeds): assignment is a broadcast of the 8 centroids + "
+    "partial-aggregable arg-min; the centroid update is posexplode → "
+    "(cid,pos) avg → array rebuild — one shuffle per iteration, lineage "
+    "cut between rounds (the IVF index-build step, made iterative)",
+)
+def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = spread(emb.select("vec_id", as_double("embedding").alias("ce"))).persist()
+    cent = c.filter(
+        F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)
+    ).select((F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv"))
+
+    def assign_to(cent_df: DataFrame) -> DataFrame:
+        dist = F.round(
+            dot(F.col("ce"), F.col("ce"))
+            - 2 * dot(F.col("ce"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv")),
+            6,
+        )
+        return (
+            c.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+        )
+
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        # checkpointed: the final round's assignment feeds both the centroid
+        # update and the cluster-size report — without the cut it would
+        # re-run the broadcast-argmin once per consumer
+        assign = assign_to(cent).localCheckpoint()
+        # centroid update: element-wise mean per (cid, pos), array rebuilt
+        # in pos order. The new centroid table is 8 rows — localCheckpoint
+        # cuts the per-iteration plan growth (reliable checkpoint() on a
+        # lossy cluster), the same rule as dedup_clusters.
+        cent = (
+            assign.join(c, "vec_id")
+            .select("cid", F.posexplode("ce").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(
+            cent.select("cid", F.round(F.sqrt(dot(F.col("cv"), F.col("cv"))), 6).alias("centroid_norm")),
+            "cid",
+        )
+        .orderBy("cid")
+    )

@@ -101,7 +101,7 @@ _SHOWCASE_ORDER = [
     "dedup_clusters",
     # similarity search
     "cosine_topk", "embedding_near_dups", "ivf_ann_topk", "ann_lsh_topk",
-    "ann_recall_eval",
+    "ann_recall_eval", "kmeans_refined_clusters",
     # text analysis
     "token_stats", "lang_id_scores", "quality_scores", "repetition_stats",
     "stratified_sample_counts",
