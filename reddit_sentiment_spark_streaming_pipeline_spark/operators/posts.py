@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window
 
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
@@ -150,3 +151,58 @@ def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("post_count") > 0)
         .orderBy(F.desc("post_count"), "source")
     )
+
+
+@register(
+    "wire_quality_report",
+    oracle=f"""
+    WITH cat AS (
+        SELECT CASE
+                 WHEN doc_id % 97 = 0 THEN 'malformed'
+                 WHEN text IS NULL OR text = '' OR length(text) <= 10 THEN 'too_short'
+                 ELSE 'parsed' END AS category
+        FROM documents
+        UNION ALL
+        SELECT 'keepalive' FROM documents WHERE doc_id % 20 = 0
+    ),
+    tot AS (SELECT count(*) AS n FROM cat)
+    SELECT category,
+           count(*)                              AS n_lines,
+           round(count(*) * 1.0 / max(tot.n), 6) AS pct
+    FROM cat CROSS JOIN tot
+    GROUP BY category
+    ORDER BY category
+    """,
+    doc="Wire-quality accounting the reference lacks (it drops malformed "
+    "lines silently via from_json's permissive nulls): every line "
+    "attributed to parsed / malformed / keepalive / too_short in one "
+    "narrow pass + a 4-row aggregate — the ingest observability a "
+    "production stream publishes per batch",
+)
+def wire_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wire = synthetic_wire(spark, sf_dir)
+    data = F.from_json(F.col("value"), POST_SCHEMA)
+    # from_json in PERMISSIVE mode yields an all-null struct for malformed
+    # lines (never a NULL struct), so malformed = the type field is null
+    # (every well-formed wire record carries one)
+    cat = (
+        F.when(F.col("data.type").isNull(), "malformed")
+        .when(F.col("data.type") == "keepalive", "keepalive")
+        .when(
+            F.col("data.text").isNull()
+            | (F.col("data.text") == "")
+            | (F.length("data.text") <= 10),
+            "too_short",
+        )
+        .otherwise("parsed")
+    )
+    counts = (
+        wire.withColumn("data", data)
+        .select(cat.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    total = F.sum("n_lines").over(Window.partitionBy())
+    return counts.select(
+        "category", "n_lines", F.round(F.col("n_lines") / total, 6).alias("pct")
+    ).orderBy("category")

@@ -76,8 +76,8 @@ _SHOWCASE_ORDER = [
     "event_stats", "event_parse_filter_derive", "scalar_function_matrix",
     "salted_event_stats", "value_percentiles",
     # wire parse + sentiment (P1-P3, U1)
-    "wire_posts_pipeline", "doc_sentiment", "doc_sentiment_udf",
-    "avg_sentiment_by_lang",
+    "wire_posts_pipeline", "wire_quality_report", "doc_sentiment",
+    "doc_sentiment_udf", "avg_sentiment_by_lang",
     # refs (F3-F6, A7/A8) and TF-IDF (§2.11)
     "refs_extract", "refs_rollup",
     "tfidf_word_stats", "tfidf_topk", "tfidf_topk_mlpipe",
