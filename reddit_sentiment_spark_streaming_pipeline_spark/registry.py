@@ -67,47 +67,49 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # Presentation order: any prefix of the registry spans every operator
-# family (reference parity rows first within each slice, then the
-# training-data extensions), so a harness that samples or time-caps a
-# prefix of `queries()` still exercises the full breadth of the engine.
+# family, so a harness that samples or time-caps a prefix of `queries()`
+# still exercises the full breadth of the engine.  Rotation policy per
+# round: queries with no driver-verified CORRECTNESS pass yet go FIRST
+# (the driver checks a 50-query prefix window); queries already proven
+# green in an earlier round's CORRECTNESS_r*.json rotate toward the back.
 # Names not listed keep registration order after these.
 _SHOWCASE_ORDER = [
-    # flagship + scalar/filter/agg core (SURVEY §2.3/2.5/2.8)
+    # --- never driver-verified before r3: front of the window ---
+    "pii_redaction", "pii_prevalence_by_lang", "benchmark_contamination",
+    "filter_funnel", "media_metadata_stats", "media_features",
+    "media_frame_samples", "stratified_sample_counts",
+    "hash_split_assignment", "bpe_token_counts", "doc_fingerprints",
+    "url_domain_stats", "ivf_cluster_sizes", "label_centroid_norms",
+    # --- new in r3 ---
+    "doc_sentiment_vader", "vader_sentiment_cases", "jdbc_roundtrip_orders",
+    # --- proven r1-only: give them a fresh window slot ---
+    "event_time_range", "event_avg_value", "value_time_correlation",
+    "value_mad_by_type", "doc_source_stats", "avg_sentiment_global",
+    "membership_filter", "top3_event_types", "top_suppliers_revenue",
+    "order_count_histogram", "status_priority_cube",
+    "set_ops_customer_cohorts", "dedup_survivor_stats",
+    "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash_fingerprints",
+    "embedding_norms", "lsh_bucket_histogram",
+    # --- proven r2: representative spread fills the rest of the window ---
     "event_stats", "event_parse_filter_derive", "scalar_function_matrix",
-    "salted_event_stats", "value_percentiles",
-    # wire parse + sentiment (P1-P3, U1)
-    "wire_posts_pipeline", "wire_quality_report", "doc_sentiment",
-    "doc_sentiment_udf", "avg_sentiment_by_lang",
-    # refs (F3-F6, A7/A8) and TF-IDF (§2.11)
-    "refs_extract", "refs_rollup",
-    "tfidf_word_stats", "tfidf_topk", "tfidf_topk_mlpipe",
-    # dashboard analytics (P7/P8, W1-W4, O3-O5) + window/grouping breadth
-    "rolling_sentiment_band", "dedup_keep_last", "timeframe_filter",
-    "union_dedup_activity", "latest_event", "window_function_matrix",
-    "grouping_sets_order_stats",
-    # event-time windows (T2)
-    "windowed_event_counts", "sliding_window_avg", "session_windows",
-    "windowed_subreddit_sentiment",
-    # relational / join matrix
-    "q1_pricing_summary", "supplier_running_revenue",
+    "wire_posts_pipeline", "doc_sentiment", "refs_rollup", "tfidf_topk",
+    "tfidf_topk_mlpipe", "rolling_sentiment_band", "window_function_matrix",
+    "windowed_event_counts", "session_windows", "q1_pricing_summary",
+    "supplier_running_revenue", "asof_purchase_click",
+    "range_join_error_context", "exact_dup_groups", "minhash_near_dups",
+    "simhash_near_dups", "dedup_clusters", "cosine_topk", "ivf_ann_topk",
+    "ann_recall_eval", "kmeans_refined_clusters", "token_stats",
+    "quality_scores", "repetition_stats",
+    # --- remainder (all proven): keep deterministic order past the window ---
+    "salted_event_stats", "value_percentiles", "wire_quality_report",
+    "doc_sentiment_udf", "avg_sentiment_by_lang", "refs_extract",
+    "tfidf_word_stats", "dedup_keep_last", "timeframe_filter",
+    "union_dedup_activity", "latest_event", "grouping_sets_order_stats",
+    "sliding_window_avg", "windowed_subreddit_sentiment",
     "regional_customer_value", "customers_with_orders_semi",
     "customers_without_orders_anti", "nation_customer_supplier_full_outer",
-    "priority_status_pivot",
-    # temporal joins + SQL surface
-    "asof_purchase_click", "range_join_error_context",
-    "sql_surface_order_priorities",
-    # dedup suite
-    "exact_dup_groups", "minhash_near_dups", "simhash_near_dups",
-    "dedup_clusters",
-    # similarity search
-    "cosine_topk", "embedding_near_dups", "ivf_ann_topk", "ann_lsh_topk",
-    "ann_recall_eval", "kmeans_refined_clusters",
-    # text analysis
-    "token_stats", "lang_id_scores", "quality_scores", "repetition_stats",
-    "stratified_sample_counts",
-    # PII / contamination / multimodal
-    "pii_prevalence_by_lang", "benchmark_contamination",
-    "media_metadata_stats", "media_features",
+    "priority_status_pivot", "sql_surface_order_priorities",
+    "embedding_near_dups", "ann_lsh_topk", "lang_id_scores",
 ]
 
 
