@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import (
     lexicon_values_sql,
     sentiment_pandas_udf,
+    vader_doc_sql,
     with_sentiment,
+    with_vader_sentiment,
 )
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
@@ -89,6 +91,71 @@ def avg_sentiment_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_sentiment(docs).agg(
         F.round(F.avg("sentiment"), 6).alias("average_sentiment"),
         F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# Fixed case matrix proving each VADER heuristic fires: one row per rule.
+# (case_id, text); NULL and empty exercise the guards.
+_VADER_CASES: list[tuple[int, str | None]] = [
+    (1, "the query is good"),
+    (2, "the query is not good"),        # negation flips sign
+    (3, "very good stream"),             # booster amplifies
+    (4, "slightly good stream"),         # dampener attenuates
+    (5, "a GOOD stream today"),          # mixed-case caps emphasis
+    (6, "good stream!!!"),               # exclamation amplification
+    (7, "slow but good"),                # but-clause reweighting
+    (8, "don't love this plan"),         # n't contraction negation
+    (9, "is the stream good ? ? ?"),     # question-mark amplification
+    (10, "EVERYTHING IS GOOD"),          # all-caps text: no cap differential
+    (11, "not very good"),               # negation over boosted valence
+    (12, ""),                            # empty text
+    (13, None),                          # null text
+]
+
+
+@register(
+    "doc_sentiment_vader",
+    oracle=vader_doc_sql()
+    + """
+    SELECT v.doc_id, v.sentiment
+    FROM vader_doc v
+    """,
+    doc="U1 full-parity path: VADER heuristics (negation windows, "
+    "booster/dampener coefficients, ALL-CAPS and punctuation emphasis, "
+    "but-clause reweighting) as pure column algebra over the frozen "
+    "lexicon. Parity: reddit_consumer.py:90-99 / Hutto & Gilbert 2014.",
+)
+def doc_sentiment_vader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_vader_sentiment(docs).select("doc_id", "sentiment")
+
+
+@register(
+    "vader_sentiment_cases",
+    oracle=vader_doc_sql(
+        source_sql="SELECT * FROM (VALUES "
+        + ", ".join(
+            "({}, {})".format(
+                i, "CAST(NULL AS VARCHAR)" if t is None
+                else "'" + t.replace("'", "''") + "'"
+            )
+            for i, t in _VADER_CASES
+        )
+        + ") AS t(doc_id, text)"
+    )
+    + """
+    SELECT v.doc_id AS case_id, v.sentiment
+    FROM vader_doc v
+    """,
+    doc="Constructed per-heuristic VADER fixture: each row isolates one "
+    "rule (negation flip, booster, caps, punctuation, but-clause) so the "
+    "hash check proves the rule fires, not just that totals agree.",
+)
+def vader_sentiment_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = spark.createDataFrame(_VADER_CASES, "doc_id int, text string")
+    return (
+        with_vader_sentiment(rows)
+        .select(F.col("doc_id").alias("case_id"), "sentiment")
     )
 
 
