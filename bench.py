@@ -140,7 +140,9 @@ def main() -> None:
     # throughput — what actually extrapolates to a cluster — not one-time
     # driver-side compilation.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+    # normpath: a trailing-slash/unnormalized $SPARK_GRAFT_SF_DIR spelling of
+    # the warm dir itself must not warm-run the timed dataset.
+    if os.path.isdir(warm_dir) and os.path.normpath(warm_dir) != os.path.normpath(sf_dir):
         for name in HEADLINE:
             try:
                 run_noop(specs[name].fn(spark, warm_dir))

@@ -185,9 +185,16 @@ _GRAMS_SQL = rf"""
 """
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, rn, g) — 5-gram at token position rn (1-based)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _doc_grams(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    """(doc_id, rn, g) — 5-gram at token position rn (1-based).
+
+    Pass a pre-filtered ``docs`` frame to bound the expansion: the 5-gram
+    transform+explode is the expensive part, so callers that only need a
+    subset (e.g. the benchmark side below) filter BEFORE expanding rather
+    than expanding the whole corpus twice.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
     # Materialize toks in its own projection: referencing the split inside
     # the transform lambda re-runs the regex per element (see dedup.shingle_rows).
@@ -225,9 +232,14 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set is broadcast — the 100 TB corpus side never shuffles for the join",
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gram = _doc_grams(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    gram = _doc_grams(spark, sf_dir, docs)
+    # Benchmark side expands only every 13th doc (filter BEFORE the 5-gram
+    # explode): the corpus-wide expansion runs exactly once, instead of the
+    # full gram frame being computed for both join inputs.
     bench = (
-        gram.filter((F.col("doc_id") % 13 == 0) & (F.col("rn") <= BENCH_PREFIX - NGRAM + 1))
+        _doc_grams(spark, sf_dir, docs.filter(F.col("doc_id") % 13 == 0))
+        .filter(F.col("rn") <= BENCH_PREFIX - NGRAM + 1)
         .select("g")
         .distinct()
     )
