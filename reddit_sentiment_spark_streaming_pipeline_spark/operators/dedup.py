@@ -47,6 +47,13 @@ from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
 JACCARD_THRESHOLD = 0.5
 HAMMING_THRESHOLD = 8
+# Cap on docs per LSH (band, hash) bucket before the quadratic pair
+# expansion. A pathological bucket (millions of byte-identical docs) would
+# otherwise expand O(n²) pairs on one reducer; capping keeps the per-bucket
+# cost at C(cap, 2) while exact dedup upstream is the principled fix for
+# byte-identical floods. The smallest `cap` doc_ids are kept (sorted slice),
+# so the choice is deterministic and identical in the DuckDB oracle.
+MAX_LSH_BUCKET = 64
 
 # ---------------------------------------------------------------- corpus
 
@@ -189,9 +196,15 @@ _CAND_SQL = f"""
         sig AS (SELECT doc_id, {_SIG_COLS} FROM shv GROUP BY doc_id),
         bands AS (SELECT doc_id, {_BAND_COLS} FROM sig),
         bl AS ({_BANDS_LONG}),
+        blc AS (
+            SELECT bi, bh,
+                   unnest(list_slice(list_sort(list(doc_id)), 1, {MAX_LSH_BUCKET}))
+                       AS doc_id
+            FROM bl GROUP BY bi, bh
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bl a JOIN bl b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+            FROM blc a JOIN blc b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
         )
 """
 
@@ -230,15 +243,21 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     # combinations inside the bucket array — ONE shuffle of the band table,
     # where the equivalent self-join shuffles it twice and needs a third
     # shuffle to dedup. Bucket arrays are small by construction (a bucket ∝
-    # one near-dup cluster); a production run on organic data would cap
-    # pathological buckets (millions of byte-identical docs) before the
-    # quadratic expansion — the same cap the self-join formulation needs,
-    # since both land a hot key on one reducer.
+    # one near-dup cluster); MAX_LSH_BUCKET caps pathological buckets before
+    # the quadratic expansion, and the `lsh_bucket_cap` observed metric
+    # (CollectMetrics — no extra job) reports how many pairs were dropped.
     grp = (
         bl.groupBy("bi", "bh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    full = F.size("ds")
+    kept = F.least(full, F.lit(MAX_LSH_BUCKET))
+    grp = grp.observe(
+        "lsh_bucket_cap",
+        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
+        F.max(full).alias("max_bucket_docs"),
+    ).select(F.slice("ds", 1, MAX_LSH_BUCKET).alias("ds"))
     return (
         grp.select(
             F.explode(
@@ -275,12 +294,14 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     pair (broadcast semi-join — the candidate doc set is small ∝ true
     near-dups), then rolled up to ONE array row per candidate doc. Each
     pair's intersection is a single `array_intersect` over two ~doc-sized
-    arrays instead of a shingle⋈shingle shuffle join: the whole verify is
-    two broadcast joins of the per-doc array table (bounded by candidates
-    × doc size, the same bound that makes the pair broadcast safe), and
-    its cost scales with the duplicate rate, not the corpus size. At
-    cluster scale with a huge candidate set, the same plan degrades
-    gracefully to two shuffle joins keyed on doc id — still linear.
+    arrays instead of a shingle⋈shingle shuffle join, so verify cost
+    scales with the duplicate rate, not the corpus size. The broadcast of
+    the per-doc array table is GATED on the measured candidate-doc count
+    (nearly free: the pair list is already checkpointed): broadcast hints
+    are always honored (AQE never demotes them), and at a high duplicate
+    rate the array table is candidates × doc-sized arrays — far bigger
+    than the pair list — so past the gate the join falls back to a
+    shuffle-hash hint keyed on doc id (no sort, linear, no OOM risk).
     """
     # The pair list is referenced three times below (both sides of the
     # cand_docs union + the final join); without a materialization each
@@ -294,16 +315,25 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # ~50k docs × ~5 KB shingle arrays ≈ 250 MB: the most we'd ever want
+    # executor-resident per join side.
+    n_cand = cand_docs.count()
+    small = n_cand <= 50_000
+    # persist: docsets feeds both join inputs below; recomputing it means
+    # re-shingling the corpus twice. Not unpersisted here (the returned
+    # frame is lazy and still needs it) — eviction relies on Spark's LRU
+    # block manager plus the bench harness's clearCache() between queries.
     docsets = (
         sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("shs"))
         .select("doc_id", "shs", F.size("shs").alias("sz"))
     ).persist()
-    sa = F.broadcast(docsets.select(
+    hint = F.broadcast if small else (lambda d: d.hint("shuffle_hash"))
+    sa = hint(docsets.select(
         F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs"), F.col("sz").alias("a_sz")
     ))
-    sb = F.broadcast(docsets.select(
+    sb = hint(docsets.select(
         F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs"), F.col("sz").alias("b_sz")
     ))
     nint = F.size(F.array_intersect("a_shs", "b_shs"))

@@ -54,3 +54,37 @@ def test_simhash_chunks_are_16bit(spark, sf_dir):
     ).first()
     for c in range(4):
         assert 0 <= mm[f"lo{c}"] and mm[f"hi{c}"] <= 65535
+
+
+def test_lsh_bucket_cap_bounds_pathological_buckets(spark):
+    # 1,000 byte-identical docs: every doc lands in the same bucket in every
+    # band. Uncapped that expands C(1000,2)=499,500 pairs on one reducer;
+    # the cap keeps the smallest MAX_LSH_BUCKET doc ids per bucket, so the
+    # candidate count is exactly C(cap, 2).
+    n = 1000
+    corpus = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("identical text repeated across every single document here").alias("text"),
+    )
+    cand = dd.minhash_candidates(corpus)
+    cap = dd.MAX_LSH_BUCKET
+    assert cand.count() == cap * (cap - 1) // 2
+    # every surviving pair is among the kept (smallest) doc ids
+    assert cand.agg(F.max("doc_b")).first()[0] < cap
+
+
+def test_lsh_cap_does_not_bind_on_normal_corpus(spark, sf_dir):
+    # On the organic corpus every bucket is far below the cap, so capped and
+    # effectively-uncapped candidate sets are identical (the r2 hash must
+    # not change).
+    import reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup as dmod
+
+    orig = dmod.MAX_LSH_BUCKET
+    cand_capped = dd.minhash_candidates(dd.dedup_corpus(spark, sf_dir)).toPandas()
+    try:
+        dmod.MAX_LSH_BUCKET = 1_000_000
+        cand_raw = dd.minhash_candidates(dd.dedup_corpus(spark, sf_dir)).toPandas()
+    finally:
+        dmod.MAX_LSH_BUCKET = orig
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].values.tolist()))
+    assert key(cand_capped) == key(cand_raw)
