@@ -576,7 +576,7 @@ _KMEANS_SQL = f"""
     cent1 AS (
         SELECT cid, list(e.v ORDER BY e.pos) AS cv
         FROM (
-            SELECT a.cid, u.pos, avg(u.v) AS v
+            SELECT a.cid, u.pos, round(avg(u.v), 9) AS v
             FROM assign1 a
             JOIN c USING (vec_id),
             LATERAL (SELECT unnest(c.ce) AS v, generate_subscripts(c.ce, 1) AS pos) u
@@ -595,7 +595,7 @@ _KMEANS_SQL = f"""
     cent2 AS (
         SELECT cid, list(e.v ORDER BY e.pos) AS cv
         FROM (
-            SELECT a.cid, u.pos, avg(u.v) AS v
+            SELECT a.cid, u.pos, round(avg(u.v), 9) AS v
             FROM assign2 a
             JOIN c USING (vec_id),
             LATERAL (SELECT unnest(c.ce) AS v, generate_subscripts(c.ce, 1) AS pos) u
@@ -624,6 +624,9 @@ _KMEANS_SQL = f"""
 )
 def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # persist: every Lloyd iteration's assignment joins back to c. Not
+    # unpersisted (the returned frame is lazy and still references it) —
+    # eviction relies on the LRU block manager / bench clearCache().
     c = spread(emb.select("vec_id", as_double("embedding").alias("ce"))).persist()
     cent = c.filter(
         F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)
@@ -657,7 +660,11 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             assign.join(c, "vec_id")
             .select("cid", F.posexplode("ce").alias("pos", "v"))
             .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("v"))
+            # round(…, 9): Spark and DuckDB aggregate in different orders, so
+            # unrounded centroid components can differ by an ulp and flip a
+            # downstream argmin near a distance tie — rounding both engines'
+            # components makes every later comparison exact-by-construction
+            .agg(F.round(F.avg("v"), 9).alias("v"))
             .groupBy("cid")
             .agg(
                 F.transform(

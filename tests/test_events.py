@@ -39,3 +39,29 @@ def test_event_stats_plan_is_single_shuffle(spark, sf_dir):
     # one aggregate pipeline, no join, partial agg present (map-side combine)
     assert "Exchange" in plan
     assert "Join" not in plan
+
+
+def test_event_stats_approx_within_hll_tolerance(spark, sf_dir):
+    # approx_count_distinct defaults to rsd=0.05; HLL++ error is
+    # approximately Gaussian with that relative std-dev, so 3×rsd bounds
+    # the estimate for any non-adversarial input. This is the tolerance
+    # check the rows-only driver gate can't express.
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: r.unique_users
+        for r in ev_ops.event_stats_approx(spark, sf_dir).collect()
+    }
+    ev = ev_ops.valid_events(load_table(spark, sf_dir, "events"))
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    rsd = 0.05
+    for et, n_exact in exact.items():
+        assert abs(approx[et] - n_exact) <= max(3 * rsd * n_exact, 1), (
+            et, approx[et], n_exact,
+        )
