@@ -7,16 +7,31 @@ The streaming sinks (foreachBatch parquet fan-out, retention) live in
   then applies to every dashboard recency query for free.
 - K4 done natively: the reference rode ``df.toPandas().to_sql`` through
   SQLAlchemy (reddit_consumer.py:330-338), collecting every batch to the
-  driver; ``write_jdbc`` is the executor-parallel JDBC writer. No JDBC
-  driver jar ships in this environment, so it is config-only here and
-  verified by construction in tests.
+  driver; ``jdbc_writer`` is the executor-parallel JDBC writer. Executed
+  end-to-end against embedded Apache Derby (already on Spark's classpath),
+  both as the oracle-checked ``jdbc_roundtrip_orders`` query and as the
+  per-batch streaming append test. Embedded Derby is single-JVM (right for
+  local[...]); a cluster deployment points the same writer at a networked
+  database URL.
 - K5: console sink (``reddit_consumer.py:243,387,435``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+
+# Pure-Java embedded driver shipped in Spark's own jars dir (derbytools).
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def derby_url(db_path: str) -> str:
+    """Embedded-Derby JDBC URL, creating the database on first boot."""
+    return f"jdbc:derby:{db_path};create=true"
 
 
 def write_partitioned_parquet(df: DataFrame, path: str, ts_col: str = "ts",
@@ -55,6 +70,50 @@ def jdbc_writer(df: DataFrame, url: str, table: str, mode: str = "append",
     for k, v in properties.items():
         writer = writer.option(k, str(v))
     return writer
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **properties) -> DataFrame:
+    """Read a JDBC table back (the verification half of K4)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+@register(
+    "jdbc_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="K4 executed end-to-end: per-priority order summary written to an "
+    "embedded Derby table via the executor-parallel native JDBC writer "
+    "(no toPandas round trip — parity: reddit_consumer.py:330-338), then "
+    "read back over JDBC; the oracle checks the values survived the trip",
+)
+def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    db = os.path.join(
+        "/tmp", "spark_graft_derby", os.path.basename(os.path.normpath(sf_dir))
+    )
+    url = derby_url(db)
+    jdbc_writer(
+        agg, url, "order_priority_summary", mode="overwrite", driver=DERBY_DRIVER
+    ).save()
+    return read_jdbc(spark, url, "order_priority_summary").orderBy("o_orderpriority")
 
 
 def show_console(df: DataFrame, n: int = 20, truncate: bool = False) -> None:

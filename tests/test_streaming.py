@@ -198,3 +198,39 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     b = batch.sort_values(key, ignore_index=True)
     assert g[["user_id", "purchase_id", "c_ts"]].equals(b[["user_id", "purchase_id", "c_ts"]])
     assert (g.click_value - b.click_value).abs().max() < 1e-9
+
+
+def test_jdbc_streaming_append_roundtrip(spark, sf_dir, tmp_path):
+    # K4 in its reference role (reddit_consumer.py:330-338): every
+    # micro-batch appends to a real database over native JDBC (embedded
+    # Derby — on Spark's classpath), executors writing directly with no
+    # toPandas collect. Exactly-once here comes from the parquet
+    # checkpoint driving the batches; the JDBC append itself is
+    # at-least-once per batch, same as the reference.
+    from reddit_sentiment_spark_streaming_pipeline_spark import sinks as sk
+
+    replay_dir, n_rows = _replay(spark, sf_dir, tmp_path, n_chunks=3)
+    url = sk.derby_url(str(tmp_path / "derby_stream_db"))
+
+    def to_jdbc(batch_df, batch_id):
+        sk.jdbc_writer(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            url, "events_stream", mode="append", driver=sk.DERBY_DRIVER,
+        ).save()
+
+    q = (
+        read_replay_stream(spark, replay_dir)
+        .writeStream.foreachBatch(to_jdbc)
+        .option("checkpointLocation", str(tmp_path / "ckpt_jdbc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = sk.read_jdbc(spark, url, "events_stream")
+    assert back.count() == n_rows
+    assert back.select("batch_id").distinct().count() >= 2  # really micro-batched
+    # values survive the round trip, not just the row count
+    src_sum = spark.read.parquet(replay_dir).agg(F.sum("value")).first()[0]
+    assert abs(back.agg(F.sum("value")).first()[0] - src_sum) < 1e-6
