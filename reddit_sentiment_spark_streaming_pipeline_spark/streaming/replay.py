@@ -11,45 +11,60 @@ standardizes on (Kafka in production, files in tests).
 from __future__ import annotations
 
 import os
+import time
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
 
-def write_replay_chunks(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5) -> int:
-    """Split `events` into n ts-ordered parquet chunk files (one per
-    micro-batch when replayed with maxFilesPerTrigger=1). Returns row count.
+def _order_files_by_name(out_dir: str, suffix: str) -> int:
+    """Stamp strictly increasing mtimes in filename order.
+
+    The file stream source replays files oldest-mtime-first; a parallel
+    write gives every part file the same mtime, which would leave replay
+    order to listing luck — and out-of-ts-order chunks would advance the
+    watermark early and drop the remaining chunks as late. Filename order
+    IS range-partition order, so monotonic mtimes pin replay to ts order.
     """
-    os.makedirs(out_dir, exist_ok=True)
-    pdf = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
-    chunk = (len(pdf) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        part = pdf.iloc[i * chunk : (i + 1) * chunk]
-        if len(part):
-            # pandas yields ns-precision timestamps, which parquet stores as
-            # INT64(NANOS) — Spark reads those as BIGINT; coerce to µs
-            pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
-                           os.path.join(out_dir, f"chunk_{i:04d}.parquet"),
-                           coerce_timestamps="us", allow_truncated_timestamps=True)
-    return len(pdf)
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(suffix))
+    base = time.time() - len(files)
+    for k, fn in enumerate(files):
+        os.utime(os.path.join(out_dir, fn), (base + k, base + k))
+    return len(files)
+
+
+def write_replay_chunks(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5) -> int:
+    """Split `events` into n ts-range parquet chunks (one micro-batch each
+    when replayed with maxFilesPerTrigger=1). Returns the row count.
+
+    Fully distributed: repartitionByRange samples ts boundaries and writes
+    every chunk from the executors — nothing is collected to the driver, so
+    the same call works when `events` is a 100 TB table (the old
+    toPandas() fixture writer OOMed the driver past test scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    (
+        ev.repartitionByRange(n_chunks, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    _order_files_by_name(out_dir, ".parquet")
+    return n
 
 
 def write_wire_chunks(wire_df, out_dir: str, n_chunks: int = 4) -> int:
     """Split a wire frame (`value: string`, JSON lines) into n text chunk
     files — the replayable stand-in for the producer's TCP stream. Returns
-    the line count."""
-    os.makedirs(out_dir, exist_ok=True)
-    lines = [r.value for r in wire_df.collect()]
-    chunk = (len(lines) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        part = lines[i * chunk : (i + 1) * chunk]
-        if part:
-            with open(os.path.join(out_dir, f"chunk_{i:04d}.txt"), "w") as f:
-                f.write("\n".join(part) + "\n")
-    return len(lines)
+    the line count. Distributed write: executors emit the chunk files
+    directly (round-robin split; wire order across chunks is arbitrary,
+    like TCP delivery across reconnects)."""
+    n = wire_df.count()
+    wire_df.repartition(n_chunks).write.mode("overwrite").text(out_dir)
+    _order_files_by_name(out_dir, ".txt")
+    return n
 
 
 def read_wire_stream(spark: SparkSession, wire_dir: str,

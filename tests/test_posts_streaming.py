@@ -4,6 +4,7 @@ socket-source parity."""
 from __future__ import annotations
 
 import json
+import os
 import socket
 import threading
 import time
@@ -155,7 +156,8 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     wire_dir = str(tmp_path / "wire")
     write_wire_chunks(wire, wire_dir, n_chunks=3)
     import shutil
-    shutil.copy(f"{wire_dir}/chunk_0000.txt", f"{wire_dir}/chunk_0003.txt")
+    first = sorted(f for f in os.listdir(wire_dir) if f.endswith(".txt"))[0]
+    shutil.copy(os.path.join(wire_dir, first), os.path.join(wire_dir, "zz_replayed.txt"))
 
     q = (
         deduped_posts_stream(read_wire_stream(spark, wire_dir))
