@@ -1,0 +1,109 @@
+"""10× scale rehearsal for the dedup/ANN suite.
+
+Synthesizes a documents/embeddings fixture ~10× the given sf dir (default
+sf0.1 → "sf1") in /tmp, runs the three heaviest corpus queries at both
+scales, and prints ONE JSON line with the observed scaling factors.
+
+Replicas are perturbed so the duplicate RATE stays realistic instead of
+exploding: every word in replica k is prefixed `r{k}-`, so replicas share
+zero 3-gram shingles with each other (not near-dups), while the synthetic
+dup construction inside each query (every 10th/7th doc) still scales
+linearly. Embeddings get deterministic per-replica jitter for the same
+reason. Everything is generated and written by executors — no driver
+collect — so the same script is the rehearsal you'd run at sf100.
+
+Pass criteria (VERDICT r2 item 8): ≤ ~12× time at 10× data, no OOM.
+
+Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from reddit_sentiment_spark_streaming_pipeline_spark import registry  # noqa: E402
+from reddit_sentiment_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+
+REPLICAS = 10
+QUERIES = ["minhash_near_dups", "dedup_clusters", "ivf_ann_topk"]
+
+
+def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rep = spark.range(REPLICAS).select(F.col("id").cast("int").alias("k"))
+
+    big_docs = docs.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("k") * 10_000).alias("doc_id"),
+        F.when(F.col("k") == 0, F.col("text")).otherwise(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", r"\s+"),
+                    lambda w: F.concat(F.lit("r"), F.col("k"), F.lit("-"), w),
+                ),
+            )
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    big_emb = emb.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("k") * 10_000).alias("vec_id"),
+        F.when(F.col("k") == 0, F.col("embedding")).otherwise(
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + ((F.col("k") * 31 + i) % 7).cast("float") * F.lit(0.013),
+            )
+        ).alias("embedding"),
+        "label",
+    )
+    big_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    big_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def time_queries(spark, specs, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in QUERIES:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_rehearsal_sf1"
+    spark = get_spark("scale-rehearsal")
+    specs = registry.load_all()
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    build_fixture(spark, sf_dir, out_dir)
+
+    # warm codegen on the small scale first (same reasoning as bench.py)
+    base = time_queries(spark, specs, sf_dir)
+    base = time_queries(spark, specs, sf_dir)  # second run = warm floor
+    big = time_queries(spark, specs, out_dir)
+
+    print(json.dumps({
+        "rehearsal": "dedup_ann_10x",
+        "replicas": REPLICAS,
+        "base_sec": base,
+        "big_sec": big,
+        "scaling_x": {
+            q: (round(big[q] / base[q], 2) if base[q] else None) for q in QUERIES
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
