@@ -124,6 +124,51 @@ def wire_posts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posts.select("type", "subreddit", "id", "text_length", "created_time", "author")
 
 
+def _vader_wire_oracle() -> str:
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import vader_doc_sql
+
+    survivors = (
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 97 <> 0 AND text IS NOT NULL AND text <> '' "
+        "AND length(text) > 10"
+    )
+    return (
+        vader_doc_sql(source_sql=survivors)
+        + """
+    SELECT d.source                   AS subreddit,
+           count(*)                   AS post_count,
+           round(avg(v.sentiment), 6) AS avg_sentiment
+    FROM vader_doc v JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+    )
+
+
+@register(
+    "wire_posts_vader",
+    oracle=_vader_wire_oracle(),
+    doc="The reference consumer's headline analytics with REAL VADER "
+    "semantics: wire JSON parse → filter → per-post compound sentiment "
+    "(negation/boosters/caps/punctuation, reddit_consumer.py:90-99,308) → "
+    "per-subreddit average (reddit_consumer.py:356-389). Narrow per-row "
+    "scoring fused into the scan stage; one 5-row aggregate shuffle.",
+)
+def wire_posts_vader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import with_vader_sentiment
+
+    posts = parse_posts(synthetic_wire(spark, sf_dir))
+    return (
+        with_vader_sentiment(posts)
+        .groupBy("subreddit")
+        .agg(
+            F.count(F.lit(1)).alias("post_count"),
+            F.round(F.avg("sentiment"), 6).alias("avg_sentiment"),
+        )
+        .orderBy("subreddit")
+    )
+
+
 @register(
     "doc_source_stats",
     oracle="""
