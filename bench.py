@@ -28,6 +28,7 @@ HEADLINE = [
     "event_stats",               # flagship grouped agg (A4/A5/O2)
     "wire_posts_pipeline",       # JSON wire parse + filter + derive (P1-P3)
     "doc_sentiment",             # lexicon sentiment, built-in expressions (U1)
+    "doc_sentiment_vader",       # full VADER heuristics, column algebra (U1)
     "refs_rollup",               # regexp_extract_all + ROLLUP (F3-F6, A7/A8)
     "tfidf_topk",                # keyword query (§2.11)
     "q1_pricing_summary",        # heavy scan+agg at lineitem scale

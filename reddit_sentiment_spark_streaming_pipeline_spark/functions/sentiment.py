@@ -268,8 +268,8 @@ def with_vader_sentiment(df, text_col: str = "text", out: str = "sentiment"):
     the (CodegenFallback) higher-order functions each evaluate once per row.
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks_c, capd_c, but_c, vl_c, s_c = (
-        f"__{out}_toks", f"__{out}_capd", f"__{out}_but",
+    toks_c, lt_c, capd_c, but_c, vl_c, s_c = (
+        f"__{out}_toks", f"__{out}_lt", f"__{out}_capd", f"__{out}_but",
         f"__{out}_vlist", f"__{out}_s",
     )
     lex_map = F.create_map(*[F.lit(x) for kv in sorted(LEXICON.items()) for x in kv])
@@ -283,21 +283,26 @@ def with_vader_sentiment(df, text_col: str = "text", out: str = "sentiment"):
         ),
     )
     toks = F.col(toks_c)
+    # lowered tokens precomputed once: CodegenFallback lambdas get no
+    # common-subexpression elimination, so each lower() inside the valence
+    # lambda would otherwise re-run up to 4× per token
+    step = step.withColumn(lt_c, F.transform(toks, F.lower))
+    lt = F.col(lt_c)
     caps_cnt = F.size(F.filter(toks, _caps_pred))
     step = step.withColumn(
         capd_c, (caps_cnt > 0) & (caps_cnt < F.size(toks))
-    ).withColumn(but_c, F.array_position(F.transform(toks, F.lower), "but"))
+    ).withColumn(but_c, F.array_position(lt, "but"))
     cap_diff, but_pos = F.col(capd_c), F.col(but_c)
 
     def tok_valence(w: Column, i: Column) -> Column:
         p = i + F.lit(1)
-        v0 = F.coalesce(F.element_at(lex_map, F.lower(w)), F.lit(0.0))
+        v0 = F.coalesce(F.element_at(lex_map, F.element_at(lt, p)), F.lit(0.0))
         sign0 = F.when(v0 > 0, 1.0).when(v0 < 0, -1.0).otherwise(0.0)
         v = v0 + F.when(cap_diff & _caps_pred(w), sign0 * C_INCR).otherwise(0.0)
         negated = F.lit(False)
         for d in (1, 2, 3):
             prev = F.when(p > d, F.element_at(toks, p - F.lit(d)))
-            lp = F.lower(prev)
+            lp = F.when(p > d, F.element_at(lt, p - F.lit(d)))
             b = F.coalesce(F.element_at(boost_map, lp), F.lit(0.0))
             caps_b = F.when(cap_diff & _caps_pred(prev), C_INCR).otherwise(0.0)
             v = v + F.when(
@@ -328,7 +333,7 @@ def with_vader_sentiment(df, text_col: str = "text", out: str = "sentiment"):
     return (
         step.withColumn(
             out, F.when(col.isNull(), F.lit(0.0)).otherwise(compound)
-        ).drop(toks_c, capd_c, but_c, vl_c, s_c)
+        ).drop(toks_c, lt_c, capd_c, but_c, vl_c, s_c)
     )
 
 

@@ -158,6 +158,9 @@ def wire_posts_vader(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import with_vader_sentiment
 
     posts = parse_posts(synthetic_wire(spark, sf_dir))
+    # spread the CPU-dominant VADER scoring across all cores (the 1-file
+    # scan would otherwise pin the whole narrow pipeline to ~2 partitions)
+    posts = posts.repartition(spark.sparkContext.defaultParallelism)
     return (
         with_vader_sentiment(posts)
         .groupBy("subreddit")

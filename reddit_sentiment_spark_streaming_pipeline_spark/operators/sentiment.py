@@ -127,6 +127,11 @@ _VADER_CASES: list[tuple[int, str | None]] = [
 )
 def doc_sentiment_vader(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # The VADER valence expression is CPU-dominant (CodegenFallback
+    # higher-order fns); the 1-file scan would pin it to ~2 cores — one
+    # cheap shuffle of the raw docs spreads it across the cluster (same
+    # rule as dedup_corpus).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return with_vader_sentiment(docs).select("doc_id", "sentiment")
 
 
