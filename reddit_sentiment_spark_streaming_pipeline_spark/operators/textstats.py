@@ -406,3 +406,77 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+# -------------------------------------------------------- sequence packing
+
+PACK_BUDGET = 512   # tokens per packed training sequence
+PACK_SHARDS = 16    # parallel packing lanes per source
+
+
+@register(
+    "sequence_packing",
+    oracle=rf"""
+    WITH counted AS (
+        SELECT doc_id, source,
+               doc_id % {PACK_SHARDS} AS shard,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> w <> '')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, shard, n_tokens,
+               CAST(floor((sum(n_tokens) OVER w - n_tokens) * 1.0
+                          / {PACK_BUDGET}) AS BIGINT) AS bin
+        FROM counted
+        WINDOW w AS (PARTITION BY source, shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT source, shard, bin,
+           count(*)                                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)                 AS n_tokens,
+           round(sum(n_tokens) * 1.0 / {PACK_BUDGET}, 6) AS fill
+    FROM packed
+    GROUP BY source, shard, bin
+    ORDER BY source, shard, bin
+    """,
+    doc="Sequence packing for training: docs are concatenated in "
+    "deterministic order and cut into fixed token-budget bins via a "
+    "prefix-sum window (bin = floor(tokens_before / budget); a doc "
+    "spanning a boundary counts toward its starting bin, so fill can "
+    "exceed 1). Packing runs in independent (source, shard) lanes — the "
+    "ordered prefix sum never becomes a global sort, and at 100 TB you "
+    "raise PACK_SHARDS to match the cluster, keeping every lane's window "
+    "partition-local",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = counted.select(
+        "source",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+        .alias("bin"),
+    )
+    return (
+        packed.groupBy("source", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(PACK_BUDGET), 6).alias("fill"),
+        )
+        .orderBy("source", "shard", "bin")
+    )

@@ -71,3 +71,25 @@ def test_metadata_query_prunes_payload_column(spark, sf_dir, tmp_path):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "payload" not in read_schema, f"payload column not pruned: {read_schema}"
     assert "n_bytes" in read_schema and "mime" in read_schema
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+        PACK_BUDGET,
+        sequence_packing,
+        token_stats,
+    )
+
+    packed = sequence_packing(spark, sf_dir).toPandas()
+    total = token_stats(spark, sf_dir).agg(F.sum("n_tokens")).first()[0]
+    # every token lands in exactly one bin
+    assert packed.n_tokens.sum() == total
+    # tolerance, not equality: Spark rounds HALF_UP, numpy half-even, and
+    # n/512 lands exactly on .xxx5 boundaries
+    assert (packed.fill - packed.n_tokens / PACK_BUDGET).abs().max() <= 5.1e-7
+    # bins are contiguous from 0 within each (source, shard) lane
+    for (_, _), lane in packed.groupby(["source", "shard"]):
+        bins = sorted(lane.bin.tolist())
+        assert bins[0] == 0
+        assert all(b2 - b1 <= 1 for b1, b2 in zip(bins, bins[1:]))
