@@ -346,6 +346,28 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+# CTE-composable form of the verify step: ends with `near(doc_a, doc_b,
+# jaccard)` so downstream queries (split_leakage_pairs) can keep joining.
+_JACCARD_VERIFY_SQL_CTE = f"""
+        shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS nint
+            FROM cand c
+            JOIN shd x ON x.doc_id = c.doc_a
+            JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        near AS (
+            SELECT i.doc_a, i.doc_b,
+                   round(i.nint * 1.0 / (sa.sz + sb.sz - i.nint), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.nint * 1.0 / (sa.sz + sb.sz - i.nint) >= {JACCARD_THRESHOLD}
+        ),
+"""
+
 _JACCARD_VERIFY_SQL = """
         shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
         sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
@@ -655,4 +677,70 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("lab").alias("cluster_rep"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("cluster_rep")
+    )
+
+
+# --------------------------------------------------- cross-split leakage
+
+_SPLIT_SQL = """
+        SELECT doc_id,
+               CASE
+                   WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM corpus
+"""
+
+
+@register(
+    "split_leakage_pairs",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    {_JACCARD_VERIFY_SQL_CTE}
+    splits AS ({_SPLIT_SQL})
+    SELECT least(pa.split, pb.split)    AS split_a,
+           greatest(pa.split, pb.split) AS split_b,
+           count(*)                     AS n_pairs,
+           round(avg(n.jaccard), 6)     AS avg_jaccard
+    FROM near n
+    JOIN splits pa ON pa.doc_id = n.doc_a
+    JOIN splits pb ON pb.doc_id = n.doc_b
+    GROUP BY least(pa.split, pb.split), greatest(pa.split, pb.split)
+    ORDER BY split_a, split_b
+    """,
+    doc="Train/test leakage audit: near-dup pairs crossed with the "
+    "content-hash split assignment. Exact duplicates can never leak "
+    "across hash splits (same text → same bucket by construction), but "
+    "NEAR-dups differ in text and do — every (split_a, split_b) row with "
+    "split_a <> split_b is benchmark contamination a naive pipeline "
+    "ships. Rides the full LSH pipeline + two broadcast joins of the "
+    "3-row-per-doc split table: no new shuffle beyond minhash_near_dups",
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    sh = shingle_rows(corpus).distinct().persist()
+    near = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh)
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    splits = corpus.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    pa = splits.select(F.col("doc_id").alias("a_doc"), F.col("split").alias("sa"))
+    pb = splits.select(F.col("doc_id").alias("b_doc"), F.col("split").alias("sb"))
+    return (
+        near.join(pa, F.col("a_doc") == F.col("doc_a"))
+        .join(pb, F.col("b_doc") == F.col("doc_b"))
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
     )

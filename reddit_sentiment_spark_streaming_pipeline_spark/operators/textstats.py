@@ -480,3 +480,59 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard", "bin")
     )
+
+
+# ------------------------------------------------------- mixture weights
+
+
+@register(
+    "mixture_weights",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> w <> '')) AS n_tokens
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM agg)
+    SELECT source,
+           n_tokens,
+           round(n_tokens * 1.0 / t, 6)                 AS actual_share,
+           round(1.0 / k, 6)                            AS target_share,
+           round((1.0 / k) / (n_tokens * 1.0 / t), 6)   AS weight
+    FROM agg CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Domain-mixture reweighting: per-source token share vs a uniform "
+    "target mixture, and the sampling weight (target/actual) that achieves "
+    "it — the knob a training run turns to up/down-sample domains. One "
+    "narrow token count + a |sources|-row aggregate; the grand total joins "
+    "back via broadcast",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select("source", F.size(tokens("text")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+    )
+    tot = agg.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    actual = F.col("n_tokens") / F.col("t")
+    target = F.lit(1.0) / F.col("k")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / actual, 6).alias("weight"),
+        )
+        .orderBy("source")
+    )
