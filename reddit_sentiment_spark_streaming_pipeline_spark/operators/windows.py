@@ -143,6 +143,50 @@ def windowed_subreddit_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_sentiment_frame(posts).orderBy("window_start", "subreddit")
 
 
+def _windowed_vader_oracle() -> str:
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import vader_doc_sql
+
+    survivors = (
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 97 <> 0 AND text IS NOT NULL AND text <> '' "
+        "AND length(text) > 10"
+    )
+    return (
+        vader_doc_sql(source_sql=survivors)
+        + f"""
+    SELECT time_bucket(INTERVAL 10 MINUTE,
+                       make_timestamp(({_EPOCH_2024} + d.doc_id) * 1000000))
+               AS window_start,
+           d.source                   AS subreddit,
+           count(*)                   AS n_posts,
+           round(avg(v.sentiment), 6) AS avg_sentiment
+    FROM vader_doc v JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY window_start, subreddit
+    """
+    )
+
+
+@register(
+    "windowed_vader_sentiment",
+    oracle=_windowed_vader_oracle(),
+    doc="T2 × U1 composed: the wire pipeline scored with FULL VADER "
+    "semantics under real event-time tumbling windows — what the "
+    "reference's per-batch VADER average (reddit_consumer.py:356-366) "
+    "becomes with its unused WINDOW_SEC made real. Same plan shape as "
+    "windowed_subreddit_sentiment: narrow scoring fused into the scan, "
+    "one (window, subreddit) aggregate shuffle",
+)
+def windowed_vader_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import with_vader_sentiment
+
+    posts = parse_posts(synthetic_wire(spark, sf_dir))
+    posts = posts.repartition(posts.sparkSession.sparkContext.defaultParallelism)
+    return windowed_sentiment_frame(with_vader_sentiment(posts)).orderBy(
+        "window_start", "subreddit"
+    )
+
+
 @register(
     "session_windows",
     oracle="""

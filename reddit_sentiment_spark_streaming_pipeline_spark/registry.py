@@ -84,7 +84,7 @@ _SHOWCASE_ORDER = [
     # --- new in r3 ---
     "doc_sentiment_vader", "vader_sentiment_cases", "wire_posts_vader",
     "jdbc_roundtrip_orders", "sequence_packing", "split_leakage_pairs",
-    "mixture_weights",
+    "mixture_weights", "windowed_vader_sentiment",
     # --- proven r1-only: give them a fresh window slot ---
     "event_time_range", "event_avg_value", "value_time_correlation",
     "value_mad_by_type", "doc_source_stats", "avg_sentiment_global",
