@@ -14,9 +14,16 @@ times a subset of it; ``tests/`` assert per-operator semantics on top.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import importlib
+import importlib.util
+import json
+import os
+import re
+import sys
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +36,7 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str = ""
+    module: str = field(default="", compare=False)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -61,64 +69,123 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc, module=fn.__module__
+        )
         return fn
 
     return deco
 
 
-# Presentation order: any prefix of the registry spans every operator
-# family, so a harness that samples or time-caps a prefix of `queries()`
-# still exercises the full breadth of the engine.  Rotation policy per
-# round: queries with no driver-verified CORRECTNESS pass yet go FIRST
-# (the driver checks a 50-query prefix window); queries already proven
-# green in an earlier round's CORRECTNESS_r*.json rotate toward the back.
-# Names not listed keep registration order after these.
-_SHOWCASE_ORDER = [
-    # --- never driver-verified before r3: front of the window ---
-    "pii_redaction", "pii_prevalence_by_lang", "benchmark_contamination",
-    "filter_funnel", "media_metadata_stats", "media_features",
-    "media_frame_samples", "stratified_sample_counts",
-    "hash_split_assignment", "bpe_token_counts", "doc_fingerprints",
-    "url_domain_stats", "ivf_cluster_sizes", "label_centroid_norms",
-    # --- new in r3 ---
-    "doc_sentiment_vader", "vader_sentiment_cases", "wire_posts_vader",
-    "jdbc_roundtrip_orders", "sequence_packing", "split_leakage_pairs",
-    "mixture_weights", "windowed_vader_sentiment",
-    # --- proven r1-only: give them a fresh window slot ---
-    "event_time_range", "event_avg_value", "value_time_correlation",
-    "value_mad_by_type", "doc_source_stats", "avg_sentiment_global",
-    "membership_filter", "top3_event_types", "top_suppliers_revenue",
-    "order_count_histogram", "status_priority_cube",
-    "set_ops_customer_cohorts", "dedup_survivor_stats",
-    "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash_fingerprints",
-    "embedding_norms", "lsh_bucket_histogram",
-    # --- proven r2: representative spread fills the rest of the window ---
-    "event_stats", "event_parse_filter_derive", "scalar_function_matrix",
-    "wire_posts_pipeline", "doc_sentiment", "refs_rollup", "tfidf_topk",
-    "tfidf_topk_mlpipe", "rolling_sentiment_band", "window_function_matrix",
-    "windowed_event_counts", "session_windows", "q1_pricing_summary",
-    "supplier_running_revenue", "asof_purchase_click",
-    "range_join_error_context", "exact_dup_groups", "minhash_near_dups",
-    "simhash_near_dups", "dedup_clusters", "cosine_topk", "ivf_ann_topk",
-    "ann_recall_eval", "kmeans_refined_clusters", "token_stats",
-    "quality_scores", "repetition_stats",
-    # --- remainder (all proven): keep deterministic order past the window ---
-    "salted_event_stats", "value_percentiles", "wire_quality_report",
-    "doc_sentiment_udf", "avg_sentiment_by_lang", "refs_extract",
-    "tfidf_word_stats", "dedup_keep_last", "timeframe_filter",
-    "union_dedup_activity", "latest_event", "grouping_sets_order_stats",
-    "sliding_window_avg", "windowed_subreddit_sentiment",
-    "regional_customer_value", "customers_with_orders_semi",
-    "customers_without_orders_anti", "nation_customer_supplier_full_outer",
-    "priority_status_pivot", "sql_surface_order_priorities",
-    "embedding_near_dups", "ann_lsh_topk", "lang_id_scores",
-]
+# --- staleness-aware presentation order -----------------------------------
+#
+# The driver's correctness gate samples a 50-query prefix of `queries()`
+# each round, so the prefix must always hold the queries most in need of
+# (re-)verification.  Instead of a hand-maintained list, the order is
+# computed from two inputs:
+#
+#   * CORRECTNESS_r*.json (repo root, driver-written): the most recent
+#     round each query had a green row.
+#   * tools/fingerprints.json (checked in, maintained by
+#     tools/update_fingerprints.py): the sha256 of each query's defining
+#     module *as of the code that green row actually verified*.
+#
+# A query is STALE when its module's current sha256 differs from the
+# fingerprint — i.e. the implementation (or its embedded oracle SQL)
+# changed after the last driver check.  Sort: never-verified first, then
+# stale (oldest green round first), then fresh (oldest green round first),
+# registration order as the tiebreak.  This guarantees any query modified
+# since its last green row sorts into the driver's window.
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_FINGERPRINTS_PATH = os.path.join(_REPO_ROOT, "tools", "fingerprints.json")
+
+_ORDER_CACHE: list[str] | None = None
+
+
+def _row_is_green(row: dict) -> bool:
+    """Driver row counts as verified: full hash match, or the by-design
+    rows-only check for oracle-less queries."""
+    if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def last_green_rounds() -> dict[str, int]:
+    """query name -> most recent round with a green driver row."""
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _row_is_green(row):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def module_sha(module_name: str) -> str | None:
+    """sha256 of the module's current source file (covers both the query
+    implementation and its embedded oracle SQL)."""
+    mod = sys.modules.get(module_name)
+    path = getattr(mod, "__file__", None)
+    if path is None:
+        try:
+            spec = importlib.util.find_spec(module_name)
+            path = spec.origin if spec else None
+        except (ImportError, ValueError):
+            path = None
+    if not path or not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def showcase_order(
+    registry: dict[str, QuerySpec] | None = None,
+    fingerprints: dict | None = None,
+    greens: dict[str, int] | None = None,
+) -> list[str]:
+    """Deterministic presentation order: never-verified, then stale, then
+    fresh; within each group oldest-green first, registration order ties."""
+    reg = registry if registry is not None else _REGISTRY
+    if greens is None:
+        greens = last_green_rounds()
+    if fingerprints is None:
+        try:
+            with open(_FINGERPRINTS_PATH) as f:
+                fingerprints = json.load(f)
+        except (OSError, ValueError):
+            fingerprints = {}
+    sha_cache: dict[str, str | None] = {}
+
+    def key(item):
+        i, (name, spec) = item
+        rnd = greens.get(name)
+        if rnd is None:
+            return (0, 0, i)  # never driver-verified
+        fp = fingerprints.get(name)
+        if spec.module not in sha_cache:
+            sha_cache[spec.module] = module_sha(spec.module)
+        cur = sha_cache[spec.module]
+        if fp is None or cur is None or fp.get("sha256") != cur:
+            return (1, rnd, i)  # verified, but code changed since: stale
+        return (2, rnd, i)  # fresh: proven on current code
+
+    return [name for _, (name, _) in sorted(enumerate(reg.items()), key=key)]
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent) and return the registry,
-    ordered so any prefix covers every operator family."""
+    ordered so the driver's 50-query prefix window always holds the
+    queries most in need of (re-)verification."""
+    global _ORDER_CACHE
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -127,9 +194,9 @@ def load_all() -> dict[str, QuerySpec]:
             # *target* module being absent, not its broken imports.
             if mod not in str(e):
                 raise
-    out = {n: _REGISTRY[n] for n in _SHOWCASE_ORDER if n in _REGISTRY}
-    out.update((n, s) for n, s in _REGISTRY.items() if n not in out)
-    return out
+    if _ORDER_CACHE is None or set(_ORDER_CACHE) != set(_REGISTRY):
+        _ORDER_CACHE = showcase_order()
+    return {n: _REGISTRY[n] for n in _ORDER_CACHE}
 
 
 def get(name: str) -> QuerySpec:

@@ -1,0 +1,116 @@
+"""Maintain tools/fingerprints.json for the staleness-aware showcase order.
+
+fingerprints.json maps each driver-verified query to the sha256 of its
+defining module's source *as of the code its last green CORRECTNESS row
+actually verified*.  `registry.showcase_order()` compares those shas with
+the current tree: a mismatch means the implementation (or embedded oracle
+SQL) changed after the last driver check, so the query rotates back into
+the driver's 50-query verification window.
+
+Modes
+-----
+default (update): for every query green in the LATEST CORRECTNESS_r{N}.json,
+    record {round: N, sha256: sha(current module file)}.  Run this at round
+    start, BEFORE editing code — the tree then equals the code the driver
+    just verified (the driver commits the tree before verifying).
+
+--bootstrap: reconstruct history from git.  For each query, find its most
+    recent green round and hash the module file at that round's results
+    commit (``round N: verdict/...``), via ``git show``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from reddit_sentiment_spark_streaming_pipeline_spark import registry  # noqa: E402
+
+FP_PATH = os.path.join(_REPO, "tools", "fingerprints.json")
+
+
+def _round_commits() -> dict[int, str]:
+    """round number -> results-commit hash (``round N: ...`` commits)."""
+    out = {}
+    log = subprocess.run(
+        ["git", "log", "--all", "--format=%H %s"],
+        cwd=_REPO, capture_output=True, text=True, check=True,
+    ).stdout
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+):", subject)
+        if m:
+            out.setdefault(int(m.group(1)), sha)
+    return out
+
+
+def _module_relpath(module_name: str) -> str:
+    mod = sys.modules[module_name]
+    return os.path.relpath(mod.__file__, _REPO)
+
+
+def bootstrap() -> dict:
+    commits = _round_commits()
+    greens = registry.last_green_rounds()
+    specs = registry.load_all()
+    fps = {}
+    for name, rnd in sorted(greens.items()):
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        commit = commits.get(rnd)
+        if commit is None:
+            continue
+        rel = _module_relpath(spec.module)
+        blob = subprocess.run(
+            ["git", "show", f"{commit}:{rel}"],
+            cwd=_REPO, capture_output=True, check=True,
+        ).stdout
+        fps[name] = {
+            "round": rnd,
+            "module": spec.module,
+            "sha256": hashlib.sha256(blob).hexdigest(),
+        }
+    return fps
+
+
+def update() -> dict:
+    try:
+        with open(FP_PATH) as f:
+            fps = json.load(f)
+    except (OSError, ValueError):
+        fps = {}
+    greens = registry.last_green_rounds()
+    latest = max(greens.values(), default=0)
+    specs = registry.load_all()
+    for name, rnd in sorted(greens.items()):
+        if rnd != latest:
+            continue
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        fps[name] = {
+            "round": rnd,
+            "module": spec.module,
+            "sha256": registry.module_sha(spec.module),
+        }
+    return fps
+
+
+def main() -> None:
+    fps = bootstrap() if "--bootstrap" in sys.argv else update()
+    with open(FP_PATH, "w") as f:
+        json.dump(fps, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {len(fps)} fingerprints -> {FP_PATH}")
+
+
+if __name__ == "__main__":
+    main()
