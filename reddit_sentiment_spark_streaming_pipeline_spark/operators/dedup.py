@@ -286,6 +286,25 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(dedup_corpus(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
 
+# DataFrames persisted by the verify path that outlive query construction
+# (the returned frames are lazy and still reference them). Long-lived
+# sessions that run many dedup queries should call release_verify_caches()
+# after collecting results; one-shot harnesses get the same effect from
+# spark.catalog.clearCache().
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def release_verify_caches() -> int:
+    """Unpersist every cached intermediate left behind by the Jaccard
+    verify path. Call AFTER collecting results from the returned frames
+    (minhash_near_dups / dedup_clusters / split_leakage_pairs); returns
+    the number of frames released."""
+    n = len(_LIVE_PERSISTS)
+    while _LIVE_PERSISTS:
+        _LIVE_PERSISTS.pop().unpersist()
+    return n
+
+
 def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs. ``sh`` must be
     SET-shingles — (doc_id, shingle) with distinct rows.
@@ -308,7 +327,10 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     # reference re-runs the whole upstream MinHash candidate pipeline —
     # measured 3× the candidate cost per action at sf0.1. The pair set is
     # tiny (∝ true near-dups), so an eager localCheckpoint is the right
-    # lineage cut (reliable checkpoint on a lossy cluster).
+    # lineage cut (reliable checkpoint on a lossy cluster). NOTE: this
+    # makes plan construction eager (it runs the candidate pipeline); the
+    # persisted intermediates it leaves behind are tracked in
+    # _LIVE_PERSISTS — see release_verify_caches().
     pairs = pairs.localCheckpoint()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -320,15 +342,18 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     n_cand = cand_docs.count()
     small = n_cand <= 50_000
     # persist: docsets feeds both join inputs below; recomputing it means
-    # re-shingling the corpus twice. Not unpersisted here (the returned
-    # frame is lazy and still needs it) — eviction relies on Spark's LRU
-    # block manager plus the bench harness's clearCache() between queries.
+    # re-shingling the corpus twice. It cannot be unpersisted here (the
+    # returned frame is lazy and still needs it), so it is tracked in
+    # _LIVE_PERSISTS for release_verify_caches(); absent that call,
+    # eviction relies on Spark's LRU block manager plus the bench
+    # harness's clearCache() between queries.
     docsets = (
         sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("shs"))
         .select("doc_id", "shs", F.size("shs").alias("sz"))
     ).persist()
+    _LIVE_PERSISTS.append(docsets)
     hint = F.broadcast if small else (lambda d: d.hint("shuffle_hash"))
     sa = hint(docsets.select(
         F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs"), F.col("sz").alias("a_sz")
@@ -402,6 +427,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and Jaccard verification; distinct+persist pays the dedup shuffle once
     # and caches the smaller deduped rows (MEMORY_AND_DISK, LRU-evicted).
     sh = shingle_rows(dedup_corpus(spark, sf_dir)).distinct().persist()
+    _LIVE_PERSISTS.append(sh)
     cand = minhash_candidates_from_shingles(sh)
     return _jaccard_on_pairs(cand, sh).orderBy("doc_a", "doc_b")
 
@@ -605,6 +631,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup_corpus(spark, sf_dir)
     sh = shingle_rows(corpus).distinct().persist()
+    _LIVE_PERSISTS.append(sh)
     pairs = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh).select(
         "doc_a", "doc_b"
     )
@@ -720,6 +747,7 @@ _SPLIT_SQL = """
 def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup_corpus(spark, sf_dir)
     sh = shingle_rows(corpus).distinct().persist()
+    _LIVE_PERSISTS.append(sh)
     near = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh)
     bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
     splits = corpus.select(

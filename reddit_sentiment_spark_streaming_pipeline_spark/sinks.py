@@ -19,6 +19,7 @@ The streaming sinks (foreachBatch parquet fan-out, retention) live in
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,8 +107,14 @@ def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+    # Keyed per-process: embedded Derby boot-locks a database to ONE JVM,
+    # so a shared path would make concurrent harness runs (bench + pytest
+    # on the same sf dir) fail with XSDB6; tempdir keeps the side effect
+    # out of the repo.
     db = os.path.join(
-        "/tmp", "spark_graft_derby", os.path.basename(os.path.normpath(sf_dir))
+        tempfile.gettempdir(),
+        f"spark_graft_derby_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
     )
     url = derby_url(db)
     jdbc_writer(

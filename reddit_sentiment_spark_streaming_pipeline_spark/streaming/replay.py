@@ -59,10 +59,25 @@ def write_wire_chunks(wire_df, out_dir: str, n_chunks: int = 4) -> int:
     """Split a wire frame (`value: string`, JSON lines) into n text chunk
     files — the replayable stand-in for the producer's TCP stream. Returns
     the line count. Distributed write: executors emit the chunk files
-    directly (round-robin split; wire order across chunks is arbitrary,
-    like TCP delivery across reconnects)."""
+    directly.
+
+    Chunks are range-partitioned on the payload's `created_utc` (like
+    write_replay_chunks on `ts`) so replay order is event-time order: a
+    round-robin split would make every watermarked consumer depend on the
+    watermark delay exceeding the fixture's full event-time spread, and
+    silently drop rows the moment a fixture outgrows the default."""
+    from pyspark.sql import functions as F
+
     n = wire_df.count()
-    wire_df.repartition(n_chunks).write.mode("overwrite").text(out_dir)
+    cu = F.get_json_object("value", "$.created_utc").cast("double")
+    (
+        wire_df.withColumn("_cu", F.coalesce(cu, F.lit(0.0)))
+        .repartitionByRange(n_chunks, "_cu")
+        .sortWithinPartitions("_cu")
+        .select("value")
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
     _order_files_by_name(out_dir, ".txt")
     return n
 

@@ -42,8 +42,14 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     rep = spark.range(REPLICAS).select(F.col("id").cast("int").alias("k"))
 
-    big_docs = docs.crossJoin(rep).select(
-        (F.col("doc_id") + F.col("k") * 10_000).alias("doc_id"),
+    # Replica id stride = max(id)+1, joined in as a broadcast scalar: a
+    # hard-coded stride would silently collide ids (duplicate doc_ids)
+    # on any base fixture whose ids exceed it — e.g. sf100.
+    doc_stride = docs.agg((F.max("doc_id") + 1).alias("_stride"))
+    emb_stride = emb.agg((F.max("vec_id") + 1).alias("_stride"))
+
+    big_docs = docs.crossJoin(F.broadcast(doc_stride)).crossJoin(rep).select(
+        (F.col("doc_id") + F.col("k") * F.col("_stride")).alias("doc_id"),
         F.when(F.col("k") == 0, F.col("text")).otherwise(
             F.concat_ws(
                 " ",
@@ -55,8 +61,8 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
         ).alias("text"),
         "lang", "source", "n_chars",
     )
-    big_emb = emb.crossJoin(rep).select(
-        (F.col("vec_id") + F.col("k") * 10_000).alias("vec_id"),
+    big_emb = emb.crossJoin(F.broadcast(emb_stride)).crossJoin(rep).select(
+        (F.col("vec_id") + F.col("k") * F.col("_stride")).alias("vec_id"),
         F.when(F.col("k") == 0, F.col("embedding")).otherwise(
             F.transform(
                 "embedding",
