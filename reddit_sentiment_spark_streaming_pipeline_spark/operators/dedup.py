@@ -306,8 +306,14 @@ def release_verify_caches() -> int:
 
 
 def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs. ``sh`` must be
-    SET-shingles — (doc_id, shingle) with distinct rows.
+    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs over RAW
+    (doc_id, shingle) rows — duplicates allowed; set semantics are applied
+    here, AFTER pruning. A corpus-wide ``distinct()`` upstream would
+    shuffle every shingle string across the cluster even though the
+    MinHash signature aggregate is duplicate-insensitive; instead the
+    collect_set below dedups only the candidate docs' shingles, inside
+    the one aggregate the verify already pays (the DuckDB oracle has
+    always had this shape — DISTINCT at the verify CTE, raw upstream).
 
     The shingle table is first pruned to docs that appear in a candidate
     pair (broadcast semi-join — the candidate doc set is small ∝ true
@@ -350,7 +356,7 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     docsets = (
         sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shs"))
+        .agg(F.collect_set("shingle").alias("shs"))
         .select("doc_id", "shs", F.size("shs").alias("sz"))
     ).persist()
     _LIVE_PERSISTS.append(docsets)
@@ -423,10 +429,11 @@ _JACCARD_VERIFY_SQL = """
     "scalable near-dup pipeline (verification cost ∝ candidates)",
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Set-shingles feed both LSH banding (min-agg is duplicate-insensitive)
-    # and Jaccard verification; distinct+persist pays the dedup shuffle once
-    # and caches the smaller deduped rows (MEMORY_AND_DISK, LRU-evicted).
-    sh = shingle_rows(dedup_corpus(spark, sf_dir)).distinct().persist()
+    # RAW shingles feed both LSH banding (min-agg is duplicate-insensitive)
+    # and Jaccard verification (which applies set semantics after pruning
+    # to candidate docs): no corpus-wide distinct shuffle. persist pays
+    # shingling (the dominant CPU) once for both consumers.
+    sh = shingle_rows(dedup_corpus(spark, sf_dir)).persist()
     _LIVE_PERSISTS.append(sh)
     cand = minhash_candidates_from_shingles(sh)
     return _jaccard_on_pairs(cand, sh).orderBy("doc_a", "doc_b")
@@ -630,7 +637,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup_corpus(spark, sf_dir)
-    sh = shingle_rows(corpus).distinct().persist()
+    sh = shingle_rows(corpus).persist()
     _LIVE_PERSISTS.append(sh)
     pairs = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh).select(
         "doc_a", "doc_b"
@@ -746,7 +753,7 @@ _SPLIT_SQL = """
 )
 def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup_corpus(spark, sf_dir)
-    sh = shingle_rows(corpus).distinct().persist()
+    sh = shingle_rows(corpus).persist()
     _LIVE_PERSISTS.append(sh)
     near = _jaccard_on_pairs(minhash_candidates_from_shingles(sh), sh)
     bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
