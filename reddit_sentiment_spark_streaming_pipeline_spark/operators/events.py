@@ -114,17 +114,38 @@ def event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_stats_approx",
-    oracle=None,  # HLL++ sketch result — not SQL-reproducible bit-for-bit
+    oracle="""
+    SELECT event_type,
+           count(*)                 AS post_count,
+           count(DISTINCT user_id)  AS exact_users,
+           TRUE                     AS approx_within_tol,
+           round(avg(value), 6)     AS avg_length
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    GROUP BY event_type
+    HAVING count(*) > 0
+    ORDER BY post_count DESC, event_type
+    """,
     doc="A4 faithful variant: approx_count_distinct (HLL++), as the "
-    "reference uses at reddit_consumer.py:378; rows-only check",
+    "reference uses at reddit_consumer.py:378. The raw sketch estimate is "
+    "not SQL-reproducible bit-for-bit, so the frame emits a Spark-"
+    "evaluated tolerance boolean instead: |approx - exact| <= 3*rsd*exact "
+    "(rsd = 0.05, HLL++ error ~Gaussian, so 3*rsd bounds any "
+    "non-adversarial input). The oracle hard-codes TRUE — a sketch "
+    "estimate drifting out of tolerance hash-mismatches the driver row. "
+    "The exact distinct exists only to judge the sketch; the sketch "
+    "(mergeable, fixed-size) is what a 100 TB dashboard would ship.",
 )
 def event_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = valid_events(load_table(spark, sf_dir, "events"))
+    exact = F.count_distinct(F.col("user_id"))
+    approx = F.approx_count_distinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("post_count"),
-            F.approx_count_distinct("user_id").alias("unique_users"),
+            exact.alias("exact_users"),
+            (F.abs(approx - exact) <= 3 * 0.05 * exact).alias("approx_within_tol"),
             F.round(F.avg("value"), 6).alias("avg_length"),
         )
         .filter(F.col("post_count") > 0)
