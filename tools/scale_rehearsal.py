@@ -1,8 +1,11 @@
 """10× scale rehearsal for the dedup/ANN suite.
 
 Synthesizes a documents/embeddings fixture ~10× the given sf dir (default
-sf0.1 → "sf1") in /tmp, runs the three heaviest corpus queries at both
-scales, and prints ONE JSON line with the observed scaling factors.
+sf0.1 → "sf1") in /tmp, runs the heaviest corpus queries (dedup/ANN plus
+the contamination/PII path) at both scales, and prints ONE JSON line with
+the observed wall-clock AND shuffle-byte scaling factors — shuffle bytes
+are the direct evidence that broadcast sides stay broadcast-sized and
+nothing degenerates to a corpus-wide shuffle as data grows.
 
 Replicas are perturbed so the duplicate RATE stays realistic instead of
 exploding: every word in replica k is prefixed `r{k}-`, so replicas share
@@ -34,7 +37,29 @@ from reddit_sentiment_spark_streaming_pipeline_spark import registry  # noqa: E4
 from reddit_sentiment_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
 
 REPLICAS = 10
-QUERIES = ["minhash_near_dups", "dedup_clusters", "ivf_ann_topk"]
+QUERIES = [
+    "minhash_near_dups", "dedup_clusters", "ivf_ann_topk",
+    # contamination/PII path: the benchmark n-gram side must stay a
+    # KB-sized broadcast as the corpus grows — shuffle-bytes (recorded
+    # below) are the evidence; pii_redaction is plan-tested shuffle-free,
+    # so its delta should stay ~0 at BOTH scales.
+    "benchmark_contamination", "pii_redaction",
+]
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across all completed stages, from
+    the driver's AppStatusStore (same numbers the UI's stage table shows).
+    Diffing this around a query isolates that query's shuffle volume."""
+    sc = spark.sparkContext
+    gw = sc._gateway
+    jvm = gw.jvm
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
 
 
 def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
@@ -76,13 +101,17 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     big_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
-def time_queries(spark, specs, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, specs, sf_dir: str) -> dict[str, dict]:
     out = {}
     for name in QUERIES:
         spark.catalog.clearCache()
+        sb0 = shuffle_write_bytes(spark)
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        out[name] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "shuffle_mb": round((shuffle_write_bytes(spark) - sb0) / 1e6, 3),
+        }
     return out
 
 
@@ -103,10 +132,18 @@ def main() -> None:
     print(json.dumps({
         "rehearsal": "dedup_ann_10x",
         "replicas": REPLICAS,
-        "base_sec": base,
-        "big_sec": big,
+        "base": base,
+        "big": big,
         "scaling_x": {
-            q: (round(big[q] / base[q], 2) if base[q] else None) for q in QUERIES
+            q: (round(big[q]["sec"] / base[q]["sec"], 2) if base[q]["sec"] else None)
+            for q in QUERIES
+        },
+        "shuffle_scaling_x": {
+            q: (
+                round(big[q]["shuffle_mb"] / base[q]["shuffle_mb"], 2)
+                if base[q]["shuffle_mb"] > 0.001 else None
+            )
+            for q in QUERIES
         },
     }))
 
