@@ -305,11 +305,14 @@ def release_verify_caches() -> int:
     return n
 
 
-def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact 3-gram Jaccard for given (doc_a, doc_b) pairs over RAW
-    (doc_id, shingle) rows — duplicates allowed; set semantics are applied
-    here, AFTER pruning. A corpus-wide ``distinct()`` upstream would
-    shuffle every shingle string across the cluster even though the
+def _pair_docset_join(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Join each candidate (doc_a, doc_b) pair with both docs' shingle-SET
+    arrays: columns (doc_a, doc_b, a_shs, a_sz, b_shs, b_sz). The shared
+    chassis of every set-overlap verify (Jaccard and containment).
+
+    Takes RAW (doc_id, shingle) rows — duplicates allowed; set semantics
+    are applied here, AFTER pruning. A corpus-wide ``distinct()`` upstream
+    would shuffle every shingle string across the cluster even though the
     MinHash signature aggregate is duplicate-insensitive; instead the
     collect_set below dedups only the candidate docs' shingles, inside
     the one aggregate the verify already pays (the DuckDB oracle has
@@ -367,19 +370,27 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     sb = hint(docsets.select(
         F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs"), F.col("sz").alias("b_sz")
     ))
-    nint = F.size(F.array_intersect("a_shs", "b_shs"))
-    jac = nint / (F.col("a_sz") + F.col("b_sz") - nint)
     return (
         pairs.join(sa, F.col("a_id") == F.col("doc_a"))
         .join(sb, F.col("b_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
+    )
+
+
+def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact 3-gram Jaccard over the candidate pairs (see
+    _pair_docset_join for the set-semantics and join-strategy story)."""
+    j = _pair_docset_join(pairs, sh)
+    nint = F.size(F.array_intersect("a_shs", "b_shs"))
+    jac = nint / (F.col("a_sz") + F.col("b_sz") - nint)
+    return (
+        j.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
-# CTE-composable form of the verify step: ends with `near(doc_a, doc_b,
-# jaccard)` so downstream queries (split_leakage_pairs) can keep joining.
-_JACCARD_VERIFY_SQL_CTE = f"""
+# CTE-composable overlap counting: shd/sizes/inter are shared by the
+# Jaccard and containment verifies.
+_PAIR_OVERLAP_SQL_CTE = """
         shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
         sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
         inter AS (
@@ -388,7 +399,12 @@ _JACCARD_VERIFY_SQL_CTE = f"""
             JOIN shd x ON x.doc_id = c.doc_a
             JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
             GROUP BY c.doc_a, c.doc_b
-        ),
+        )"""
+
+# Ends with `near(doc_a, doc_b, jaccard)` so downstream queries
+# (split_leakage_pairs) can keep joining.
+_JACCARD_VERIFY_SQL_CTE = f"""
+        {_PAIR_OVERLAP_SQL_CTE},
         near AS (
             SELECT i.doc_a, i.doc_b,
                    round(i.nint * 1.0 / (sa.sz + sb.sz - i.nint), 6) AS jaccard
@@ -399,16 +415,7 @@ _JACCARD_VERIFY_SQL_CTE = f"""
         ),
 """
 
-_JACCARD_VERIFY_SQL = """
-        shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS nint
-            FROM cand c
-            JOIN shd x ON x.doc_id = c.doc_a
-            JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-            GROUP BY c.doc_a, c.doc_b
-        )
+_JACCARD_VERIFY_SQL = _PAIR_OVERLAP_SQL_CTE + """
         SELECT i.doc_a, i.doc_b,
                round(i.nint * 1.0 / (sa.sz + sb.sz - i.nint), 6) AS jaccard
         FROM inter i
@@ -437,6 +444,55 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LIVE_PERSISTS.append(sh)
     cand = minhash_candidates_from_shingles(sh)
     return _jaccard_on_pairs(cand, sh).orderBy("doc_a", "doc_b")
+
+
+# A pair counts as a containment hit when either direction's containment
+# clears this; the exact-dup and suffix-tail constructions both hit 1.0.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    {_PAIR_OVERLAP_SQL_CTE}
+    SELECT i.doc_a, i.doc_b,
+           round(i.nint * 1.0 / sa.sz, 6) AS cont_a_in_b,
+           round(i.nint * 1.0 / sb.sz, 6) AS cont_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE greatest(i.nint * 1.0 / sa.sz, i.nint * 1.0 / sb.sz)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Asymmetric near-containment: C(A→B) = |A∩B| / |A| over 3-gram "
+    "shingle sets, for boilerplate/quote detection where Jaccard "
+    "under-scores a short doc swallowed by a long one. Rides the same "
+    "LSH candidate pipeline and per-pair array verify as "
+    "minhash_near_dups — no new shuffle, verify cost ∝ candidates. "
+    "Jaccard-tuned bands under-recall pairs with high containment but "
+    "low Jaccard (a short doc inside a much longer one); a production "
+    "containment pass re-bands with asymmetric LSH, which changes only "
+    "the candidate generator, not this verify.",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_rows(dedup_corpus(spark, sf_dir)).persist()
+    _LIVE_PERSISTS.append(sh)
+    j = _pair_docset_join(minhash_candidates_from_shingles(sh), sh)
+    nint = F.size(F.array_intersect("a_shs", "b_shs"))
+    ca = nint / F.col("a_sz")
+    cb = nint / F.col("b_sz")
+    return (
+        j.filter(F.greatest(ca, cb) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("cont_a_in_b"),
+            F.round(cb, 6).alias("cont_b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 @register(

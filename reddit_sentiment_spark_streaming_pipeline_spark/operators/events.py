@@ -287,6 +287,53 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(value, 0.9), 6)  AS p90_exact,
+           TRUE                                 AS p50_within_tol,
+           TRUE                                 AS p90_within_tol
+    FROM events
+    WHERE event_type <> 'error' AND value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="The 100 TB percentile path value_percentiles points at: "
+    "approx_percentile (KLL-style mergeable sketch, fixed size, "
+    "partial-aggregable — what a cluster dashboard actually ships), made "
+    "hash-checkable the same way as event_stats_approx. The sketch at "
+    "accuracy 10000 guarantees rank error <= 1e-4, so its value must lie "
+    "inside the exact [p-0.01, p+0.01] rank band; the frame emits that "
+    "verdict as a boolean and the oracle hard-codes TRUE — a sketch "
+    "drifting out of rank tolerance fails the driver's value hash.",
+)
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+
+    def exact(p: float):
+        return F.percentile("value", F.lit(p))
+
+    def approx(p: float):
+        return F.percentile_approx("value", F.lit(p), F.lit(10000))
+
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(exact(0.5), 6).alias("p50_exact"),
+            F.round(exact(0.9), 6).alias("p90_exact"),
+            ((approx(0.5) >= exact(0.49)) & (approx(0.5) <= exact(0.51))).alias(
+                "p50_within_tol"
+            ),
+            ((approx(0.9) >= exact(0.89)) & (approx(0.9) <= exact(0.91))).alias(
+                "p90_within_tol"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "value_time_correlation",
     oracle="""
     SELECT event_type,

@@ -536,3 +536,163 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- winnowing fingerprints (MOSS)
+
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash every
+# k-gram, slide a window of W consecutive hashes, keep each window's
+# minimum — guarantees any shared run of >= W + K - 1 tokens between two
+# docs shares at least one selected fingerprint, at ~1/W the storage of
+# all k-gram hashes. Substring-granular contamination detection where
+# doc-level MinHash is too coarse.
+WINNOW_K = 3   # tokens per k-gram
+WINNOW_W = 4   # k-gram hashes per winnowing window
+_WINNOW_MOD = 1_000_000_007
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=rf"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    kg AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS kgram,
+               row_number() OVER w AS rn
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, {WINNOW_K - 1}) OVER w IS NOT NULL
+    ),
+    hv AS (
+        SELECT doc_id, rn,
+               CAST('0x' || substr(md5(kgram), 1, 7) AS BIGINT) AS hv
+        FROM kg
+    ),
+    wm AS (
+        SELECT doc_id, rn, hv,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY rn
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+        FROM hv
+    )
+    SELECT doc_id,
+           count(*) AS n_kgrams,
+           count(DISTINCT CASE WHEN rn >= {WINNOW_W} THEN wmin END) AS n_fingerprints,
+           CAST(coalesce(sum(DISTINCT CASE WHEN rn >= {WINNOW_W} THEN wmin END), 0)
+                % {_WINNOW_MOD} AS BIGINT) AS fp_checksum
+    FROM wm GROUP BY doc_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer et al. 2003, the MOSS "
+    "algorithm): 28-bit hash per 3-token k-gram, min over each window of "
+    "4 consecutive hashes, distinct mins = the fingerprint set (emitted "
+    "as count + mod-p checksum — integer-exact in both engines). "
+    "Per-doc narrow pipeline: the window min partitions by doc_id, so "
+    "the only shuffle is the doc_id-keyed aggregate; fingerprint storage "
+    "is ~1/W of all k-gram hashes, the property that makes "
+    "substring-granular contamination indexes feasible at corpus scale.",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import hex28_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    kgrams = F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kg = docs.select(
+        "doc_id", F.posexplode(kgrams).alias("pos0", "kgram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("rn"),
+        F.expr(hex28_expr("kgram", "spark")).alias("hv"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("rn")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    wm = kg.select("doc_id", "rn", F.min("hv").over(w).alias("wmin"))
+    sel = F.when(F.col("rn") >= WINNOW_W, F.col("wmin"))
+    return wm.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        F.count_distinct(sel).alias("n_fingerprints"),
+        (F.coalesce(F.sum_distinct(sel), F.lit(0)) % _WINNOW_MOD)
+        .cast("bigint")
+        .alias("fp_checksum"),
+    )
+
+
+# --------------------------------------- unigram LM quality (CCNet-style)
+
+# Corpus-frequency language-model proxy: score each document by the mean
+# log-probability of its tokens under the corpus unigram distribution
+# (CCNet/Gopher-style quality signal — boilerplate scores high, gibberish
+# and OCR noise score low), plus the fraction of rare tokens.
+LOGPROB_TOP_K = 4096   # broadcast vocabulary size (head of the frequency table)
+LOGPROB_OOV_COUNT = 0.5  # pseudo-count for tokens outside the top-K
+RARE_MAX_COUNT = 2     # corpus count <= this => token counts as rare
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    vocab AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+    topk AS (SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT {LOGPROB_TOP_K}),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    scored AS (
+        SELECT t.doc_id,
+               round(ln(coalesce(k.cnt, {LOGPROB_OOV_COUNT}) / tot.n_total), 9) AS lp,
+               CASE WHEN coalesce(k.cnt, 0) <= {RARE_MAX_COUNT} THEN 1 ELSE 0 END AS is_rare
+        FROM tok t LEFT JOIN topk k USING (word) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)                                 AS n_tokens,
+           round(avg(lp), 6)                        AS mean_logprob,
+           round(sum(is_rare) * 1.0 / count(*), 6)  AS rare_ratio
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram language-model quality scores (CCNet-style): per-doc "
+    "mean token log-probability under the corpus unigram distribution, "
+    "plus rare-token ratio. Scale shape: the vocabulary is ONE "
+    "word-keyed aggregate; only its top-K head (fixed KB-size) is kept "
+    "and broadcast, so scoring is a broadcast-hash join over the token "
+    "stream — no token shuffle — with out-of-vocabulary tokens floored "
+    "at a pseudo-count, then one doc_id-keyed aggregate. Per-token "
+    "log-probs are rounded to 9 decimals in BOTH engines before "
+    "averaging (the kmeans centroid trick) so FP parity holds.",
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = vocab.orderBy(F.desc("cnt"), "word").limit(LOGPROB_TOP_K)
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(topk), "word", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.coalesce(F.col("cnt"), F.lit(LOGPROB_OOV_COUNT)) / F.col("n_total")), 9
+            ).alias("lp"),
+            (F.coalesce(F.col("cnt"), F.lit(0)) <= RARE_MAX_COUNT)
+            .cast("int")
+            .alias("is_rare"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        F.round(F.sum("is_rare") / F.count(F.lit(1)), 6).alias("rare_ratio"),
+    )

@@ -88,3 +88,23 @@ def test_lsh_cap_does_not_bind_on_normal_corpus(spark, sf_dir):
         dmod.MAX_LSH_BUCKET = orig
     key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].values.tolist()))
     assert key(cand_capped) == key(cand_raw)
+
+
+def test_containment_tail_construction_is_fully_contained(spark, sf_dir):
+    """Every 7th doc is re-added with a 3-token tail: the original's
+    shingle set is a strict subset of the variant's, so containment of
+    the original in the variant must be exactly 1.0 (and the variant in
+    the original strictly below 1)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import containment_pairs
+
+    rows = containment_pairs(spark, sf_dir).toPandas()
+    base = rows.doc_a < 1_000_000  # doc_a is an original, not a construction
+    tail_pairs = rows[base & (rows.doc_b == rows.doc_a + 2_000_000)]
+    assert len(tail_pairs) > 0
+    assert (tail_pairs.cont_a_in_b == 1.0).all()
+    assert (tail_pairs.cont_b_in_a < 1.0).all()
+    # exact-dup construction: containment 1.0 both directions
+    exact_pairs = rows[base & (rows.doc_b == rows.doc_a + 1_000_000)]
+    assert len(exact_pairs) > 0
+    assert (exact_pairs.cont_a_in_b == 1.0).all()
+    assert (exact_pairs.cont_b_in_a == 1.0).all()

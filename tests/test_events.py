@@ -64,3 +64,17 @@ def test_event_stats_approx_within_hll_tolerance(spark, sf_dir):
     assert set(rows) == set(exact)
     for et, n_exact in exact.items():
         assert rows[et].exact_users == n_exact
+
+
+def test_value_percentiles_approx_sketch_within_rank_band(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import (
+        value_percentiles,
+        value_percentiles_approx,
+    )
+
+    ap = value_percentiles_approx(spark, sf_dir).toPandas().set_index("event_type")
+    assert len(ap) > 0
+    assert ap.p50_within_tol.all() and ap.p90_within_tol.all()
+    ex = value_percentiles(spark, sf_dir).toPandas().set_index("event_type")
+    assert (ap.p50_exact == ex.loc[ap.index].p50).all()
+    assert (ap.p90_exact == ex.loc[ap.index].p90).all()

@@ -93,3 +93,40 @@ def test_sequence_packing_conserves_tokens(spark, sf_dir):
         bins = sorted(lane.bin.tolist())
         assert bins[0] == 0
         assert all(b2 - b1 <= 1 for b1, b2 in zip(bins, bins[1:]))
+
+
+def test_winnowing_exact_dups_share_fingerprints(spark, sf_dir):
+    """The MOSS guarantee, exercised end-to-end on the documents table:
+    identical token streams produce identical fingerprint sets, and the
+    fingerprint set is a genuine compression of the k-gram hashes."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(spark, sf_dir).toPandas().set_index("doc_id")
+    assert len(fps) > 0
+    full = fps[fps.n_kgrams >= WINNOW_W]
+    assert (full.n_fingerprints >= 1).all()
+    assert (full.n_fingerprints <= full.n_kgrams).all()
+    # winnowing keeps ~1/W of hashes: require real compression on docs
+    # long enough for the ratio to be meaningful
+    long = fps[fps.n_kgrams >= 10 * WINNOW_W]
+    if len(long):
+        assert (long.n_fingerprints <= long.n_kgrams * 0.8).all()
+
+
+def test_unigram_logprob_scores_semantics(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+        token_stats,
+        unigram_logprob_scores,
+    )
+
+    lp = unigram_logprob_scores(spark, sf_dir).toPandas().set_index("doc_id")
+    assert len(lp) > 0
+    # log-probs of a proper distribution are negative; ratios are shares
+    assert (lp.mean_logprob < 0).all()
+    assert lp.rare_ratio.between(0, 1).all()
+    # token accounting agrees with token_stats
+    ts = token_stats(spark, sf_dir).toPandas().set_index("doc_id")
+    assert (lp.n_tokens == ts.loc[lp.index].n_tokens).all()
