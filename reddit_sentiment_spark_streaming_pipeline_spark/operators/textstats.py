@@ -696,3 +696,117 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
         F.round(F.sum("is_rare") / F.count(F.lit(1)), 6).alias("rare_ratio"),
     )
+
+
+# Docs sharing >= this many selected fingerprints are overlap candidates.
+WINNOW_MIN_SHARED = 2
+# Cap on docs per fingerprint bucket before pair expansion (skew guard —
+# a boilerplate phrase everyone shares must not expand |docs|² pairs).
+WINNOW_BUCKET_CAP = 64
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle=rf"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    kg AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS kgram,
+               row_number() OVER w AS rn
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, {WINNOW_K - 1}) OVER w IS NOT NULL
+    ),
+    hv AS (
+        SELECT doc_id, rn,
+               CAST('0x' || substr(md5(kgram), 1, 7) AS BIGINT) AS hv
+        FROM kg
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY rn
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+        FROM hv
+        QUALIFY rn >= {WINNOW_W}
+    ),
+    buck AS (
+        SELECT fp,
+               unnest(list_slice(list_sort(list(doc_id)), 1, {WINNOW_BUCKET_CAP}))
+                   AS doc_id
+        FROM fp GROUP BY fp
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM buck a JOIN buck b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="The winnowing contamination INDEX in action: docs are paired by "
+    "equi-join on selected fingerprints (same shape as the LSH band "
+    "join — pairs ∝ genuinely shared substrings, never |docs|²), with a "
+    "shared-fingerprint count per pair. The MOSS guarantee makes this "
+    "recall-complete for shared token runs of >= W + K - 1; at corpus "
+    "scale the fingerprint table is ~1/W of all k-gram hashes and the "
+    "join key is a 28-bit int, not text. Ubiquitous-boilerplate "
+    "fingerprints are the skew hazard (one hot key → quadratic bucket), "
+    "so buckets are capped at the smallest WINNOW_BUCKET_CAP doc_ids "
+    "before expansion — the same deterministic cap as MAX_LSH_BUCKET, "
+    "identical in the oracle.",
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import hex28_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    kgrams = F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kg = docs.select(
+        "doc_id", F.posexplode(kgrams).alias("pos0", "kgram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("rn"),
+        F.expr(hex28_expr("kgram", "spark")).alias("hv"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("rn").rowsBetween(-(WINNOW_W - 1), 0)
+    fp = (
+        kg.select("doc_id", "rn", F.min("hv").over(w).alias("fp"))
+        .filter(F.col("rn") >= WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    # Bucket-group + capped expansion (the minhash_candidates shape): ONE
+    # shuffle of the fingerprint table, deterministic smallest-doc_id cap
+    # against boilerplate-fingerprint skew.
+    buck = (
+        fp.groupBy("fp")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, WINNOW_BUCKET_CAP).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = buck.select(
+        "fp",
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p"),
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -130,3 +130,20 @@ def test_unigram_logprob_scores_semantics(spark, sf_dir):
     # token accounting agrees with token_stats
     ts = token_stats(spark, sf_dir).toPandas().set_index("doc_id")
     assert (lp.n_tokens == ts.loc[lp.index].n_tokens).all()
+
+
+def test_winnowing_overlap_pairs_consistent_with_fingerprints(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+        WINNOW_MIN_SHARED,
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    pairs = winnowing_overlap_pairs(spark, sf_dir).toPandas()
+    fps = winnowing_fingerprints(spark, sf_dir).toPandas().set_index("doc_id")
+    assert (pairs.doc_a < pairs.doc_b).all()
+    assert (pairs.n_shared >= WINNOW_MIN_SHARED).all()
+    # a pair can share at most as many fingerprints as either doc has
+    for r in pairs.itertuples():
+        cap = min(fps.loc[r.doc_a].n_fingerprints, fps.loc[r.doc_b].n_fingerprints)
+        assert r.n_shared <= cap
