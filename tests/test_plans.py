@@ -196,3 +196,46 @@ def test_dedup_clusters_plan_is_lineage_cut(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "md5" not in plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_unigram_logprob_scores_never_shuffles_tokens(spark, sf_dir):
+    # The token stream must meet the vocabulary via broadcast: one
+    # BroadcastHashJoin (top-K head), no sort-merge join anywhere — at
+    # corpus scale a word-keyed shuffle of the token stream for scoring
+    # would dwarf the vocabulary aggregate itself.
+    plan = plan_of(spark, "unigram_logprob_scores", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_fingerprints_single_doc_keyed_shuffle(spark, sf_dir):
+    # Window-min partitions by doc_id and the final aggregate groups by
+    # doc_id: one exchange total. A second exchange would mean the window
+    # and the aggregate disagree on partitioning. (Counted on the physical
+    # tree string: explain("formatted") lists each node twice.)
+    df = registry.get("winnowing_fingerprints").fn(spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange") == 1
+
+
+def test_winnowing_overlap_uses_capped_bucket_expansion(spark, sf_dir):
+    # Pair discovery must be bucket-group + capped slice expansion (the
+    # LSH-candidate shape), not a fingerprint self-join: no SortMergeJoin
+    # and a slice() of the sorted bucket array in the plan.
+    plan = plan_of(spark, "winnowing_overlap_pairs", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "slice" in plan
+
+
+def test_release_verify_caches_clears_tracked_persists(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import dedup as dd
+
+    spark.catalog.clearCache()
+    dd._LIVE_PERSISTS.clear()
+    df = dd.minhash_near_dups(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    # the verify path registered its persisted intermediates...
+    assert len(dd._LIVE_PERSISTS) >= 2  # shingles + docsets
+    released = dd.release_verify_caches()
+    assert released >= 2
+    assert dd._LIVE_PERSISTS == []
