@@ -48,6 +48,8 @@ HEADLINE = [
     "pii_redaction",             # PII regex scan + redact (zero shuffle)
     "benchmark_contamination",   # n-gram overlap vs broadcast benchmark set
     "repetition_stats",          # repetition-based quality filter
+    "unigram_logprob_scores",    # unigram-LM quality (broadcast vocab head)
+    "winnowing_overlap_pairs",   # MOSS winnowing contamination index join
 ]
 
 

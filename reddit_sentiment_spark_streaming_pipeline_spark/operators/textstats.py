@@ -595,7 +595,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import hex28_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    # One cheap shuffle of the raw docs spreads the CPU-dominant kgram
+    # hashing across the cluster (the parquet scan is one file -> one or
+    # two partitions; same rationale as dedup_corpus).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens("text")
     kgrams = F.when(
         F.size(toks) >= WINNOW_K,
@@ -758,7 +763,9 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import hex28_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens("text")
     kgrams = F.when(
         F.size(toks) >= WINNOW_K,
