@@ -210,12 +210,15 @@ def test_unigram_logprob_scores_never_shuffles_tokens(spark, sf_dir):
 
 def test_winnowing_fingerprints_single_doc_keyed_shuffle(spark, sf_dir):
     # Window-min partitions by doc_id and the final aggregate groups by
-    # doc_id: one exchange total. A second exchange would mean the window
-    # and the aggregate disagree on partitioning. (Counted on the physical
-    # tree string: explain("formatted") lists each node twice.)
+    # doc_id: exactly one KEYED exchange. A second hashpartitioning would
+    # mean the window and the aggregate disagree on partitioning. (The
+    # round-robin exchange that spreads the single-file scan for kgram
+    # hashing is expected and keyless.) Counted on the physical tree
+    # string: explain("formatted") lists each node twice.
     df = registry.get("winnowing_fingerprints").fn(spark, sf_dir)
     tree = df._jdf.queryExecution().executedPlan().toString()
-    assert tree.count("Exchange") == 1
+    assert tree.count("Exchange hashpartitioning") == 1
+    assert tree.count("Exchange rangepartitioning") == 0
 
 
 def test_winnowing_overlap_uses_capped_bucket_expansion(spark, sf_dir):
