@@ -172,12 +172,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        # 1-minute load BEFORE this process's own burst is long gone, but
+        # it still flags runs that shared the box (numbers inflate 2-4x
+        # under host contention — interpret totals with this in view).
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
+        "load_avg_1m": load1,
     }))
 
 
