@@ -287,22 +287,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DataFrames persisted by the verify path that outlive query construction
-# (the returned frames are lazy and still reference them). Long-lived
-# sessions that run many dedup queries should call release_verify_caches()
-# after collecting results; one-shot harnesses get the same effect from
-# spark.catalog.clearCache().
-_LIVE_PERSISTS: list[DataFrame] = []
-
-
-def release_verify_caches() -> int:
-    """Unpersist every cached intermediate left behind by the Jaccard
-    verify path. Call AFTER collecting results from the returned frames
-    (minhash_near_dups / dedup_clusters / split_leakage_pairs); returns
-    the number of frames released."""
-    n = len(_LIVE_PERSISTS)
-    while _LIVE_PERSISTS:
-        _LIVE_PERSISTS.pop().unpersist()
-    return n
+# (the returned frames are lazy and still reference them) are registered
+# with the package-wide tracker (caching.py, shared with similarity.py);
+# long-lived sessions call release_verify_caches() after collecting
+# results. One-shot harnesses get the same effect from clearCache().
+from reddit_sentiment_spark_streaming_pipeline_spark.caching import (  # noqa: E402
+    _TRACKED as _LIVE_PERSISTS,
+    release_tracked as release_verify_caches,
+)
 
 
 def _pair_docset_join(pairs: DataFrame, sh: DataFrame) -> DataFrame:

@@ -25,6 +25,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -307,12 +308,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside a bucket is the quadratic part, so it gets one dot, not three.
     # Persisted: both self-join sides read this, and without the cache each
     # side recomputes bucket hashing + norm over the full table (2.1× cost).
-    c = spread(_dup_corpus(emb)).select(
+    c = track(spread(_dup_corpus(emb)).select(
         "vec_id",
         "ce",
         bucket_col(F.col("ce")).alias("bucket"),
         F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
-    ).persist()
+    ).persist())
     a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"),
                  "bucket", F.col("nrm").alias("na"))
     b = c.select(F.col("vec_id").alias("vec_b"), F.col("ce").alias("eb"),
@@ -624,10 +625,11 @@ _KMEANS_SQL = f"""
 )
 def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # persist: every Lloyd iteration's assignment joins back to c. Not
-    # unpersisted (the returned frame is lazy and still references it) —
-    # eviction relies on the LRU block manager / bench clearCache().
-    c = spread(emb.select("vec_id", as_double("embedding").alias("ce"))).persist()
+    # persist: every Lloyd iteration's assignment joins back to c. It
+    # cannot be unpersisted here (the returned frame is lazy and still
+    # references it), so it is registered with the package-wide tracker
+    # (caching.release_tracked).
+    c = track(spread(emb.select("vec_id", as_double("embedding").alias("ce"))).persist())
     cent = c.filter(
         F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)
     ).select((F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv"))
