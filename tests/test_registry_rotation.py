@@ -12,8 +12,13 @@ from reddit_sentiment_spark_streaming_pipeline_spark import registry
 WINDOW = 50
 
 
-def test_stale_queries_sort_inside_driver_window():
-    """Any query modified since its last green row is in the first 50."""
+def test_driver_window_holds_highest_priority_queries():
+    """The 50-query window must hold exactly the queries most in need of
+    verification: every never-verified query sorts inside it (as long as
+    there are fewer than 50), and no fresh (proven-on-current-code) query
+    may occupy a window slot while a stale one sits outside. When the
+    stale set itself exceeds the window, the ones left out must be the
+    most recently verified — the lowest-risk tail."""
     specs = registry.load_all()
     order = list(specs)
     greens = registry.last_green_rounds()
@@ -26,16 +31,38 @@ def test_stale_queries_sort_inside_driver_window():
     for name, spec in specs.items():
         if spec.module not in shas:
             shas[spec.module] = registry.module_sha(spec.module)
-    for name, spec in specs.items():
+
+    def status(name):
         rnd = greens.get(name)
+        if rnd is None:
+            return "never"
         fp = fps.get(name)
-        stale = rnd is None or fp is None or fp.get("sha256") != shas[spec.module]
-        if stale:
-            assert order.index(name) < WINDOW, (
-                f"{name} is stale (module {spec.module} changed since its "
-                f"last green round {rnd}) but sorts at {order.index(name)}, "
-                f"outside the driver's {WINDOW}-query window"
-            )
+        cur = shas[specs[name].module]
+        if fp is None or cur is None or fp.get("sha256") != cur:
+            return "stale"
+        return "fresh"
+
+    st = {name: status(name) for name in order}
+    never = [n for n in order if st[n] == "never"]
+    if len(never) <= WINDOW:
+        for n in never:
+            assert order.index(n) < WINDOW, f"never-verified {n} outside window"
+    inside, outside = order[:WINDOW], order[WINDOW:]
+    if any(st[n] != "fresh" for n in outside):
+        assert all(st[n] != "fresh" for n in inside), (
+            "fresh queries hold window slots while unverified ones sit "
+            f"outside: inside-fresh={[n for n in inside if st[n] == 'fresh']}, "
+            f"outside-unverified={[n for n in outside if st[n] != 'fresh']}"
+        )
+    # any stale query pushed out must have been verified no earlier than
+    # every stale query kept in (lowest-risk tail falls out)
+    stale_out = [greens[n] for n in outside if st[n] == "stale"]
+    stale_in = [greens[n] for n in inside if st[n] == "stale"]
+    if stale_out and stale_in:
+        assert max(stale_in) <= min(stale_out), (
+            f"a stale query verified round {min(stale_out)} fell outside "
+            f"while one verified round {max(stale_in)} stayed in"
+        )
 
 
 def test_tampered_fingerprint_rotates_query_forward():
@@ -53,7 +80,20 @@ def test_tampered_fingerprint_rotates_query_forward():
     fps_tampered[victim] = {**fps_tampered[victim], "sha256": "0" * 64}
     reordered = registry.showcase_order(fingerprints=fps_tampered)
     assert reordered.index(victim) < baseline.index(victim)
-    assert reordered.index(victim) < WINDOW
+    # it must now outrank every query still proven on current code
+    specs = registry.load_all()
+    shas = {}
+    for n, spec in specs.items():
+        shas.setdefault(spec.module, registry.module_sha(spec.module))
+    fresh = [
+        n
+        for n in reordered
+        if n != victim
+        and n in greens
+        and fps_tampered.get(n, {}).get("sha256") == shas[specs[n].module]
+    ]
+    if fresh:
+        assert reordered.index(victim) < min(reordered.index(n) for n in fresh)
 
 
 def test_order_is_deterministic_and_complete():
