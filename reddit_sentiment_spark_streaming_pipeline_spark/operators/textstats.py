@@ -728,7 +728,7 @@ WINNOW_BUCKET_CAP = 64
         FROM kg
     ),
     fp AS (
-        SELECT DISTINCT doc_id,
+        SELECT doc_id,
                min(hv) OVER (PARTITION BY doc_id ORDER BY rn
                              ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
         FROM hv
@@ -736,7 +736,7 @@ WINNOW_BUCKET_CAP = 64
     ),
     buck AS (
         SELECT fp,
-               unnest(list_slice(list_sort(list(doc_id)), 1, {WINNOW_BUCKET_CAP}))
+               unnest(list_slice(list_sort(list(DISTINCT doc_id)), 1, {WINNOW_BUCKET_CAP}))
                    AS doc_id
         FROM fp GROUP BY fp
     )
@@ -791,14 +791,15 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         kg.select("doc_id", "rn", F.min("hv").over(w).alias("fp"))
         .filter(F.col("rn") >= WINNOW_W)
         .select("doc_id", "fp")
-        .distinct()
     )
     # Bucket-group + capped expansion (the minhash_candidates shape): ONE
     # shuffle of the fingerprint table, deterministic smallest-doc_id cap
-    # against boilerplate-fingerprint skew.
+    # against boilerplate-fingerprint skew. (doc_id, fp) dedup — adjacent
+    # windows usually share their min, that's the compression — happens
+    # INSIDE the bucket aggregate (collect_set), not as its own shuffle.
     buck = (
         fp.groupBy("fp")
-        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, WINNOW_BUCKET_CAP).alias("ds"))
+        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1, WINNOW_BUCKET_CAP).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pairs = buck.select(
