@@ -147,3 +147,42 @@ def test_winnowing_overlap_pairs_consistent_with_fingerprints(spark, sf_dir):
     for r in pairs.itertuples():
         cap = min(fps.loc[r.doc_a].n_fingerprints, fps.loc[r.doc_b].n_fingerprints)
         assert r.n_shared <= cap
+
+
+def test_winnowing_moss_recall_guarantee_on_planted_runs(spark, tmp_path):
+    """The winnowing selection guarantee, end-to-end on a crafted corpus:
+    two docs sharing a long-enough common token run MUST share selected
+    fingerprints (Schleimer et al. 2003, Thm: any match of length
+    >= w + k - 1 is caught); docs with disjoint vocabulary share none."""
+    import pandas as pd
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_overlap_pairs,
+    )
+
+    # a shared run long enough to yield several shared window-minima
+    # (comfortably above the WINNOW_MIN_SHARED=2 reporting threshold)
+    run = " ".join(f"shared{i}" for i in range(4 * (WINNOW_W + WINNOW_K)))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma " + run + " delta epsilon",
+                "omega psi chi phi " + run + " upsilon tau",
+                # disjoint vocabulary: must share nothing with anyone
+                " ".join(f"lonely{i}" for i in range(60)),
+                " ".join(f"hermit{i}" for i in range(60)),
+            ],
+            "lang": ["en"] * 4,
+            "source": ["test"] * 4,
+            "n_chars": [0, 0, 0, 0],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    pairs = winnowing_overlap_pairs(spark, sf_dir).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    assert (1, 2) in found, f"planted shared run not recalled: {pairs}"
+    assert all(a not in (3, 4) and b not in (3, 4) for a, b in found), pairs
