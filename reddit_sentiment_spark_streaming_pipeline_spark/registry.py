@@ -87,12 +87,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   * CORRECTNESS_r*.json (repo root, driver-written): the most recent
 #     round each query had a green row.
 #   * tools/fingerprints.json (checked in, maintained by
-#     tools/update_fingerprints.py): the sha256 of each query's defining
-#     module *as of the code that green row actually verified*.
+#     tools/update_fingerprints.py): each query's per-query fingerprint
+#     (its own def block incl. the @register oracle + the module's shared
+#     helper code) *as of the code that green row actually verified*.
 #
-# A query is STALE when its module's current sha256 differs from the
-# fingerprint — i.e. the implementation (or its embedded oracle SQL)
-# changed after the last driver check.  Sort: never-verified first, then
+# A query is STALE when its current fingerprint differs from the stored
+# one — i.e. its implementation, its oracle, or a helper it rides on
+# changed after the last driver check.  Editing one query does not stale
+# its siblings; editing shared helpers conservatively stales the whole
+# module.  Sort: never-verified first, then
 # stale (oldest green round first), then fresh (oldest green round first),
 # registration order as the tiebreak.  This guarantees any query modified
 # since its last green row sorts into the driver's window.
@@ -133,6 +136,11 @@ def last_green_rounds() -> dict[str, int]:
 def module_sha(module_name: str) -> str | None:
     """sha256 of the module's current source file (covers both the query
     implementation and its embedded oracle SQL)."""
+    src = _module_source(module_name)
+    return None if src is None else hashlib.sha256(src.encode()).hexdigest()
+
+
+def _module_source(module_name: str) -> str | None:
     mod = sys.modules.get(module_name)
     path = getattr(mod, "__file__", None)
     if path is None:
@@ -143,8 +151,72 @@ def module_sha(module_name: str) -> str | None:
             path = None
     if not path or not os.path.exists(path):
         return None
-    with open(path, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def query_blocks(source: str) -> dict[str, str]:
+    """Map each @register-decorated function NAME in the module source to
+    its full source block (decorator call — which embeds the oracle SQL —
+    through the end of the def). Pure text + ast: needs no import, so the
+    same extraction runs on historical file contents from git."""
+    import ast
+
+    lines = source.splitlines(keepends=True)
+    out: dict[str, str] = {}
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return out
+    for node in tree.body:
+        if not isinstance(node, ast.FunctionDef) or not node.decorator_list:
+            continue
+        is_reg = any(
+            isinstance(d, ast.Call)
+            and getattr(d.func, "id", getattr(d.func, "attr", None)) == "register"
+            for d in node.decorator_list
+        )
+        if not is_reg:
+            continue
+        start = min(d.lineno for d in node.decorator_list) - 1
+        out[node.name] = "".join(lines[start : node.end_lineno])
+    return out
+
+
+def fingerprint_from_source(source: str, fn_name: str) -> str | None:
+    """Per-query staleness fingerprint over given module SOURCE: the
+    query's own block (decorator incl. oracle + def body) plus the
+    module's helper code (source minus every registered block). Editing
+    one query stales only that query; editing shared helpers/constants
+    conservatively stales the whole module — helpers feed behavior
+    without appearing in any block."""
+    blocks = query_blocks(source)
+    block = blocks.get(fn_name)
+    if block is None:
+        return None
+    helpers = source
+    for b in blocks.values():
+        helpers = helpers.replace(b, "", 1)
+    # normalize away blank-line residue: inserting or removing a sibling
+    # block must not change the helper hash via its surrounding newlines
+    helpers = "\n".join(ln for ln in helpers.splitlines() if ln.strip())
+    return hashlib.sha256((helpers + "\n===\n" + block).encode()).hexdigest()
+
+
+_FP_CACHE: dict[tuple[str, str], str | None] = {}
+
+
+def query_fingerprint(spec: QuerySpec) -> str | None:
+    key = (spec.module, spec.fn.__name__)
+    if key not in _FP_CACHE:
+        src = _module_source(spec.module)
+        fp = None
+        if src is not None:
+            fp = fingerprint_from_source(src, spec.fn.__name__)
+            if fp is None:  # fn not found as a top-level registered def
+                fp = module_sha(spec.module)
+        _FP_CACHE[key] = fp
+    return _FP_CACHE[key]
 
 
 def showcase_order(
@@ -163,17 +235,13 @@ def showcase_order(
                 fingerprints = json.load(f)
         except (OSError, ValueError):
             fingerprints = {}
-    sha_cache: dict[str, str | None] = {}
-
     def key(item):
         i, (name, spec) = item
         rnd = greens.get(name)
         if rnd is None:
             return (0, 0, i)  # never driver-verified
         fp = fingerprints.get(name)
-        if spec.module not in sha_cache:
-            sha_cache[spec.module] = module_sha(spec.module)
-        cur = sha_cache[spec.module]
+        cur = query_fingerprint(spec)
         if fp is None or cur is None or fp.get("sha256") != cur:
             return (1, rnd, i)  # verified, but code changed since: stale
         return (2, rnd, i)  # fresh: proven on current code

@@ -27,17 +27,12 @@ def test_driver_window_holds_highest_priority_queries():
             fps = json.load(f)
     except OSError:
         fps = {}
-    shas = {}
-    for name, spec in specs.items():
-        if spec.module not in shas:
-            shas[spec.module] = registry.module_sha(spec.module)
-
     def status(name):
         rnd = greens.get(name)
         if rnd is None:
             return "never"
         fp = fps.get(name)
-        cur = shas[specs[name].module]
+        cur = registry.query_fingerprint(specs[name])
         if fp is None or cur is None or fp.get("sha256") != cur:
             return "stale"
         return "fresh"
@@ -82,15 +77,13 @@ def test_tampered_fingerprint_rotates_query_forward():
     assert reordered.index(victim) < baseline.index(victim)
     # it must now outrank every query still proven on current code
     specs = registry.load_all()
-    shas = {}
-    for n, spec in specs.items():
-        shas.setdefault(spec.module, registry.module_sha(spec.module))
     fresh = [
         n
         for n in reordered
         if n != victim
         and n in greens
-        and fps_tampered.get(n, {}).get("sha256") == shas[specs[n].module]
+        and fps_tampered.get(n, {}).get("sha256")
+        == registry.query_fingerprint(specs[n])
     ]
     if fresh:
         assert reordered.index(victim) < min(reordered.index(n) for n in fresh)

@@ -57,6 +57,13 @@ def _module_relpath(module_name: str) -> str:
 
 
 def bootstrap() -> dict:
+    """Reconstruct every fingerprint from git: for each query, hash the
+    per-query (block + helpers) fingerprint of its module AS OF the
+    results commit of its last green round. Pure-text extraction
+    (registry.fingerprint_from_source), so no historical import is
+    needed. A query whose def didn't exist as a top-level registered
+    block at that commit gets the whole-file sha (conservatively stale
+    under the current scheme)."""
     commits = _round_commits()
     greens = registry.last_green_rounds()
     specs = registry.load_all()
@@ -73,10 +80,12 @@ def bootstrap() -> dict:
             ["git", "show", f"{commit}:{rel}"],
             cwd=_REPO, capture_output=True, check=True,
         ).stdout
+        src = blob.decode("utf-8")
+        fp = registry.fingerprint_from_source(src, spec.fn.__name__)
         fps[name] = {
             "round": rnd,
             "module": spec.module,
-            "sha256": hashlib.sha256(blob).hexdigest(),
+            "sha256": fp or hashlib.sha256(blob).hexdigest(),
         }
     return fps
 
@@ -99,9 +108,11 @@ def update() -> dict:
         fps[name] = {
             "round": rnd,
             "module": spec.module,
-            "sha256": registry.module_sha(spec.module),
+            "sha256": registry.query_fingerprint(spec),
         }
     return fps
+
+
 
 
 def main() -> None:
