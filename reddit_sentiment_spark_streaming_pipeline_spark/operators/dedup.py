@@ -827,3 +827,73 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@register(
+    "dedup_recall_eval",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    {_PAIR_OVERLAP_SQL_CTE},
+    lsh AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.nint * 1.0 / (sa.sz + sb.sz - i.nint) >= {JACCARD_THRESHOLD}
+    ),
+    tinter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS nint
+        FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM tinter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.nint * 1.0 / (sa.sz + sb.sz - i.nint) >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(count(*) AS BIGINT)                               AS n_true,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT)             AS n_lsh,
+           CAST(count(l.doc_a) AS BIGINT)                         AS n_hits,
+           round(count(l.doc_a) * 1.0 / count(*), 6)              AS recall,
+           round(count(l.doc_a) * 1.0
+                 / (SELECT count(*) FROM lsh), 6)                 AS precision
+    FROM truth t
+    LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    """,
+    doc="LSH quality evaluation: recall and precision of the banded "
+    "MinHash near-dup pipeline against the exact quadratic n-gram "
+    "Jaccard ground truth — the measurement that decides band/row "
+    "parameters before scaling the index out (ann_recall_eval's "
+    "counterpart for dedup). Precision is 1.0 by construction (reported "
+    "pairs are exact-Jaccard verified); recall exposes candidate-"
+    "generation misses. Rides the intentionally-quadratic ground truth, "
+    "so like ngram_jaccard_pairs it is a test-scale offline validator, "
+    "not a production query.",
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = minhash_near_dups(spark, sf_dir).select(
+        F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b")
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    joined = truth.join(
+        F.broadcast(lsh),
+        (F.col("l_a") == F.col("doc_a")) & (F.col("l_b") == F.col("doc_b")),
+        "left",
+    )
+    return (
+        joined.agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("l_a").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_lsh"), 6).alias("precision"),
+        )
+    )

@@ -108,3 +108,17 @@ def test_containment_tail_construction_is_fully_contained(spark, sf_dir):
     assert len(exact_pairs) > 0
     assert (exact_pairs.cont_a_in_b == 1.0).all()
     assert (exact_pairs.cont_b_in_a == 1.0).all()
+
+
+def test_dedup_recall_eval_semantics(spark, sf_dir):
+    """Precision is 1.0 by construction (LSH pairs are exact-Jaccard
+    verified, so every reported pair is true); recall is bounded by
+    (n_hits / n_true) consistency and must catch the exact-dup pairs,
+    whose identical signatures collide in every band."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import dedup_recall_eval
+
+    r = dedup_recall_eval(spark, sf_dir).collect()[0]
+    assert r.n_true > 0
+    assert r.precision == 1.0
+    assert r.n_hits <= r.n_true and r.n_hits == r.n_lsh
+    assert 0 < r.recall <= 1.0
