@@ -177,3 +177,99 @@ def tfidf_topk_mlpipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_score"), "word")
         .limit(TOP_K)
     )
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS ({CONTENT_TOKENS_SQL}),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT round(avg(dl), 9) AS avgdl,
+               (SELECT count(*)::BIGINT FROM documents) AS n_docs
+        FROM dl
+    ),
+    qtf AS (
+        SELECT doc_id, word, count(*)::BIGINT AS tf
+        FROM tok
+        WHERE word IN ('data', 'query', 'stream', 'vector', 'hash')
+        GROUP BY doc_id, word
+    ),
+    idf AS (
+        SELECT word,
+               round(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1), 9) AS idf
+        FROM (SELECT word, count(*)::BIGINT AS df FROM qtf GROUP BY word)
+        CROSS JOIN stats s
+    ),
+    contrib AS (
+        SELECT q.doc_id,
+               round(i.idf * q.tf * (1.2 + 1)
+                     / (q.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)), 9) AS c
+        FROM qtf q
+        JOIN idf i USING (word)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT c.doc_id, d.dl, round(sum(c.c), 6) AS score
+    FROM contrib c JOIN dl d USING (doc_id)
+    GROUP BY c.doc_id, d.dl
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 (Okapi, k1=1.2 b=0.75, Lucene's always-positive +1 idf) "
+    "top-20 documents for a fixed content-word query — the lexical "
+    "retrieval baseline next to the ANN suite (a production pipeline "
+    "hybrid-ranks BM25 with embedding cosine). Scale shape mirrors "
+    "tfidf_topk: tf is a (doc_id, word) partial-aggregated shuffle "
+    "pre-filtered to the query terms (predicate pushes into the scan), "
+    "idf/avgdl are word- and scalar-cardinality broadcast sides, and "
+    "the final ranking is TakeOrderedAndProject, never a full sort. "
+    "Per-term contributions round to 9 decimals before the sum (FP "
+    "parity with the oracle), the summed score to 6.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K1, B = 1.2, 0.75
+    query_terms = ["data", "query", "stream", "vector", "hash"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(content_tokens("text")).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = dl.agg(F.round(F.avg("dl"), 9).alias("avgdl")).crossJoin(
+        F.broadcast(n_docs)
+    )
+    qtf = (
+        tok.filter(F.col("word").isin(query_terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        qtf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 9
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        qtf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            F.round(
+                F.col("idf") * F.col("tf") * (K1 + 1)
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+                9,
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id", "dl")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -38,3 +38,33 @@ def test_mlpipe_agrees_with_explicit(spark, sf_dir):
     b = t_ops.tfidf_topk_mlpipe(spark, sf_dir).toPandas()[["word", "avg_score"]]
     assert list(a.word) == list(b.word)
     assert (a.avg_score == b.avg_score).all()
+
+
+def test_bm25_topk_ranking_semantics(spark, sf_dir):
+    """BM25 invariants on the real corpus: scores positive and sorted;
+    every scored doc actually contains a query term; term-frequency
+    saturation keeps any single doc below the theoretical ceiling
+    sum(idf) * (k1 + 1)."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.tfidf import bm25_topk
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import content_tokens
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    rows = bm25_topk(spark, sf_dir).toPandas()
+    assert 0 < len(rows) <= 20
+    assert (rows.score > 0).all()
+    assert (rows.score.values == sorted(rows.score.values, reverse=True)).all()
+    terms = {"data", "query", "stream", "vector", "hash"}
+    docs = load_table(spark, sf_dir, "documents")
+    hit_docs = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", F.explode(content_tokens("text")).alias("w")
+        )
+        .filter(F.col("w").isin(list(terms)))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert set(rows.doc_id).issubset(hit_docs)
