@@ -408,3 +408,98 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(mad, schema="event_type string, mad double, n bigint")
         .orderBy("event_type")
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type <> 'error' AND value IS NOT NULL
+    ),
+    s_view AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        FROM ev GROUP BY user_id
+    ),
+    s_click AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM ev e JOIN s_view s USING (user_id)
+        WHERE e.event_type = 'click' AND s.t0 IS NOT NULL AND e.ts >= s.t0
+        GROUP BY e.user_id
+    ),
+    s_buy AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM ev e JOIN s_click s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s.t1
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT 1 AS stage_order, 'view' AS stage,
+               (SELECT count(*) FROM s_view WHERE t0 IS NOT NULL)::BIGINT AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s_click)::BIGINT
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s_buy)::BIGINT
+    )
+    SELECT stage_order, stage, n_users,
+           round(n_users * 1.0
+                 / (SELECT n_users FROM counts WHERE stage_order = 1), 6) AS reach_rate
+    FROM counts
+    ORDER BY stage_order
+    """,
+    doc="Ordered conversion funnel (view → click-after-view → "
+    "purchase-after-click): per-user first-touch timestamps with "
+    "event-order enforcement, then stage reach counts and rates — the "
+    "product-analytics shape sessionization feeds. All three stages are "
+    "user-keyed aggregates; after the first shuffle the stage joins are "
+    "co-partitioned on user_id, so no further full exchanges at scale.",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    s_view = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"))
+        .filter(F.col("t0").isNotNull())
+    )
+    s_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s_view, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s_click, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    counts = (
+        stage(1, "view", s_view)
+        .unionByName(stage(2, "click", s_click))
+        .unionByName(stage(3, "purchase", s_buy))
+    )
+    base = counts.filter(F.col("stage_order") == 1).select(
+        F.col("n_users").alias("n_base")
+    )
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "stage_order",
+            "stage",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_base"), 6).alias("reach_rate"),
+        )
+        .orderBy("stage_order")
+    )

@@ -818,3 +818,53 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "per_source_top_docs",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    t AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(CASE WHEN word IN ({stopwords_sql_list()}) THEN 1 ELSE 0 END) AS n_stop
+        FROM tok GROUP BY doc_id
+    ),
+    q AS (
+        SELECT d.source, d.doc_id,
+               round(least(t.n_tokens, 100) / 100.0
+                     * (1 - t.n_stop * 1.0 / t.n_tokens), 6) AS quality_score
+        FROM documents d JOIN t USING (doc_id)
+    )
+    SELECT source, doc_id, quality_score, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY quality_score DESC, doc_id
+        ) AS rk
+        FROM q
+    )
+    WHERE rk <= 3
+    ORDER BY source, rk
+    """,
+    doc="Top-N-per-group curation selection: the 3 highest-quality docs "
+    "per corpus source (composite quality score, deterministic doc_id "
+    "tie-break). The pattern a pipeline uses to pick exemplar documents "
+    "per domain. Plan shape: the rank is a source-partitioned window — "
+    "one shuffle on the grouping key, rows beyond N dropped before any "
+    "global ordering; never a global sort of the corpus.",
+)
+def per_source_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.col("doc_id")
+    )
+    return (
+        docs.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", "quality_score", "rk")
+        .orderBy("source", "rk")
+    )

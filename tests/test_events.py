@@ -78,3 +78,14 @@ def test_value_percentiles_approx_sketch_within_rank_band(spark, sf_dir):
     ex = value_percentiles(spark, sf_dir).toPandas().set_index("event_type")
     assert (ap.p50_exact == ex.loc[ap.index].p50).all()
     assert (ap.p90_exact == ex.loc[ap.index].p90).all()
+
+
+def test_conversion_funnel_is_monotone(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import conversion_funnel
+
+    rows = conversion_funnel(spark, sf_dir).toPandas().sort_values("stage_order")
+    assert list(rows.stage) == ["view", "click", "purchase"]
+    # each stage requires the previous one first: reach can only shrink
+    assert (rows.n_users.diff().dropna() <= 0).all()
+    assert rows.reach_rate.iloc[0] == 1.0
+    assert (rows.reach_rate.between(0, 1)).all()

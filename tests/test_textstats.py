@@ -186,3 +186,22 @@ def test_winnowing_moss_recall_guarantee_on_planted_runs(spark, tmp_path):
     found = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
     assert (1, 2) in found, f"planted shared run not recalled: {pairs}"
     assert all(a not in (3, 4) and b not in (3, 4) for a, b in found), pairs
+
+
+def test_per_source_top_docs_selects_max_quality(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+        per_source_top_docs,
+        quality_scores,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    top = per_source_top_docs(spark, sf_dir).toPandas()
+    assert (top.groupby("source").size() <= 3).all()
+    assert (top.rk.between(1, 3)).all()
+    # rank 1 really is that source's max quality score
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").toPandas()
+    q = quality_scores(spark, sf_dir).toPandas()[["doc_id", "quality_score"]]
+    joined = docs.merge(q, on="doc_id")
+    best = joined.groupby("source").quality_score.max()
+    for r in top[top.rk == 1].itertuples():
+        assert r.quality_score == best[r.source]
