@@ -199,3 +199,32 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
     want = parse_posts(synthetic_wire(spark, sf_dir)).count()
     assert got.n == want
     assert got.with_cat == want  # every subreddit resolved in the static dim
+
+
+def test_wire_chunks_are_event_time_ordered(spark, sf_dir, tmp_path):
+    """Replay order must be event-time order: chunk files (replayed in
+    filename/mtime order) carry disjoint, increasing created_utc ranges,
+    so a watermarked consumer never depends on watermark slack exceeding
+    the fixture's full time spread."""
+    import glob
+    import json
+    import os
+
+    wire_dir = str(tmp_path / "wire")
+    write_wire_chunks(synthetic_wire(spark, sf_dir), wire_dir, n_chunks=3)
+    ranges = []
+    for fn in sorted(glob.glob(os.path.join(wire_dir, "*.txt"))):
+        times = []
+        with open(fn) as f:
+            for line in f:
+                try:
+                    cu = json.loads(line).get("created_utc")
+                except ValueError:
+                    continue
+                if isinstance(cu, (int, float)):
+                    times.append(cu)
+        if times:
+            ranges.append((min(times), max(times)))
+    assert len(ranges) >= 2
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"chunk event-time ranges overlap: {ranges}"
