@@ -399,3 +399,61 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out.orderBy("cohort")
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH p AS (
+        SELECT 'lineitem.l_suppkey' AS keyspace, CAST(l_suppkey AS VARCHAR) AS k FROM lineitem
+        UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL SELECT 'documents.source', source FROM documents
+    ),
+    c AS (SELECT keyspace, k, count(*) AS cnt FROM p GROUP BY 1, 2)
+    SELECT keyspace,
+           count(*)                                        AS n_keys,
+           CAST(sum(cnt) AS BIGINT)                        AS total_rows,
+           CAST(max(cnt) AS BIGINT)                        AS max_rows,
+           round(avg(cnt), 6)                              AS avg_rows,
+           round(stddev_samp(cnt) / avg(cnt), 6)           AS cv,
+           round(max(cnt) * 1.0 / sum(cnt), 6)             AS top_share,
+           round(max(cnt) * 1.0 / avg(cnt), 6)             AS skew_ratio
+    FROM c GROUP BY keyspace
+    ORDER BY keyspace
+    """,
+    doc="Shuffle-key skew diagnostics across the join/agg keys this "
+    "engine shuffles on: per-key row counts reduced to n_keys / max / "
+    "coefficient-of-variation / top-key share / max-over-mean skew "
+    "ratio. This is the profile that decides salting factors and AQE "
+    "skew-join thresholds BEFORE a 100 TB run — and it is itself "
+    "scale-safe: one partial-aggregable count per keyspace (map-side "
+    "combine on the key), then a 4-group rollup; per-key counts never "
+    "leave the executors unaggregated.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def keyed(table: str, col_expr, name: str) -> DataFrame:
+        return load_table(spark, sf_dir, table).select(
+            F.lit(name).alias("keyspace"), col_expr.cast("string").alias("k")
+        )
+
+    p = (
+        keyed("lineitem", F.col("l_suppkey"), "lineitem.l_suppkey")
+        .unionByName(keyed("orders", F.col("o_custkey"), "orders.o_custkey"))
+        .unionByName(keyed("events", F.col("user_id"), "events.user_id"))
+        .unionByName(keyed("documents", F.col("source"), "documents.source"))
+    )
+    c = p.groupBy("keyspace", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.groupBy("keyspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_rows"),
+            F.round(F.avg("cnt"), 6).alias("avg_rows"),
+            F.round(F.stddev_samp("cnt") / F.avg("cnt"), 6).alias("cv"),
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+            F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+        )
+        .orderBy("keyspace")
+    )

@@ -868,3 +868,83 @@ def per_source_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "quality_score", "rk")
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "bigram_pmi_topk",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    big AS (
+        SELECT word AS w1,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ),
+    bigc AS (
+        SELECT w1, w2, count(*) AS pair_count
+        FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    tot AS (
+        SELECT CAST(sum(pair_count) AS DOUBLE) AS n_big FROM bigc
+    ),
+    totu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni)
+    SELECT w1, w2, pair_count,
+           round(ln((CAST(pair_count AS DOUBLE) / n_big)
+                    / ((CAST(u1.c AS DOUBLE) / n_uni)
+                       * (CAST(u2.c AS DOUBLE) / n_uni))), 6) AS pmi
+    FROM bigc b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2, tot, totu
+    WHERE pair_count >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Collocation mining: top-20 token bigrams by pointwise mutual "
+    "information (min support 5) — the classic phrase-detection pass a "
+    "tokenizer-training pipeline runs before BPE merges (cf. word2vec "
+    "phrase2vec). Plan shape: bigrams form per-document via lead() over "
+    "the doc partition (one shuffle on doc_id, no self-join on position); "
+    "the support filter prunes the pair table BEFORE the unigram joins; "
+    "corpus totals attach as broadcast scalars; the final top-k is "
+    "TakeOrderedAndProject on the rounded PMI, never a global sort. "
+    "The PMI expression divides in the same order in both engines so the "
+    "rounded values hash-match.",
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        F.col("word").alias("w1"), F.lead("word").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bigc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 5)
+    )
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_big = big.agg(F.sum(F.lit(1)).cast("double").alias("n_big"))
+    n_uni = tok.agg(F.sum(F.lit(1)).cast("double").alias("n_uni"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") / F.col("n_big"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_uni"))
+                * (F.col("c2").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        bigc.join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_uni))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
