@@ -44,7 +44,7 @@ def test_key_skew_profile_invariants(spark, sf_dir):
 def test_editdist_finds_planted_dups(spark, sf_dir):
     pdf = dd.prefix_editdist_dups(spark, sf_dir).toPandas()
     # planted exact dups (doc_id + 1_000_000) share the full head: sim 1.0
-    exact = pdf[pdf.doc_b == pdf.doc_a + 1_000_000]
+    exact = pdf[(pdf.doc_a < 1_000_000) & (pdf.doc_b == pdf.doc_a + 1_000_000)]
     assert len(exact) > 0
     assert (exact.edit_distance == 0).all()
     assert (pdf.head_similarity >= 0.8).all()
