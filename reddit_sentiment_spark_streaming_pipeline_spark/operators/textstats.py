@@ -759,38 +759,49 @@ WINNOW_BUCKET_CAP = 64
     "identical in the oracle.",
 )
 def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import hex28_expr
-
+    # Fingerprint extraction is ARRAY-NATIVE: k-gram hashes, the sliding
+    # window-min, and the distinct-fingerprint set all evaluate per
+    # document inside whole-stage codegen — no 260k-row posexplode and no
+    # doc_id window shuffle (winnowing_fingerprints keeps the row-wise
+    # window formulation; both produce the identical per-doc fp set, and
+    # this one reaches the bucket join one shuffle earlier). Per-doc cost
+    # is O(n_kgrams * W) with W = 4.
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = tokens("text")
-    kgrams = F.when(
-        F.size(toks) >= WINNOW_K,
+
+    def hex28(c):
+        return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+    t = F.col("t")
+    hvs = F.when(
+        F.size(t) >= WINNOW_K,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+            F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1)),
+            lambda i: hex28(
+                F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                )
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    kg = docs.select(
-        "doc_id", F.posexplode(kgrams).alias("pos0", "kgram")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("rn"),
-        F.expr(hex28_expr("kgram", "spark")).alias("hv"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("rn").rowsBetween(-(WINNOW_W - 1), 0)
+    ).otherwise(F.array().cast("array<bigint>"))
+    h = F.col("hvs")
+    mins = F.when(
+        F.size(h) >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(WINNOW_W), F.size(h)),
+                lambda i: F.array_min(F.slice(h, i - (WINNOW_W - 1), WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     fp = (
-        kg.select("doc_id", "rn", F.min("hv").over(w).alias("fp"))
-        .filter(F.col("rn") >= WINNOW_W)
-        .select("doc_id", "fp")
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", hvs.alias("hvs"))
+        .select("doc_id", F.explode(mins).alias("fp"))
     )
     # Bucket-group + capped expansion (the minhash_candidates shape): ONE
     # shuffle of the fingerprint table, deterministic smallest-doc_id cap
