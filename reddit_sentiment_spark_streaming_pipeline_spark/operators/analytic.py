@@ -105,3 +105,48 @@ _GROUPING_SETS_QUERY = """
 def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_QUERY)
+
+
+@register(
+    "retention_cohort_matrix",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((epoch(a.act_week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firstw f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+    "counted per (cohort, weeks-since-first-seen) cell — the standard "
+    "product-analytics triangle view. Offsets are computed as integer "
+    "epoch-second deltas over week-truncated stamps, so both engines "
+    "cut identical cells. Plan shape: first-seen is a partial-aggregable "
+    "min per user; the activity set re-shuffles on user_id once and the "
+    "matrix itself is a tiny two-key aggregate — cells scale with "
+    "weeks^2, not events, so the result stays dashboard-sized at 100 TB.",
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    )
+    firstw = ev.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    act = ev.distinct()
+    offset = (
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        act.join(firstw, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

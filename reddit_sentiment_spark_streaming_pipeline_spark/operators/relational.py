@@ -457,3 +457,89 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keyspace")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               (o_cents * 11) // 10 AS o_cents
+        FROM base WHERE o_orderkey % 13 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_cents
+        FROM base WHERE o_orderkey % 17 = 0
+    ),
+    merged AS (
+        SELECT *
+        FROM (
+            SELECT *, 1 AS prio FROM updates
+            UNION ALL SELECT *, 1 FROM inserts
+            UNION ALL SELECT *, 0 FROM base
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY prio DESC
+        ) = 1
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(o_cents) AS BIGINT) AS total_cents,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="MERGE INTO (upsert) semantics without a table format: a "
+    "deterministic CDC delta (10%-bumped updates on orderkey%13, fresh "
+    "inserts on orderkey%17) merges into the base by union + keep-"
+    "highest-priority-per-key — one shuffle on the merge key, the same "
+    "shape Delta/Iceberg MERGE compiles to when the delta is too big to "
+    "broadcast. Deliberately NOT a full-outer join: union+window needs "
+    "no null-coalescing per column and degrades gracefully under key "
+    "skew (window per key vs join row explosion). Verified by post-"
+    "merge per-status rollup in integer cents.",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_cents"),
+    )
+    # 10% bump in integer cents (floored): float 1.1x-then-round is
+    # engine-divergent in the last cent; integer math is exact in both.
+    updates = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_cents", F.expr("o_cents * 11 div 10"))
+    )
+    inserts = (
+        base.filter(F.col("o_orderkey") % 17 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    delta = updates.unionByName(inserts).withColumn("prio", F.lit(1))
+    merged = (
+        delta.unionByName(base.withColumn("prio", F.lit(0)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_orderkey").orderBy(F.desc("prio"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_cents").cast("long").alias("total_cents"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )

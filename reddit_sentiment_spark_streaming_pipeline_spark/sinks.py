@@ -126,3 +126,48 @@ def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def show_console(df: DataFrame, n: int = 20, truncate: bool = False) -> None:
     """K5 console sink (the reference's .show(truncate=False))."""
     df.show(n=n, truncate=truncate)
+
+
+@register(
+    "jsonl_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           count(*)                 AS n_events,
+           round(sum(value), 4)     AS sum_value,
+           max(ts)                  AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON-lines source/sink round-trip: the events table is written "
+    "as newline-delimited JSON (microsecond timestampFormat — the "
+    "default millisecond pattern silently truncates parquet micros) and "
+    "read back with an explicit schema, then aggregated; the oracle "
+    "aggregates the ORIGINAL parquet, so a green row proves the "
+    "round-trip is lossless for every column including timestamps. "
+    "Schema-on-read is pinned (no inference pass at scale: inference "
+    "reads the data twice and can widen types under dirty rows). JSONL "
+    "is the wire format of the reference's producer "
+    "(reference reddit_producer.py:120-131, one JSON object per post).",
+)
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonl_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(out)
+    back = (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", ts_fmt)
+        .json(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -1,0 +1,40 @@
+"""JSONL round-trip, cohort retention, MERGE-upsert semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.analytic import retention_cohort_matrix
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.relational import merge_upsert_orders
+from reddit_sentiment_spark_streaming_pipeline_spark.sinks import jsonl_roundtrip_events
+
+
+def test_jsonl_roundtrip_lossless(spark, sf_dir):
+    pdf = jsonl_roundtrip_events(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert pdf.n_events.sum() == ev.count()
+    # max_ts must survive with microsecond fidelity (not truncated to ms)
+    assert any(t.microsecond % 1000 != 0 for t in pdf.max_ts)
+
+
+def test_retention_matrix_shrinks_forward(spark, sf_dir):
+    pdf = retention_cohort_matrix(spark, sf_dir).toPandas()
+    assert (pdf.week_offset >= 0).all()
+    # within a cohort, offset-0 is the cohort's full size: no later cell
+    # can exceed it (retention can only lose users)
+    for _, g in pdf.groupby("cohort_week"):
+        base = g.loc[g.week_offset == 0, "n_users"]
+        assert len(base) == 1
+        assert (g.n_users <= base.iloc[0]).all()
+
+
+def test_merge_upsert_statuses(spark, sf_dir):
+    pdf = merge_upsert_orders(spark, sf_dir).toPandas().set_index("o_orderstatus")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_base = orders.count()
+    n_upd = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+    n_ins = orders.filter(F.col("o_orderkey") % 17 == 0).count()
+    # every update replaced (not added); every insert is new
+    assert pdf.n_orders.sum() == n_base + n_ins
+    assert pdf.loc["U"].n_orders == n_upd
+    assert pdf.loc["N"].n_orders == n_ins
