@@ -50,6 +50,11 @@ HEADLINE = [
     "repetition_stats",          # repetition-based quality filter
     "unigram_logprob_scores",    # unigram-LM quality (broadcast vocab head)
     "winnowing_overlap_pairs",   # MOSS winnowing contamination index join
+    "prefix_editdist_dups",      # prefix-blocked Levenshtein near-dup verify
+    "cms_heavy_hitters",         # count-min sketch vs exact heavy hitters
+    "bigram_pmi_topk",           # PMI collocations (phrase detection)
+    "resample_gapfill",          # time-series regular grid + forward fill
+    "merge_upsert_orders",       # MERGE INTO upsert (union + keep-last)
 ]
 
 

@@ -44,6 +44,12 @@ QUERIES = [
     # below) are the evidence; pii_redaction is plan-tested shuffle-free,
     # so its delta should stay ~0 at BOTH scales.
     "benchmark_contamination", "pii_redaction",
+    # r4 additions: winnowing index join (capped fingerprint buckets),
+    # prefix-blocked Levenshtein (capped block join), CMS (fixed-size
+    # sketch — its shuffle bytes should be FLAT across scales), bigram
+    # PMI (pair table scales with distinct collocations, not tokens²).
+    "winnowing_overlap_pairs", "prefix_editdist_dups",
+    "cms_heavy_hitters", "bigram_pmi_topk",
 ]
 
 
