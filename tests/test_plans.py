@@ -242,3 +242,43 @@ def test_release_verify_caches_clears_tracked_persists(spark, sf_dir):
     released = dd.release_verify_caches()
     assert released >= 2
     assert dd._LIVE_PERSISTS == []
+
+
+def test_resample_grid_is_per_series_not_calendar_join(spark, sf_dir):
+    # grid generation must be sequence+explode per key — no join of the
+    # series against a global calendar frame, no cartesian anything
+    plan = plan_of(spark, "resample_gapfill", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan and "explode(" in plan
+
+
+def test_zscore_stats_side_broadcasts(spark, sf_dir):
+    # the 5-row per-type stats frame must broadcast onto the fact scan
+    plan = plan_of(spark, "value_zscore_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_joins_broadcast(spark, sf_dir):
+    # sketch (<= DEPTH*WIDTH cells) and top-k candidates are both tiny:
+    # every join in the estimate path must be broadcast, never a shuffle
+    plan = plan_of(spark, "cms_heavy_hitters", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_editdist_pairs_via_block_equi_join(spark, sf_dir):
+    # pair discovery must be an equi-join on the prefix block
+    plan = plan_of(spark, "prefix_editdist_dups", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_single_shuffle_no_join(spark, sf_dir):
+    # MERGE as union + keep-last: one window over the merge key, no
+    # full-outer join (which would null-coalesce every column)
+    plan = plan_of(spark, "merge_upsert_orders", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
