@@ -685,3 +685,93 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "int8_quant_cosine_error",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ce,
+               list_transform(
+                   embedding::DOUBLE[],
+                   x -> round(x / (greatest(list_max(list_transform(embedding::DOUBLE[], v -> abs(v))), 1e-12) / 127))
+               ) AS qe
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ce AS qce, qe AS qqe FROM c WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_dot_product(qce, ce)
+                     / sqrt(list_dot_product(qce, qce) * list_dot_product(ce, ce)), 6) AS exact_cosine,
+               round(list_dot_product(qqe, qe)
+                     / sqrt(list_dot_product(qqe, qqe) * list_dot_product(qe, qe)), 6) AS quant_cosine
+        FROM q CROSS JOIN c
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, rn AS rank, exact_cosine, quant_cosine,
+           round(abs(exact_cosine - quant_cosine), 6) AS abs_err
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY exact_cosine DESC, vec_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Scalar int8 quantization audit for the ANN store: per-vector "
+    "symmetric scale (maxabs/127), components rounded to integers, and "
+    "the quantized cosine compared against exact for each query's exact "
+    "top-k. KEY property: per-vector scales cancel inside cosine, so the "
+    "quantized similarity is pure INTEGER dot-product math — bit-"
+    "identical across engines and executors, no FP summation-order "
+    "hazard — which is also why an int8 store needs no dequantization "
+    "at query time (4x memory/bandwidth saved at 100 TB of vectors). "
+    "Same broadcast-queries x corpus-scan shape as cosine_topk.",
+)
+def int8_quant_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(e, lambda v: F.abs(v))), F.lit(1e-12)
+    ) / F.lit(127.0)
+    c = spread(
+        emb.select(
+            "vec_id",
+            e.alias("ce"),
+            F.transform(e, lambda x: F.round(x / scale)).alias("qe"),
+        )
+    )
+    q = c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ce").alias("qce"),
+        F.col("qe").alias("qqe"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qce"), F.col("ce"))
+                / F.sqrt(dot(F.col("qce"), F.col("qce")) * dot(F.col("ce"), F.col("ce"))),
+                6,
+            ).alias("exact_cosine"),
+            F.round(
+                dot(F.col("qqe"), F.col("qe"))
+                / F.sqrt(dot(F.col("qqe"), F.col("qqe")) * dot(F.col("qe"), F.col("qe"))),
+                6,
+            ).alias("quant_cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("exact_cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id", "rank", "exact_cosine", "quant_cosine",
+            F.round(F.abs(F.col("exact_cosine") - F.col("quant_cosine")), 6).alias("abs_err"),
+        )
+        .orderBy("query_id", "rank")
+    )

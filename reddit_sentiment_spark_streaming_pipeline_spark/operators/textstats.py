@@ -959,3 +959,51 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "bpe_merge_pair_counts",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_TOK_POS_SQL}) WHERE word <> ''),
+    words AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    pos AS (
+        SELECT word, freq,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM words WHERE length(word) >= 2
+    )
+    SELECT substr(word, i, 2) AS pair,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pos
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    doc="The inner loop of BPE tokenizer training, iteration one: count "
+    "adjacent character pairs across all word OCCURRENCES and rank the "
+    "top-20 merge candidates. Plan shape is the one that matters at "
+    "100 TB: occurrences aggregate to (word, freq) FIRST (distinct "
+    "words, not raw tokens, enter the pair explode), pair positions "
+    "explode per distinct word only, and counts are freq-weighted sums "
+    "— partial-aggregable, so a full corpus BPE pass is two map-side-"
+    "combining shuffles regardless of corpus size.",
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pos = words.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    )
+    return (
+        pos.select(F.expr("substr(word, i, 2)").alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )

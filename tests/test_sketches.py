@@ -48,3 +48,20 @@ def test_editdist_finds_planted_dups(spark, sf_dir):
     assert len(exact) > 0
     assert (exact.edit_distance == 0).all()
     assert (pdf.head_similarity >= 0.8).all()
+
+
+def test_int8_quant_preserves_ranking_mostly(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import int8_quant_cosine_error
+
+    pdf = int8_quant_cosine_error(spark, sf_dir).toPandas()
+    # int8 symmetric quantization at these dims: cosine error stays tiny
+    assert (pdf.abs_err <= 0.01).all()
+    assert (pdf.quant_cosine <= 1.0 + 1e-9).all()
+
+
+def test_bpe_merge_pairs_are_two_chars(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import bpe_merge_pair_counts
+
+    pdf = bpe_merge_pair_counts(spark, sf_dir).toPandas()
+    assert (pdf["pair"].str.len() == 2).all()
+    assert list(pdf.pair_count) == sorted(pdf.pair_count, reverse=True)
