@@ -1,0 +1,29 @@
+"""CLI surface: produce -> consume -> dashboard (reference program parity)."""
+
+from __future__ import annotations
+
+import os
+
+from reddit_sentiment_spark_streaming_pipeline_spark.__main__ import main
+
+
+def test_cli_pipeline_file_mode(spark, sf_dir, tmp_path, capsys):
+    wire = str(tmp_path / "wire")
+    out = str(tmp_path / "out")
+    assert main(["produce", "--sf-dir", sf_dir, "--out", wire, "--chunks", "2"]) == 0
+    assert len(os.listdir(wire)) >= 2
+    assert main(["consume", "--wire", wire, "--out", out]) == 0
+    for table in ("raw", "processed", "sentiment", "subreddit_stats", "references"):
+        assert os.path.isdir(os.path.join(out, table))
+    assert main(["dashboard", "--out", out, "-n", "3"]) == 0
+    shown = capsys.readouterr().out
+    assert "latest posts" in shown and "subreddit stats" in shown
+
+
+def test_cli_list_names_every_query(capsys):
+    from reddit_sentiment_spark_streaming_pipeline_spark import registry
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in registry.load_all():
+        assert name in out
