@@ -945,13 +945,20 @@ def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, 128).alias("head"),
         F.substring(norm, 1, 24).alias("block"),
     )
-    ok_blocks = (
-        n.groupBy("block")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= 64)
-        .select("block")
-    )
-    nb = n.join(ok_blocks, "block")
+    # Cap via a block-partitioned window count instead of an aggregate +
+    # join-back: one shuffle on the block key, and the self-join below
+    # hashes on the same key, so Spark reuses the exchange for both sides.
+    from pyspark.sql import Window
+
+    bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    nb = n.withColumn("bn", bn).filter(F.col("bn") <= 64).drop("bn")
+    # Both self-join sides reference nb; without a materialization each
+    # side re-runs the corpus normalization + window (measured: 6 scans,
+    # no ReusedExchange once AQE turns the build side into a broadcast).
+    # The capped frame is ~|docs| rows of 152-char heads — tiny — so an
+    # eager localCheckpoint is the right lineage cut (same note as
+    # _pair_docset_join; reliable checkpoint() on a lossy cluster).
+    nb = nb.localCheckpoint()
     a, b = nb.alias("a"), nb.alias("b")
     pairs = a.join(
         b,
