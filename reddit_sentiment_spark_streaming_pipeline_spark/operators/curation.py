@@ -1,0 +1,171 @@
+"""The end-to-end corpus curation pipeline as ONE composed Spark plan.
+
+Every stage exists as a standalone audited operator (quality_scores,
+exact_dup_groups, pii_redaction, hash_split_assignment); this module
+chains them the way a production snapshot build actually runs them —
+filter -> dedup -> redact -> split -> publish stats — in a single
+DataFrame expression, proving the operators COMPOSE without
+materialization barriers between stages.
+
+Plan shape at 100 TB: stages 1-2 and 4-5 are narrow per-row expressions
+(no shuffle); stage 3's exact dedup is the pipeline's one wide
+dependency — a window over md5(text), i.e. a shuffle of 16-byte-keyed
+rows; the final publish is a tiny (split x source) aggregate. One wide
+stage for the whole snapshot build is the floor: dedup is inherently
+global, everything else stays map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import STOPWORDS, stopwords_sql_list, tokens
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+QUALITY_FLOOR = 0.35
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH pii AS (
+        SELECT doc_id, lang, source,
+               lower(text)
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-123-4567 today' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' from host 10.0.' || (doc_id % 256) || '.7'
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    corpus AS (
+        SELECT * FROM pii
+        UNION ALL
+        SELECT doc_id + 1000000, lang, source, text FROM pii WHERE doc_id % 10 = 0
+    ),
+    scored AS (
+        SELECT *,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tokens,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               w -> w IN ({stopwords_sql_list()})))             AS n_stop
+        FROM corpus
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE n_tokens > 0
+          AND round(least(n_tokens, 100) / 100.0
+                    * (1 - n_stop * 1.0 / n_tokens), 6) >= {QUALITY_FLOOR}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    ),
+    redacted AS (
+        SELECT *,
+               len(regexp_extract_all(text, '{EMAIL_RE}'))
+               + len(regexp_extract_all(text, '{PHONE_RE}'))
+               + len(regexp_extract_all(text, '{IPV4_RE}'))      AS n_pii,
+               CASE
+                   WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM deduped
+    )
+    SELECT split, source,
+           count(*)                                   AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
+           CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+           round(avg(round(least(n_tokens, 100) / 100.0
+                           * (1 - n_stop * 1.0 / n_tokens), 6)), 6)   AS avg_quality
+    FROM redacted
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+    doc="The whole snapshot build in one plan: PII-bearing corpus (plus "
+    "exact-duplicate replicas) -> quality gate -> content-hash exact "
+    "dedup (keep-lowest-id window over md5) -> PII accounting -> "
+    "deterministic 80/10/10 content-hash split -> per-(split, source) "
+    "publish stats. One wide stage total (the dedup window on a 16-byte "
+    "key); every other stage is a narrow expression, so the composed "
+    "pipeline costs the same as its most expensive member, not the sum "
+    "of materialized stages.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+    ).otherwise("")
+    phone = F.when(did % 11 == 0, F.lit(" call 555-123-4567 today")).otherwise("")
+    ip = F.when(
+        did % 13 == 0,
+        F.concat(F.lit(" from host 10.0."), (did % 256).cast("string"), F.lit(".7")),
+    ).otherwise("")
+    pii = docs.select(
+        "doc_id", "lang", "source",
+        F.concat(F.lower("text"), email, phone, ip).alias("text"),
+    )
+    corpus = pii.unionByName(
+        pii.filter(did % 10 == 0).select(
+            (did + 1000000).alias("doc_id"), "lang", "source", "text"
+        )
+    )
+
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    scored = corpus.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop, w))).alias("n_stop"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens"), F.lit(100)) / F.lit(100.0)
+        * (1 - F.col("n_stop") / F.col("n_tokens").cast("double")),
+        6,
+    )
+    kept = scored.filter((F.col("n_tokens") > 0) & (quality >= QUALITY_FLOOR))
+
+    deduped = (
+        kept.withColumn(
+            "rn", F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+
+    n_pii = (
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(IPV4_RE), F.lit(0)))
+    )
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    redacted = deduped.select(
+        "*", n_pii.alias("n_pii"), split.alias("split")
+    )
+    return (
+        redacted.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("n_pii") > 0).cast("int")).cast("bigint").alias("n_pii_docs"),
+            F.round(F.avg(quality), 6).alias("avg_quality"),
+        )
+        .orderBy("split", "source")
+    )

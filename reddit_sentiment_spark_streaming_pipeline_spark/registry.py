@@ -61,6 +61,7 @@ _QUERY_MODULES = [
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.graph",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.timeseries",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.sketches",
+    "reddit_sentiment_spark_streaming_pipeline_spark.operators.curation",
     "reddit_sentiment_spark_streaming_pipeline_spark.sql",
     "reddit_sentiment_spark_streaming_pipeline_spark.sinks",
 ]

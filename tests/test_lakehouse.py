@@ -38,3 +38,33 @@ def test_merge_upsert_statuses(spark, sf_dir):
     assert pdf.n_orders.sum() == n_base + n_ins
     assert pdf.loc["U"].n_orders == n_upd
     assert pdf.loc["N"].n_orders == n_ins
+
+
+def test_curation_pipeline_stages_compose(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import corpus_curation_pipeline
+
+    pdf = corpus_curation_pipeline(spark, sf_dir).toPandas()
+    assert set(pdf.split) <= {"train", "val", "test"}
+    # the 80/10/10 hash split: train strictly dominates
+    by_split = pdf.groupby("split").n_docs.sum()
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+    assert (pdf.n_pii_docs <= pdf.n_docs).all()
+    assert pdf.avg_quality.between(0.35, 1).all()
+
+
+def test_curation_pipeline_single_wide_stage(spark, sf_dir):
+    import contextlib
+    import io
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import corpus_curation_pipeline
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus_curation_pipeline(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    # dedup window + final aggregate + the output sort: at most 3 data
+    # exchanges — no materialization barrier between composed stages
+    n_exchanges = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_exchanges <= 3, plan
