@@ -55,6 +55,7 @@ HEADLINE = [
     "bigram_pmi_topk",           # PMI collocations (phrase detection)
     "resample_gapfill",          # time-series regular grid + forward fill
     "merge_upsert_orders",       # MERGE INTO upsert (union + keep-last)
+    "corpus_curation_pipeline",  # filter->dedup->redact->split in one plan
 ]
 
 

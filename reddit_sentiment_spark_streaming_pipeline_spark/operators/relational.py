@@ -543,3 +543,60 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_type, p.p_brand,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM j)
+    SELECT j.p_type,
+           count(*)                          AS n_lineitems,
+           count(DISTINCT j.p_brand)         AS n_brands,
+           CAST(sum(j.cents) AS BIGINT)      AS revenue_cents,
+           round(sum(j.cents) * 100.0 / tot.total_cents, 4) AS revenue_share_pct
+    FROM j, tot
+    GROUP BY j.p_type, tot.total_cents
+    ORDER BY j.p_type
+    """,
+    doc="TPC-H Q14-flavored promo-revenue share: lineitem x part on the "
+    "part key with a ship-date window, revenue share per part type "
+    "against the period total. Completes table coverage (part was the "
+    "one unused fixture table). Plan shape: the date filter pushes into "
+    "the lineitem scan; part is the small build side (broadcast under "
+    "the 64 MB threshold at any realistic dimension size vs fact); the "
+    "period total attaches as a broadcast scalar; integer-cents "
+    "accumulation keeps the share exact across engines.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type", "p_brand", cents.alias("cents")
+    )
+    tot = j.agg(F.sum("cents").cast("long").alias("total_cents"))
+    return (
+        j.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.count_distinct("p_brand").alias("n_brands"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_type", "n_lineitems", "n_brands", "revenue_cents",
+            F.round(F.col("revenue_cents") * 100.0 / F.col("total_cents"), 4)
+            .alias("revenue_share_pct"),
+        )
+        .orderBy("p_type")
+    )
