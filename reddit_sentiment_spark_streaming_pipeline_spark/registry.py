@@ -207,7 +207,15 @@ def fingerprint_from_source(source: str, fn_name: str) -> str | None:
     return hashlib.sha256((helpers + "\n===\n" + block).encode()).hexdigest()
 
 
+def block_sha_from_source(source: str, fn_name: str) -> str | None:
+    """sha256 of the query's own block alone (no helpers): distinguishes
+    directly-edited queries from helper-only (conservative) staleness."""
+    block = query_blocks(source).get(fn_name)
+    return None if block is None else hashlib.sha256(block.encode()).hexdigest()
+
+
 _FP_CACHE: dict[tuple[str, str], str | None] = {}
+_BLOCK_CACHE: dict[tuple[str, str], str | None] = {}
 
 
 def query_fingerprint(spec: QuerySpec) -> str | None:
@@ -221,6 +229,16 @@ def query_fingerprint(spec: QuerySpec) -> str | None:
                 fp = module_sha(spec.module)
         _FP_CACHE[key] = fp
     return _FP_CACHE[key]
+
+
+def query_block_sha(spec: QuerySpec) -> str | None:
+    key = (spec.module, spec.fn.__name__)
+    if key not in _BLOCK_CACHE:
+        src = _module_source(spec.module)
+        _BLOCK_CACHE[key] = (
+            None if src is None else block_sha_from_source(src, spec.fn.__name__)
+        )
+    return _BLOCK_CACHE[key]
 
 
 def showcase_order(
@@ -243,12 +261,23 @@ def showcase_order(
         i, (name, spec) = item
         rnd = greens.get(name)
         if rnd is None:
-            return (0, 0, i)  # never driver-verified
+            return (0, 0, 0, i)  # never driver-verified
         fp = fingerprints.get(name)
         cur = query_fingerprint(spec)
         if fp is None or cur is None or fp.get("sha256") != cur:
-            return (1, rnd, i)  # verified, but code changed since: stale
-        return (2, rnd, i)  # fresh: proven on current code
+            # stale. Sub-rank: a query whose OWN block changed since its
+            # green row (or whose block history is unknown) outranks
+            # helper-only (conservative) staleness of any round — directly
+            # edited code is the highest-risk unverified class.
+            stored_block = (fp or {}).get("block_sha")
+            cur_block = query_block_sha(spec)
+            helper_only = (
+                stored_block is not None
+                and cur_block is not None
+                and stored_block == cur_block
+            )
+            return (1, 1 if helper_only else 0, rnd, i)
+        return (2, 0, rnd, i)  # fresh: proven on current code
 
     return [name for _, (name, _) in sorted(enumerate(reg.items()), key=key)]
 

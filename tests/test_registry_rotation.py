@@ -49,15 +49,36 @@ def test_driver_window_holds_highest_priority_queries():
             f"outside: inside-fresh={[n for n in inside if st[n] == 'fresh']}, "
             f"outside-unverified={[n for n in outside if st[n] != 'fresh']}"
         )
-    # any stale query pushed out must have been verified no earlier than
-    # every stale query kept in (lowest-risk tail falls out)
-    stale_out = [greens[n] for n in outside if st[n] == "stale"]
-    stale_in = [greens[n] for n in inside if st[n] == "stale"]
-    if stale_out and stale_in:
-        assert max(stale_in) <= min(stale_out), (
-            f"a stale query verified round {min(stale_out)} fell outside "
-            f"while one verified round {max(stale_in)} stayed in"
+    # stale queries whose OWN block changed since their green row are the
+    # highest-risk unverified class: none may sit outside while any
+    # helper-only stale occupies a window slot
+    def block_changed(name):
+        fp = fps.get(name) or {}
+        cur = registry.query_block_sha(specs[name])
+        return not (
+            fp.get("block_sha") is not None
+            and cur is not None
+            and fp["block_sha"] == cur
         )
+
+    helper_in = [n for n in inside if st[n] == "stale" and not block_changed(n)]
+    block_out = [n for n in outside if st[n] == "stale" and block_changed(n)]
+    assert not (helper_in and block_out), (
+        f"block-changed stales outside the window while helper-only "
+        f"stales hold slots: {block_out}"
+    )
+    # within each subclass, the most recently verified (lowest-risk) tail
+    # is what falls out
+    for changed in (True, False):
+        stale_out = [greens[n] for n in outside
+                     if st[n] == "stale" and block_changed(n) == changed]
+        stale_in = [greens[n] for n in inside
+                    if st[n] == "stale" and block_changed(n) == changed]
+        if stale_out and stale_in:
+            assert max(stale_in) <= min(stale_out), (
+                f"subclass block_changed={changed}: round {min(stale_out)} "
+                f"fell outside while round {max(stale_in)} stayed in"
+            )
 
 
 def test_tampered_fingerprint_rotates_query_forward():

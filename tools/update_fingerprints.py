@@ -86,6 +86,7 @@ def bootstrap() -> dict:
             "round": rnd,
             "module": spec.module,
             "sha256": fp or hashlib.sha256(blob).hexdigest(),
+            "block_sha": registry.block_sha_from_source(src, spec.fn.__name__),
         }
     return fps
 
@@ -109,14 +110,47 @@ def update() -> dict:
             "round": rnd,
             "module": spec.module,
             "sha256": registry.query_fingerprint(spec),
+            "block_sha": registry.query_block_sha(spec),
         }
+    return fps
+
+
+def backfill_block_shas() -> dict:
+    """One-time migration: add ``block_sha`` (the query's own block as of
+    its green round's results commit, via git show) to entries that
+    predate the field. ``sha256`` values are left untouched — only the
+    new field is derived from history."""
+    with open(FP_PATH) as f:
+        fps = json.load(f)
+    commits = _round_commits()
+    specs = registry.load_all()
+    for name, entry in fps.items():
+        if "block_sha" in entry:
+            continue
+        spec = specs.get(name)
+        commit = commits.get(entry.get("round"))
+        if spec is None or commit is None:
+            continue
+        rel = _module_relpath(spec.module)
+        blob = subprocess.run(
+            ["git", "show", f"{commit}:{rel}"],
+            cwd=_REPO, capture_output=True, check=True,
+        ).stdout
+        entry["block_sha"] = registry.block_sha_from_source(
+            blob.decode("utf-8"), spec.fn.__name__
+        )
     return fps
 
 
 
 
 def main() -> None:
-    fps = bootstrap() if "--bootstrap" in sys.argv else update()
+    if "--bootstrap" in sys.argv:
+        fps = bootstrap()
+    elif "--backfill-block-shas" in sys.argv:
+        fps = backfill_block_shas()
+    else:
+        fps = update()
     with open(FP_PATH, "w") as f:
         json.dump(fps, f, indent=1, sort_keys=True)
         f.write("\n")
