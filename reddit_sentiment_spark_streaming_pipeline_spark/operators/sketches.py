@@ -91,6 +91,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # referenced three times below (sketch cells, top-k, estimate
+        # join); one lineage cut materializes the token shuffle once —
+        # the frame is |vocab| rows, tiny at any corpus size
+        .localCheckpoint()
     )
     # one row per (word, depth, bucket): the word's CMS cell addresses
     cells = exact.select(

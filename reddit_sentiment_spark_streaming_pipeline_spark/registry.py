@@ -246,8 +246,9 @@ def showcase_order(
     fingerprints: dict | None = None,
     greens: dict[str, int] | None = None,
 ) -> list[str]:
-    """Deterministic presentation order: never-verified, then stale, then
-    fresh; within each group oldest-green first, registration order ties."""
+    """Deterministic presentation order: never-verified, then stale
+    (block-changed before helper-only, oldest-green first within each),
+    then fresh; registration order breaks remaining ties."""
     reg = registry if registry is not None else _REGISTRY
     if greens is None:
         greens = last_green_rounds()
