@@ -50,6 +50,9 @@ QUERIES = [
     # PMI (pair table scales with distinct collocations, not tokens²).
     "winnowing_overlap_pairs", "prefix_editdist_dups",
     "cms_heavy_hitters", "bigram_pmi_topk",
+    # the composed snapshot build (one wide stage) and the quantized ANN
+    # audit (broadcast queries x corpus scan; shuffle bytes ~flat)
+    "corpus_curation_pipeline", "int8_quant_cosine_error",
 ]
 
 
