@@ -234,3 +234,62 @@ def test_jdbc_streaming_append_roundtrip(spark, sf_dir, tmp_path):
     # values survive the round trip, not just the row count
     src_sum = spark.read.parquet(replay_dir).agg(F.sum("value")).first()[0]
     assert abs(back.agg(F.sum("value")).first()[0] - src_sum) < 1e-6
+
+
+def test_stateful_anomaly_stream(spark, sf_dir, tmp_path):
+    """Online z-score flags: state folds across batches (Welford/Chan
+    merge), each batch scored against the prior state only. The expected
+    flag set is replayed chunk-by-chunk in pandas with the same merge; a
+    tolerance band (must-flag |z| > 2.6, must-not-flag |z| < 2.4) keeps
+    the check exact in semantics but immune to sub-batch split rounding."""
+    import glob as _glob
+    import math
+
+    import pandas as pd
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stateful import (
+        ANOMALY_Z,
+        _ANOMALY_MIN_N,
+        start_anomaly_stream,
+    )
+
+    replay_dir, _ = _replay(spark, sf_dir, tmp_path, n_chunks=3)
+    q = start_anomaly_stream(read_replay_stream(spark, replay_dir), "anom_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM anom_test").toPandas()
+    flagged = set(got.event_id)
+    assert (got.zscore.abs() > ANOMALY_Z).all()
+
+    stats: dict[str, tuple[int, float, float]] = {}
+    must, forbidden = set(), set()
+    for f in sorted(_glob.glob(f"{replay_dir}/*.parquet")):
+        chunk = pd.read_parquet(f)
+        chunk = chunk[(chunk.event_type != "error") & chunk.value.notna()]
+        for etype, g in chunk.groupby("event_type"):
+            n, mean, m2 = stats.get(etype, (0, 0.0, 0.0))
+            if n >= _ANOMALY_MIN_N and m2 > 0:
+                sigma = math.sqrt(m2 / (n - 1))
+                z = (g.value - mean) / sigma
+                must |= set(g.event_id[z.abs() > ANOMALY_Z + 0.1])
+                forbidden |= set(g.event_id[z.abs() < ANOMALY_Z - 0.1])
+            else:
+                forbidden |= set(g.event_id)  # warm-up rows are unscored
+            n_b = len(g)
+            mean_b = float(g.value.mean())
+            m2_b = float(((g.value - mean_b) ** 2).sum())
+            tot = n + n_b
+            delta = mean_b - mean
+            stats[etype] = (
+                tot,
+                mean + delta * n_b / tot,
+                m2 + m2_b + delta * delta * n * n_b / tot,
+            )
+
+    assert must, "fixture produced no unambiguous anomalies"
+    assert must <= flagged, f"missed online anomalies: {sorted(must - flagged)}"
+    assert forbidden.isdisjoint(flagged), (
+        f"flagged non-anomalous/warm-up rows: {sorted(forbidden & flagged)}"
+    )
