@@ -97,7 +97,13 @@ def main() -> int:
     if args and os.path.isdir(args[0]):
         args = args[1:]
     specs = registry.load_all()
-    names = args or sorted(specs)
+    if args and args[0] == "--window":
+        # exactly the driver's per-round gate: the first N of queries()
+        # in showcase order (never-verified, then stale, then fresh)
+        n = int(args[1]) if len(args) > 1 else 50
+        names = list(specs)[:n]
+    else:
+        names = args or sorted(specs)
     if os.environ.get("CHECK_HOSTILE"):
         # reproduce the driver's conditions: default configs, no UTC pin,
         # no AQE/Arrow tuning — the loaders must self-defend
