@@ -142,6 +142,12 @@ def test_partitioned_sink_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert any(
         "PartitionFilters" in line and "event_date" in line for line in plan.splitlines()
     )
+    # runtime proof, not just plan text: the scan touches ONE directory
+    files = {
+        r[0].rsplit("/", 2)[-2]
+        for r in back.select(F.input_file_name()).distinct().collect()
+    }
+    assert files == {f"event_date={one_day}"}
     n_day = events.filter(F.to_date("ts") == F.lit(one_day)).count()
     assert back.count() == n_day
 
@@ -282,3 +288,4 @@ def test_merge_upsert_single_shuffle_no_join(spark, sf_dir):
     plan = plan_of(spark, "merge_upsert_orders", sf_dir)
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
+
