@@ -105,20 +105,26 @@ def time_streaming_replay(spark, sf_dir: str, n_chunks: int = 10) -> float:
             wq.stop()
         finally:
             shutil.rmtree(warm_dir, ignore_errors=True)
-        t0 = time.perf_counter()
         # State partitions sized to stream volume (~30k rows/batch), not
         # core count: each partition's state store pays a commit per batch,
         # which dominates at this scale (measured at sf0.1: 15.7s @ 32,
         # 6.4s @ 8, 5.0s @ 4 — 4 keeps headroom without paying for empty
         # store commits; a production stream re-sizes this to its volume).
-        q = start_windowed_query(
-            read_replay_stream(spark, replay_dir, max_files_per_trigger=2),
-            "bench_wq", state_partitions=4)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return round(time.perf_counter() - t0, 3)
+        # Min-of-2 drains (fresh checkpoint each) for the same
+        # interference-rejection as the batch timings.
+        best = None
+        for rep in range(2):
+            t0 = time.perf_counter()
+            q = start_windowed_query(
+                read_replay_stream(spark, replay_dir, max_files_per_trigger=2),
+                f"bench_wq_{rep}", state_partitions=4)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
 
