@@ -25,7 +25,6 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -308,6 +307,8 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside a bucket is the quadratic part, so it gets one dot, not three.
     # Persisted: both self-join sides read this, and without the cache each
     # side recomputes bucket hashing + norm over the full table (2.1× cost).
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+
     c = track(spread(_dup_corpus(emb)).select(
         "vec_id",
         "ce",
@@ -629,6 +630,8 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot be unpersisted here (the returned frame is lazy and still
     # references it), so it is registered with the package-wide tracker
     # (caching.release_tracked).
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+
     c = track(spread(emb.select("vec_id", as_double("embedding").alias("ce"))).persist())
     cent = c.filter(
         F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)

@@ -99,7 +99,7 @@ def test_winnowing_exact_dups_share_fingerprints(spark, sf_dir):
     """The MOSS guarantee, exercised end-to-end on the documents table:
     identical token streams produce identical fingerprint sets, and the
     fingerprint set is a genuine compression of the k-gram hashes."""
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.winnowing import (
         WINNOW_W,
         winnowing_fingerprints,
     )
@@ -117,10 +117,8 @@ def test_winnowing_exact_dups_share_fingerprints(spark, sf_dir):
 
 
 def test_unigram_logprob_scores_semantics(spark, sf_dir):
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
-        token_stats,
-        unigram_logprob_scores,
-    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import token_stats
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.winnowing import unigram_logprob_scores
 
     lp = unigram_logprob_scores(spark, sf_dir).toPandas().set_index("doc_id")
     assert len(lp) > 0
@@ -133,7 +131,7 @@ def test_unigram_logprob_scores_semantics(spark, sf_dir):
 
 
 def test_winnowing_overlap_pairs_consistent_with_fingerprints(spark, sf_dir):
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.winnowing import (
         WINNOW_MIN_SHARED,
         winnowing_fingerprints,
         winnowing_overlap_pairs,
@@ -156,7 +154,7 @@ def test_winnowing_moss_recall_guarantee_on_planted_runs(spark, tmp_path):
     >= w + k - 1 is caught); docs with disjoint vocabulary share none."""
     import pandas as pd
 
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import (
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.winnowing import (
         WINNOW_K,
         WINNOW_W,
         winnowing_overlap_pairs,
