@@ -142,6 +142,14 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_plan(args: argparse.Namespace) -> int:
+    from reddit_sentiment_spark_streaming_pipeline_spark import registry
+
+    spark = _spark("plan")
+    registry.get(args.name).fn(spark, args.sf_dir).explain(args.mode)
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from reddit_sentiment_spark_streaming_pipeline_spark import registry
 
@@ -184,6 +192,13 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pq.add_argument("-n", type=int, default=20)
     pq.set_defaults(fn=cmd_query)
+
+    pe = sub.add_parser("plan", help="explain one registry query's physical plan")
+    pe.add_argument("name")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pe.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost", "codegen"])
+    pe.set_defaults(fn=cmd_plan)
 
     pl = sub.add_parser("list", help="list registry queries")
     pl.set_defaults(fn=cmd_list)
