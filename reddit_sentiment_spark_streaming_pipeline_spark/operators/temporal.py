@@ -157,3 +157,88 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no orderBy: one row per error event (fact-scale) — don't global-sort it
     )
+
+
+NEAREST_TOL_SECONDS = 3600  # match window: ±1 hour
+
+
+@register(
+    "asof_nearest_signup_view",
+    oracle=f"""
+    WITH signups AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'signup' AND value IS NOT NULL
+    ),
+    views AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL
+    ),
+    cand AS (
+        SELECT s.user_id,
+               s.event_id AS signup_id,
+               v.event_id AS view_id,
+               v.ts       AS view_ts,
+               abs(epoch(s.ts) - epoch(v.ts)) AS gap_s
+        FROM signups s JOIN views v ON s.user_id = v.user_id
+        WHERE abs(epoch(s.ts) - epoch(v.ts)) <= {NEAREST_TOL_SECONDS}
+    )
+    SELECT user_id, signup_id, view_id,
+           CAST(floor(gap_s) AS BIGINT) AS gap_seconds
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY signup_id ORDER BY gap_s, view_ts, view_id
+        ) AS rn
+        FROM cand
+    )
+    WHERE rn = 1
+    ORDER BY signup_id
+    """,
+    doc="Nearest-as-of join (pandas merge_asof direction='nearest' with "
+    "tolerance): each signup matched to the user's closest view within "
+    "±1 h, either direction, deterministic (gap, ts, id) tie-break. "
+    "Completes the as-of family next to the backward join. Scale shape: "
+    "candidates come from an equi-join on (user_id, hour bin) with each "
+    "signup probing its own and both adjacent bins — candidates scale "
+    "with local event density x3 bins, never |user events|^2; the "
+    "argmin is a signup-partitioned window. The oracle uses the plain "
+    "quadratic inequality join, which is exactly what this formulation "
+    "refuses to be.",
+)
+def asof_nearest_signup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    epoch = F.col("ts").cast("double")
+    tbin = F.floor(epoch / NEAREST_TOL_SECONDS)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        epoch.alias("s_epoch"),
+        tbin.alias("bin"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        epoch.alias("v_epoch"),
+        tbin.alias("bin"),
+    )
+    probes = signups.select(
+        "user_id", "signup_id", "s_epoch",
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin"),
+    )
+    gap = F.abs(F.col("s_epoch") - F.col("v_epoch"))
+    cand = (
+        probes.join(views, ["user_id", "bin"])
+        .withColumn("gap_s", gap)
+        .filter(F.col("gap_s") <= NEAREST_TOL_SECONDS)
+    )
+    w = W.partitionBy("signup_id").orderBy("gap_s", "view_ts", "view_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "signup_id", "view_id",
+            F.floor("gap_s").cast("long").alias("gap_seconds"),
+        )
+    )

@@ -49,3 +49,26 @@ def test_q1_aggregate_sanity(spark, sf_dir):
     assert df.count_order.sum() > 0
     assert (df.sum_disc_price <= df.sum_base_price).all()
     assert (df.sum_charge >= df.sum_disc_price).all()
+
+
+def test_nearest_asof_is_symmetric_nearest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import valid_events
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.temporal import (
+        NEAREST_TOL_SECONDS,
+        asof_nearest_signup_view,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    got = asof_nearest_signup_view(spark, sf_dir).toPandas()
+    assert (got.gap_seconds <= NEAREST_TOL_SECONDS).all()
+    assert got.signup_id.is_unique  # one nearest view per signup
+    # brute-force nearest on the raw table agrees on the gap
+    ev = valid_events(load_table(spark, sf_dir, "events")).toPandas()
+    views = ev[ev.event_type == "view"]
+    for row in got.head(20).itertuples():
+        s_ts = ev.loc[ev.event_id == row.signup_id, "ts"].iloc[0]
+        uv = views[views.user_id == row.user_id]
+        best = (uv.ts - s_ts).abs().dt.total_seconds().min()
+        assert int(best) == row.gap_seconds
