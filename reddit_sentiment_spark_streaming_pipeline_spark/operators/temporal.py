@@ -159,12 +159,9 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAREST_TOL_SECONDS = 3600  # match window: ±1 hour
-
-
 @register(
     "asof_nearest_signup_view",
-    oracle=f"""
+    oracle="""
     WITH signups AS (
         SELECT user_id, event_id, ts FROM events
         WHERE event_type = 'signup' AND value IS NOT NULL
@@ -180,7 +177,7 @@ NEAREST_TOL_SECONDS = 3600  # match window: ±1 hour
                v.ts       AS view_ts,
                abs(epoch(s.ts) - epoch(v.ts)) AS gap_s
         FROM signups s JOIN views v ON s.user_id = v.user_id
-        WHERE abs(epoch(s.ts) - epoch(v.ts)) <= {NEAREST_TOL_SECONDS}
+        WHERE abs(epoch(s.ts) - epoch(v.ts)) <= 3600
     )
     SELECT user_id, signup_id, view_id,
            CAST(floor(gap_s) AS BIGINT) AS gap_seconds
@@ -205,6 +202,7 @@ NEAREST_TOL_SECONDS = 3600  # match window: ±1 hour
     "refuses to be.",
 )
 def asof_nearest_signup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    NEAREST_TOL_SECONDS = 3600  # match window: +-1 hour (mirrors the oracle literal)
     ev = valid_events(load_table(spark, sf_dir, "events"))
     epoch = F.col("ts").cast("double")
     tbin = F.floor(epoch / NEAREST_TOL_SECONDS)

@@ -55,10 +55,9 @@ def test_nearest_asof_is_symmetric_nearest(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from reddit_sentiment_spark_streaming_pipeline_spark.operators.events import valid_events
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.temporal import (
-        NEAREST_TOL_SECONDS,
-        asof_nearest_signup_view,
-    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.temporal import asof_nearest_signup_view
+
+    NEAREST_TOL_SECONDS = 3600
     from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
     got = asof_nearest_signup_view(spark, sf_dir).toPandas()
