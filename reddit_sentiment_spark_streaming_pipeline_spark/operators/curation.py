@@ -169,3 +169,124 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+@register(
+    "incremental_dedup_gate",
+    oracle="""
+    WITH existing AS (SELECT doc_id, lower(text) AS text, source FROM documents),
+    incoming AS (
+        SELECT doc_id + 1000000 AS doc_id, text, source
+        FROM existing WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz fresh snapshot tail', source
+        FROM existing WHERE doc_id % 7 = 0
+    ),
+    fps AS (SELECT DISTINCT md5(text) AS fingerprint FROM existing),
+    flagged AS (
+        SELECT i.source, f.fingerprint AS hit
+        FROM incoming i LEFT JOIN fps f ON md5(i.text) = f.fingerprint
+    )
+    SELECT source,
+           count(*)                            AS n_incoming,
+           count(*) - count(hit)               AS n_admitted,
+           count(hit)                          AS n_rejected
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc="Incremental snapshot dedup gate: a NEW crawl batch is admitted "
+    "only if its exact fingerprint is absent from the existing corpus — "
+    "the anti-join every recurring 100 TB snapshot build runs instead of "
+    "re-deduplicating from scratch. Shape: the existing corpus collapses "
+    "to DISTINCT 16-byte md5 fingerprints (map-side combining aggregate), "
+    "the incoming batch left-joins on that key — only fingerprints ever "
+    "shuffle, never document bodies; when the incoming batch is small the "
+    "join inverts to a broadcast (or a broadcast Bloom filter of the "
+    "existing fingerprint set, the classic one-sided gate). Fixture: "
+    "resubmitted docs (doc_id%10, same text) must be rejected; tailed "
+    "docs (doc_id%7, novel text) must be admitted.",
+)
+def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text"), "source"
+    )
+    resubmit = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz fresh snapshot tail")).alias("text"),
+        "source",
+    )
+    incoming = resubmit.unionByName(novel)
+    fps = (
+        docs.select(F.md5("text").alias("fingerprint"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = incoming.select("source", F.md5("text").alias("fingerprint")).join(
+        fps, "fingerprint", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            (F.count(F.lit(1)) - F.count("hit")).alias("n_admitted"),
+            F.count("hit").alias("n_rejected"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> w <> '') AS toks
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(greatest(len(toks) - 32, 0) * 1.0 / 24) AS BIGINT)
+               )) AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+               AS chunk_hash
+    FROM idx
+    """,
+    doc="Overlapping token-window chunking (window 32, stride 24): the "
+    "1-to-N document splitter feeding context-length-bound training and "
+    "retrieval indexes. Entirely narrow — tokenize, sequence-generate "
+    "chunk indexes, explode, slice — so at 100 TB it is a pure map stage "
+    "with zero shuffle; the trailing chunk is clamped to the remaining "
+    "tokens and every token lands in at least one chunk (8-token overlap "
+    "preserves cross-chunk context). chunk_hash doubles as the key for "
+    "downstream chunk-level dedup.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    idx = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.ceil(F.greatest(F.size("toks") - 32, F.lit(0)) * F.lit(1.0) / 24),
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice("toks", F.col("chunk_idx").cast("int") * 24 + 1, 32)
+    return idx.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

@@ -778,3 +778,97 @@ def int8_quant_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=f"""
+    WITH base AS ({_DUP_CORPUS_SQL}),
+    cent AS (
+        SELECT vec_id - {_CENTROID_LO} AS cid, ce AS cv
+        FROM base WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_LO + N_CENTROIDS - 1}
+    ),
+    dists AS (
+        SELECT base.vec_id, cent.cid, {_DIST_SQL} AS dist
+        FROM base CROSS JOIN cent
+    ),
+    mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+    assign AS (
+        SELECT d.vec_id, min(d.cid) AS cid
+        FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+        GROUP BY d.vec_id
+    ),
+    v AS (
+        SELECT b.vec_id, b.ce, a.cid, sqrt(list_dot_product(b.ce, b.ce)) AS nrm
+        FROM base b JOIN assign a USING (vec_id)
+    ),
+    pairs AS (
+        SELECT y.cid, x.vec_id AS keep_id, y.vec_id AS pruned_id,
+               round(list_dot_product(x.ce, y.ce) / (x.nrm * y.nrm), 6) AS cosine
+        FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    )
+    SELECT cid, pruned_id,
+           min(keep_id)              AS exemplar_id,
+           arg_min(cosine, keep_id)  AS exemplar_cosine
+    FROM pairs
+    WHERE cosine >= {COSINE_DUP_THRESHOLD}
+    GROUP BY cid, pruned_id
+    ORDER BY pruned_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): assign every "
+    "vector to its nearest coarse centroid (broadcast of 8 centroids + "
+    "partial-aggregable arg-min — the IVF assignment), then discover "
+    "near-duplicate pairs ONLY within a cluster via a cid-keyed self-join "
+    "and greedily keep the lowest-id exemplar per duplicate relation. "
+    "The cluster id is the shuffle key, so pair enumeration is quadratic "
+    "only in cluster size — at 100 TB you raise K proportionally to the "
+    "corpus (the paper uses ~100k clusters) so clusters stay bounded, and "
+    "the whole prune is one shuffle + one co-partitioned self-join, never "
+    "an all-pairs scan. Run over the planted-dup corpus (cosine >= 0.99).",
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = spread(_dup_corpus(emb))
+    cent = base.filter(
+        F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)
+    ).select((F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv"))
+    dist = F.round(
+        dot(F.col("ce"), F.col("ce"))
+        - 2 * dot(F.col("ce"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    )
+    # one materialization of (vec_id, ce, cid, nrm): both self-join sides
+    # read it, and norms are computed once per vector, not per pair
+    v = track(
+        base.join(assign, "vec_id")
+        .select("vec_id", "ce", "cid", F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"))
+        .persist()
+    )
+    x = v.select(F.col("vec_id").alias("keep_id"), F.col("ce").alias("ex"),
+                 "cid", F.col("nrm").alias("nx"))
+    y = v.select(F.col("vec_id").alias("pruned_id"), F.col("ce").alias("ey"),
+                 "cid", F.col("nrm").alias("ny"))
+    cos = F.round(dot(F.col("ex"), F.col("ey")) / (F.col("nx") * F.col("ny")), 6)
+    pairs = (
+        x.join(y, "cid")
+        .filter(F.col("keep_id") < F.col("pruned_id"))
+        .select("cid", "keep_id", "pruned_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+    return (
+        pairs.groupBy("cid", "pruned_id")
+        .agg(
+            F.min("keep_id").alias("exemplar_id"),
+            F.min_by("cosine", "keep_id").alias("exemplar_cosine"),
+        )
+        .orderBy("pruned_id")
+    )

@@ -68,3 +68,49 @@ def test_curation_pipeline_single_wide_stage(spark, sf_dir):
         "Exchange rangepartitioning"
     )
     assert n_exchanges <= 3, plan
+
+
+def test_incremental_gate_rejects_resubmits_admits_novel(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import incremental_dedup_gate
+
+    pdf = incremental_dedup_gate(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_resubmit = docs.filter(F.col("doc_id") % 10 == 0).count()
+    n_novel = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert pdf.n_incoming.sum() == n_resubmit + n_novel
+    # exact resubmits are all rejected; tailed docs are all admitted
+    assert pdf.n_rejected.sum() == n_resubmit
+    assert pdf.n_admitted.sum() == n_novel
+    assert (pdf.n_incoming == pdf.n_admitted + pdf.n_rejected).all()
+
+
+def test_doc_chunks_cover_every_token(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import doc_chunks
+
+    pdf = doc_chunks(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert pdf.doc_id.nunique() == n_docs
+    assert (pdf.n_chunk_tokens > 0).all()
+    for _, g in pdf.groupby("doc_id"):
+        idx = sorted(g.chunk_idx)
+        assert idx == list(range(len(idx)))  # contiguous from 0
+        # window 32 / stride 24: all non-final chunks are full, and the
+        # stride guarantees token coverage (32 + 24*(k-1) >= n_tokens)
+        g = g.sort_values("chunk_idx")
+        assert (g.n_chunk_tokens.iloc[:-1] == 32).all() or len(g) == 1
+        n_tokens = 24 * (len(g) - 1) + g.n_chunk_tokens.iloc[-1]
+        assert 32 + 24 * (len(g) - 1) >= n_tokens
+
+
+def test_doc_chunks_plan_is_shuffle_free(spark, sf_dir):
+    import contextlib
+    import io
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import doc_chunks
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        doc_chunks(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan

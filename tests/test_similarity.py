@@ -60,3 +60,32 @@ def test_embedding_near_dup_recall(spark, sf_dir):
     assert len(got) > 0
     assert (got.vec_b - got.vec_a == 1000000).all()  # no false positives
     assert (got.cosine >= 0.99).all()
+
+
+def test_semantic_dedup_prunes_planted_pairs(spark, sf_dir):
+    pdf = sim.semantic_dedup_prune(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = {
+        r.vec_id + 1000000
+        for r in emb.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    assert (pdf.exemplar_cosine >= sim.COSINE_DUP_THRESHOLD).all()
+    assert (pdf.exemplar_id < pdf.pruned_id).all()
+    # the corpus is organic below ~0.51 cosine, so ONLY planted copies can
+    # cross the 0.99 bar — and each must be pruned against its own source
+    assert set(pdf.pruned_id) <= planted
+    pruned_planted = pdf[pdf.pruned_id.isin(planted)]
+    # a copy escapes only if the tiny perturbation lands it in a different
+    # coarse cluster than its source; that must stay the rare exception
+    assert len(pruned_planted) >= 0.9 * len(planted)
+    assert (pruned_planted.exemplar_id == pruned_planted.pruned_id - 1000000).all()
+
+
+def test_semantic_dedup_pairs_share_cluster(spark, sf_dir):
+    pdf = sim.semantic_dedup_prune(spark, sf_dir).toPandas()
+    # cid is the cluster of BOTH endpoints (pairs are discovered inside a
+    # cluster only), so every cid is a valid coarse-centroid id
+    assert pdf.cid.between(0, sim.N_CENTROIDS - 1).all()
+    # greedy keep-lowest-id: an exemplar may itself appear as pruned only
+    # via a lower id, never via itself
+    assert not (pdf.exemplar_id == pdf.pruned_id).any()
