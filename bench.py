@@ -56,6 +56,8 @@ HEADLINE = [
     "resample_gapfill",          # time-series regular grid + forward fill
     "merge_upsert_orders",       # MERGE INTO upsert (union + keep-last)
     "corpus_curation_pipeline",  # filter->dedup->redact->split in one plan
+    "semantic_dedup_prune",      # SemDeDup: cluster-partitioned cosine prune
+    "doc_chunks",                # overlapping token-window chunking (map-only)
 ]
 
 
