@@ -714,3 +714,65 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "stratified_quota_sample",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    quota AS (
+        SELECT lang, n, CASE WHEN lang = 'en' THEN 40 ELSE 20 END AS q
+        FROM counts
+    ),
+    pre AS (
+        SELECT d.lang, d.doc_id, md5(d.text) AS h, q.q
+        FROM documents d JOIN quota q USING (lang)
+        WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 100
+              < least(100, CAST(ceil(300.0 * q.q / q.n) AS BIGINT))
+    ),
+    ranked AS (
+        SELECT lang, doc_id, q,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS sample_rank
+        FROM pre
+    )
+    SELECT lang, doc_id, sample_rank
+    FROM ranked WHERE sample_rank <= q
+    ORDER BY lang, sample_rank
+    """,
+    doc="Stratified QUOTA sampling (exactly q docs per stratum, en=40 / "
+    "others=20) via the scalable two-phase pattern: a cheap deterministic "
+    "hash-bucket prefilter keeps ~3q candidates per stratum (map-side, "
+    "driven by a broadcast of per-stratum counts), and only those "
+    "survivors enter the per-stratum rank window — so the window shuffle "
+    "carries ~3q rows per stratum instead of the whole corpus, which is "
+    "what makes exact quotas affordable at 100 TB (never rank the full "
+    "stratum; eval-set construction is the typical consumer). Hash-order "
+    "ranking makes the sample reproducible across engines and reruns.",
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    quota = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "q", F.when(F.col("lang") == "en", F.lit(40)).otherwise(F.lit(20))
+        )
+    )
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    thresh = F.least(
+        F.lit(100), F.ceil(F.lit(300.0) * F.col("q") / F.col("n"))
+    )
+    pre = (
+        docs.join(F.broadcast(quota), "lang")
+        .filter(bucket < thresh)
+        .select("lang", "doc_id", F.md5("text").alias("h"), "q")
+    )
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("q"))
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )

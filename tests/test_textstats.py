@@ -203,3 +203,23 @@ def test_per_source_top_docs_selects_max_quality(spark, sf_dir):
     best = joined.groupby("source").quality_score.max()
     for r in top[top.rk == 1].itertuples():
         assert r.quality_score == best[r.source]
+
+
+def test_stratified_quota_sample_respects_quotas(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import stratified_quota_sample
+
+    pdf = stratified_quota_sample(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_by_lang = docs.groupby("lang").size()
+    for lang, g in pdf.groupby("lang"):
+        q = 40 if lang == "en" else 20
+        # exact quota when the stratum is large enough, never above it
+        assert len(g) <= q
+        if n_by_lang[lang] >= 3 * q:
+            assert len(g) == q
+        assert sorted(g.sample_rank) == list(range(1, len(g) + 1))
+    # deterministic: a second run yields the identical sample
+    pdf2 = stratified_quota_sample(spark, sf_dir).toPandas()
+    assert pdf.sort_values(["lang", "sample_rank"]).reset_index(drop=True).equals(
+        pdf2.sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    )
