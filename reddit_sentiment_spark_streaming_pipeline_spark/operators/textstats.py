@@ -776,3 +776,86 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "sample_rank")
         .orderBy("lang", "sample_rank")
     )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> w <> '') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+                     / len(toks), 6)                                  AS mean_word_len,
+               round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                     / len(toks), 6)                                  AS alpha_word_frac,
+               len(list_intersect(toks,
+                   ['the','be','to','of','and','that','have','with'])) AS stopword_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+           (n_words < 50)                                   AS too_few_words,
+           (n_words > 100000)                               AS too_many_words,
+           (mean_word_len < 3 OR mean_word_len > 10)        AS bad_mean_word_len,
+           (alpha_word_frac < 0.8)                          AS low_alpha_frac,
+           (stopword_hits < 2)                              AS low_stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND alpha_word_frac >= 0.8 AND stopword_hits >= 2) AS keep
+    FROM m
+    """,
+    doc="Gopher quality rules (Rae et al. 2021, §A1.1): word-count bounds "
+    "[50, 100k], mean word length [3, 10], >=80% words containing an "
+    "alphabetic character, >=2 distinct required stopwords — each rule a "
+    "boolean flag plus the composite keep decision. Pure per-row "
+    "expression pipeline: zero shuffle at any corpus size, the published "
+    "rule set a 100 TB pre-filter actually runs before any dedup pass.",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in
+                     ("the", "be", "to", "of", "and", "that", "have", "with")])
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform("toks", lambda w: F.length(w)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            * 1.0
+            / F.size("toks"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("toks", lambda w: w.rlike("[a-z]"))) * 1.0
+            / F.size("toks"),
+            6,
+        ).alias("alpha_word_frac"),
+        F.size(F.array_intersect(F.array_distinct("toks"), stop)).alias(
+            "stopword_hits"
+        ),
+    )
+    in_bounds = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("alpha_word_frac") >= 0.8) & (F.col("stopword_hits") >= 2)
+    )
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac", "stopword_hits",
+        (F.col("n_words") < 50).alias("too_few_words"),
+        (F.col("n_words") > 100000).alias("too_many_words"),
+        ((F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10)).alias(
+            "bad_mean_word_len"
+        ),
+        (F.col("alpha_word_frac") < 0.8).alias("low_alpha_frac"),
+        (F.col("stopword_hits") < 2).alias("low_stopword_hits"),
+        in_bounds.alias("keep"),
+    )

@@ -223,3 +223,19 @@ def test_stratified_quota_sample_respects_quotas(spark, sf_dir):
     assert pdf.sort_values(["lang", "sample_rank"]).reset_index(drop=True).equals(
         pdf2.sort_values(["lang", "sample_rank"]).reset_index(drop=True)
     )
+
+
+def test_gopher_flags_compose_into_keep(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import gopher_quality_flags
+
+    pdf = gopher_quality_flags(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(pdf) == docs.count()
+    # keep is exactly the conjunction of no-rule-fired
+    fired = (
+        pdf.too_few_words | pdf.too_many_words | pdf.bad_mean_word_len
+        | pdf.low_alpha_frac | pdf.low_stopword_hits
+    )
+    assert (pdf.keep == ~fired).all()
+    assert pdf.alpha_word_frac.between(0, 1).all()
+    assert (pdf.stopword_hits <= 8).all()
