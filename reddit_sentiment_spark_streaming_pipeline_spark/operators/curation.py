@@ -290,3 +290,117 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+@register(
+    "snapshot_ngram_novelty",
+    oracle=r"""
+    WITH existing AS (SELECT doc_id, lower(text) AS text, source FROM documents),
+    incoming AS (
+        SELECT doc_id + 1000000 AS doc_id, text, source
+        FROM existing WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz fresh snapshot tail', source
+        FROM existing WHERE doc_id % 7 = 0
+    ),
+    etok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\s+'))                 AS word,
+               generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        FROM existing
+    ),
+    esh AS (
+        SELECT DISTINCT md5(shingle) AS h FROM (
+            SELECT word || ' ' || lead(word, 1) OVER w || ' '
+                        || lead(word, 2) OVER w AS shingle
+            FROM (SELECT * FROM etok WHERE word <> '')
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 2) OVER w IS NOT NULL
+        )
+    ),
+    itok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\s+'))                 AS word,
+               generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        FROM incoming
+    ),
+    ish AS (
+        SELECT DISTINCT doc_id, md5(shingle) AS h FROM (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER w || ' '
+                        || lead(word, 2) OVER w AS shingle
+            FROM (SELECT * FROM itok WHERE word <> '')
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 2) OVER w IS NOT NULL
+        )
+    ),
+    per_doc AS (
+        SELECT i.doc_id,
+               count(*)                 AS n_sh,
+               count(*) - count(e.h)    AS n_novel
+        FROM ish i LEFT JOIN esh e ON i.h = e.h
+        GROUP BY i.doc_id
+    )
+    SELECT inc.source,
+           count(*)                                        AS n_docs,
+           round(avg(p.n_novel * 1.0 / p.n_sh), 6)         AS avg_novelty,
+           count(*) FILTER (WHERE p.n_novel = 0)           AS n_fully_seen
+    FROM per_doc p JOIN incoming inc ON p.doc_id = inc.doc_id
+    GROUP BY inc.source ORDER BY inc.source
+    """,
+    doc="Cross-snapshot n-gram novelty: per incoming document, the "
+    "fraction of its DISTINCT 3-gram shingles absent from the existing "
+    "corpus's shingle set — the crawl-yield metric deciding whether a "
+    "new snapshot is worth ingesting. Shares the dedup pipeline's "
+    "shingle construction (operators/dedup.py::shingle_rows); only "
+    "16-byte shingle hashes ever shuffle, the existing side collapses "
+    "to DISTINCT hashes (map-side combining) before the join, and the "
+    "per-doc then per-source rollups are partial-aggregable. "
+    "Resubmitted docs score 0 novelty; tailed docs score the tail.",
+)
+def snapshot_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text"), "source"
+    )
+    resubmit = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz fresh snapshot tail")).alias("text"),
+        "source",
+    )
+    incoming = resubmit.unionByName(novel)
+    esh = (
+        shingle_rows(docs.select("doc_id", "text"))
+        .select(F.md5("shingle").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ish = (
+        shingle_rows(incoming.select("doc_id", "text"))
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    per_doc = (
+        ish.join(esh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            (F.count(F.lit(1)) - F.count("hit")).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(incoming.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_novel") * 1.0 / F.col("n_sh")), 6).alias(
+                "avg_novelty"
+            ),
+            F.count(F.when(F.col("n_novel") == 0, 1)).alias("n_fully_seen"),
+        )
+        .orderBy("source")
+    )

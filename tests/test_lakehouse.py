@@ -114,3 +114,16 @@ def test_doc_chunks_plan_is_shuffle_free(spark, sf_dir):
         doc_chunks(spark, sf_dir).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
+
+
+def test_snapshot_novelty_zero_for_resubmits(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import snapshot_ngram_novelty
+
+    pdf = snapshot_ngram_novelty(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_resubmit = docs.filter(F.col("doc_id") % 10 == 0).count()
+    # every resubmitted doc contributes zero novel shingles
+    assert pdf.n_fully_seen.sum() >= n_resubmit
+    assert pdf.avg_novelty.between(0, 1).all()
+    # tailed docs exist, so at least one source shows positive novelty
+    assert (pdf.avg_novelty > 0).any()
