@@ -53,6 +53,13 @@ QUERIES = [
     # the composed snapshot build (one wide stage) and the quantized ANN
     # audit (broadcast queries x corpus scan; shuffle bytes ~flat)
     "corpus_curation_pipeline", "int8_quant_cosine_error",
+    # r4 corpus-management additions: the snapshot gate and novelty audit
+    # shuffle only 16-byte hashes (linear); quota sampling's rank window
+    # sees ~3q survivors per stratum, so its shuffle bytes should be FLAT
+    # as the corpus grows; chunking and the Gopher rules are pure map
+    # stages — zero shuffle at both scales.
+    "incremental_dedup_gate", "snapshot_ngram_novelty",
+    "stratified_quota_sample", "doc_chunks", "gopher_quality_flags",
 ]
 
 
