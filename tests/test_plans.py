@@ -289,3 +289,31 @@ def test_merge_upsert_single_shuffle_no_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
 
+
+
+def test_semantic_dedup_broadcasts_centroids_and_joins_on_cid(spark, sf_dir):
+    plan = plan_of(spark, "semantic_dedup_prune", sf_dir)
+    # centroid assignment is a broadcast (8 rows), never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # pair discovery is the cid-keyed equi self-join, not a cartesian scan
+    assert "CartesianProduct" not in plan
+    assert plan.count("EvalPython") == 0  # vector math stays JVM-side
+
+
+def test_incremental_gate_shuffles_fingerprints_not_documents(spark, sf_dir):
+    plan = plan_of(spark, "incremental_dedup_gate", sf_dir)
+    # the existing-corpus side collapses to DISTINCT md5 fingerprints
+    # before the join: the join keys are the 32-char hash, and no plan
+    # node carries the text column past its own scan/projection stage
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quota_sample_prefilters_before_rank_window(spark, sf_dir):
+    plan = plan_of(spark, "stratified_quota_sample", sf_dir)
+    # per-stratum counts join in as a broadcast; the bucket prefilter must
+    # sit BELOW the rank window so the window shuffle carries survivors only
+    assert "BroadcastHashJoin" in plan
+    i_filter = plan.find("conv(substring(md5")
+    i_window = plan.find("row_number")
+    assert i_filter != -1 and i_window != -1
