@@ -293,3 +293,50 @@ def test_stateful_anomaly_stream(spark, sf_dir, tmp_path):
     assert forbidden.isdisjoint(flagged), (
         f"flagged non-anomalous/warm-up rows: {sorted(forbidden & flagged)}"
     )
+
+
+def test_streaming_dedup_gate_matches_batch_semantics(spark, tmp_path):
+    """Drained stream == batch gate: the store ends with exactly one row
+    per distinct text, resubmits are rejected across batches, and a
+    replayed batch admits nothing new (membership idempotence)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        gate_batch,
+        read_doc_stream,
+        start_dedup_gate,
+        write_doc_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "chunks")
+    out_root = str(tmp_path / "gate")
+    n = write_doc_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = spark.read.parquet(f"{out_root}/fingerprint_store")
+    stats = spark.read.parquet(f"{out_root}/gate_stats").toPandas()
+    corpus = spark.read.parquet(chunk_dir)
+    n_distinct = corpus.select("text").distinct().count()
+
+    # one admitted row per distinct text, none admitted twice
+    assert store.count() == n_distinct
+    assert store.select("fingerprint").distinct().count() == n_distinct
+    # per-batch accounting adds up to the corpus
+    assert stats.n_batch.sum() == n
+    assert stats.n_admitted.sum() == n_distinct
+    # resubmits (+1M ids, exact copies) must never be the admitted doc —
+    # their originals replay in earlier batches
+    assert store.filter((F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000)).count() == 0
+    # replaying a batch against the finished store admits nothing
+    import glob
+
+    first_chunk = sorted(glob.glob(f"{chunk_dir}/*.parquet"))[0]
+    replay = spark.read.parquet(first_chunk)
+    gate_batch(replay, 99, f"{out_root}/fingerprint_store", f"{out_root}/gate_stats")
+    stats2 = spark.read.parquet(f"{out_root}/gate_stats").toPandas()
+    assert stats2[stats2.batch_id == 99].n_admitted.iloc[0] == 0
+    assert spark.read.parquet(f"{out_root}/fingerprint_store").count() == n_distinct
