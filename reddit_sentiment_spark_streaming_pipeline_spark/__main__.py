@@ -150,6 +150,33 @@ def cmd_plan(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_gate(args: argparse.Namespace) -> int:
+    """Streaming incremental dedup gate: chunk the corpus, drain it
+    through the fingerprint-store gate, print per-batch admissions."""
+    import os as _os
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sinks import show_console
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream,
+        start_dedup_gate,
+        write_doc_chunks,
+    )
+
+    spark = _spark("gate")
+    n = write_doc_chunks(spark, args.sf_dir, args.chunks_dir, n_chunks=args.chunks)
+    print(f"wrote {n} docs as {args.chunks} replay chunks", file=sys.stderr)
+    q = start_dedup_gate(read_doc_stream(spark, args.chunks_dir), args.out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stats = spark.read.parquet(_os.path.join(args.out, "gate_stats")).orderBy(
+        "batch_id"
+    )
+    show_console(stats, n=args.chunks + 1)
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from reddit_sentiment_spark_streaming_pipeline_spark import registry
 
@@ -199,6 +226,13 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--mode", default="formatted",
                     choices=["simple", "extended", "formatted", "cost", "codegen"])
     pe.set_defaults(fn=cmd_plan)
+
+    pg = sub.add_parser("gate", help="run the streaming incremental dedup gate")
+    pg.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pg.add_argument("--chunks-dir", default="/tmp/reddit_sentiment_spark_streaming_pipeline_doc_chunks")
+    pg.add_argument("--chunks", type=int, default=4)
+    pg.add_argument("--out", default="/tmp/reddit_sentiment_spark_streaming_pipeline_gate")
+    pg.set_defaults(fn=cmd_gate)
 
     pl = sub.add_parser("list", help="list registry queries")
     pl.set_defaults(fn=cmd_list)

@@ -27,3 +27,13 @@ def test_cli_list_names_every_query(capsys):
     out = capsys.readouterr().out
     for name in registry.load_all():
         assert name in out
+
+
+def test_cli_gate_drains_and_reports(spark, sf_dir, tmp_path, capsys):
+    chunks = str(tmp_path / "doc_chunks")
+    out = str(tmp_path / "gate_out")
+    assert main(["gate", "--sf-dir", sf_dir, "--chunks-dir", chunks,
+                 "--chunks", "3", "--out", out]) == 0
+    assert os.path.isdir(os.path.join(out, "fingerprint_store"))
+    shown = capsys.readouterr().out
+    assert "n_admitted" in shown and "n_rejected" in shown
