@@ -155,9 +155,12 @@ def cmd_gate(args: argparse.Namespace) -> int:
     through the fingerprint-store gate, print per-batch admissions."""
     import os as _os
 
+    from pyspark.sql import functions as F
+
     from reddit_sentiment_spark_streaming_pipeline_spark.sinks import show_console
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
         read_doc_stream,
+        read_gate_stats,
         start_dedup_gate,
         write_doc_chunks,
     )
@@ -165,13 +168,21 @@ def cmd_gate(args: argparse.Namespace) -> int:
     spark = _spark("gate")
     n = write_doc_chunks(spark, args.sf_dir, args.chunks_dir, n_chunks=args.chunks)
     print(f"wrote {n} docs as {args.chunks} replay chunks", file=sys.stderr)
+    # the gate's outputs are durable across runs (that is the point); note
+    # any batches already in the stats so the report covers THIS run only
+    prev_max = -1
+    if _os.path.isdir(_os.path.join(args.out, "gate_stats")):
+        row = read_gate_stats(spark, args.out).agg(F.max("batch_id")).first()
+        prev_max = -1 if row[0] is None else row[0]
     q = start_dedup_gate(read_doc_stream(spark, args.chunks_dir), args.out)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    stats = spark.read.parquet(_os.path.join(args.out, "gate_stats")).orderBy(
-        "batch_id"
+    stats = (
+        read_gate_stats(spark, args.out)
+        .filter(F.col("batch_id") > prev_max)
+        .orderBy("batch_id")
     )
     show_console(stats, n=args.chunks + 1)
     return 0

@@ -171,6 +171,32 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared snapshot fixture: the SAME construction backs the batch gate, the
+# novelty audit, and the streaming gate's chunk writer
+# (streaming/dedup.py::write_doc_chunks) — one definition, three consumers,
+# so the streaming gate can never silently desynchronize from the batch
+# operators it mirrors. Exact resubmits (doc_id+1M, same text) must be
+# rejected; tailed novel docs (doc_id+2M) must be admitted.
+
+
+def snapshot_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text"), "source"
+    )
+
+
+def snapshot_incoming(existing: DataFrame) -> DataFrame:
+    resubmit = existing.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    novel = existing.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz fresh snapshot tail")).alias("text"),
+        "source",
+    )
+    return resubmit.unionByName(novel)
+
+
 @register(
     "incremental_dedup_gate",
     oracle="""
@@ -206,18 +232,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs (doc_id%7, novel text) must be admitted.",
 )
 def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("text"), "source"
-    )
-    resubmit = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
-    )
-    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat("text", F.lit(" zz fresh snapshot tail")).alias("text"),
-        "source",
-    )
-    incoming = resubmit.unionByName(novel)
+    docs = snapshot_existing(spark, sf_dir)
+    incoming = snapshot_incoming(docs)
     fps = (
         docs.select(F.md5("text").alias("fingerprint"))
         .distinct()
@@ -361,18 +377,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def snapshot_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import shingle_rows
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("text"), "source"
-    )
-    resubmit = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
-    )
-    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat("text", F.lit(" zz fresh snapshot tail")).alias("text"),
-        "source",
-    )
-    incoming = resubmit.unionByName(novel)
+    docs = snapshot_existing(spark, sf_dir)
+    incoming = snapshot_incoming(docs)
     esh = (
         shingle_rows(docs.select("doc_id", "text"))
         .select(F.md5("shingle").alias("h"))

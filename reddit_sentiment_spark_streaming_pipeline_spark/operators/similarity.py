@@ -827,6 +827,11 @@ def int8_quant_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an all-pairs scan. Run over the planted-dup corpus (cosine >= 0.99).",
 )
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The centroid assignment below intentionally mirrors _ivf_assign
+    # (same rounded-distance expression and min_by tie-break) but runs
+    # over the planted-dup corpus rather than raw embeddings; both code
+    # paths share the _DIST_SQL constant with their oracles, so any drift
+    # in the assignment rule fails one of the two oracle checks.
     from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
 
     emb = load_table(spark, sf_dir, "embeddings")

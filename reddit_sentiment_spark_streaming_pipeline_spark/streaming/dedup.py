@@ -9,7 +9,9 @@ per batch. Micro-batches execute sequentially, so the read-check-append
 cycle is race-free; and because the gate checks MEMBERSHIP (not counts),
 a replayed batch finds its own fingerprints already present and admits
 nothing — admission is idempotent under the retry semantics foreachBatch
-actually has.
+actually has. Stats are idempotent too: each batch overwrites its own
+`batch_id=N` partition, so a replay repairs rather than duplicates its
+row.
 
 At 100 TB the store is a fingerprint-only table: 16-byte keys, orders of
 magnitude smaller than the corpus. The per-batch anti-join shuffles only
@@ -27,7 +29,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
-from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
+    snapshot_existing,
+    snapshot_incoming,
+)
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import _order_files_by_name
 
 DOC_CHUNK_SCHEMA = "doc_id bigint, text string, source string"
@@ -37,26 +42,19 @@ def write_doc_chunks(spark: SparkSession, sf_dir: str, out_dir: str,
                      n_chunks: int = 4) -> int:
     """Replayable document chunks with planted cross-batch duplicates.
 
-    Corpus = originals ∪ exact resubmits (doc_id+1M, same text) ∪ tailed
-    novel docs (doc_id+2M) — the same construction as the batch gate —
-    range-partitioned on doc_id so originals replay in earlier
-    micro-batches than their resubmits: the duplicates the gate must
-    reject arrive in LATER batches than the texts they collide with,
-    which is exactly the cross-batch case an in-batch dropDuplicates
-    cannot cover. Returns the corpus row count.
+    Corpus = the shared snapshot fixture (operators/curation.py):
+    originals ∪ exact resubmits (doc_id+1M) ∪ tailed novel docs
+    (doc_id+2M), range-partitioned on doc_id. Resubmit ids all exceed
+    original ids, so a resubmit replays in a strictly LATER batch than
+    its original — the cross-batch rejection case — except when the
+    original itself falls in the last id-range chunk (range boundaries
+    balance row counts, so the final chunk mixes the tail of the
+    originals with the resubmits); those few same-batch collisions are
+    covered by the gate's within-batch keep-first window instead.
+    Returns the corpus row count.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("text"), "source"
-    )
-    resubmit = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
-    )
-    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat("text", F.lit(" zz fresh snapshot tail")).alias("text"),
-        "source",
-    )
-    corpus = docs.unionByName(resubmit).unionByName(novel)
+    existing = snapshot_existing(spark, sf_dir)
+    corpus = existing.unionByName(snapshot_incoming(existing))
     n = corpus.count()
     (
         corpus.repartitionByRange(n_chunks, "doc_id")
@@ -79,11 +77,14 @@ def read_doc_stream(spark: SparkSession, chunk_dir: str,
 
 def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                stats_dir: str) -> None:
-    """Admit the batch's unseen fingerprints into the store; append stats.
+    """Admit the batch's unseen fingerprints into the store; upsert stats.
 
     Within-batch collisions keep the lowest doc_id (the same greedy
     keep-first rule as the batch operators); cross-batch collisions are
-    rejected by the store anti-join.
+    rejected by the store anti-join. The store read is gated on the
+    directory existing — NOT on a broad exception swallow — so a real
+    read failure (corrupt part file, FS error) propagates and fails the
+    batch instead of silently re-admitting everything as "first batch".
     """
     spark = batch_df.sparkSession
     fps = batch_df.select(
@@ -96,10 +97,11 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         .drop("rn")
     )
     n_batch = fps.count()
-    try:
-        store = spark.read.parquet(store_dir).select("fingerprint")
-    except Exception:  # noqa: BLE001 — first batch: store not created yet
-        store = None
+    store = (
+        spark.read.parquet(store_dir).select("fingerprint")
+        if os.path.isdir(store_dir)
+        else None
+    )
     admitted = (
         firsts if store is None
         else firsts.join(store, "fingerprint", "left_anti")
@@ -110,10 +112,20 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         .write.mode("append")
         .parquet(store_dir)
     )
+    # one stats row per batch, idempotent under replay: the batch owns its
+    # batch_id=N partition and overwrites it (batch_id comes back as the
+    # partition column on read)
     spark.createDataFrame(
-        [(batch_id, n_batch, n_admitted, n_batch - n_admitted)],
-        "batch_id long, n_batch long, n_admitted long, n_rejected long",
-    ).coalesce(1).write.mode("append").parquet(stats_dir)
+        [(n_batch, n_admitted, n_batch - n_admitted)],
+        "n_batch long, n_admitted long, n_rejected long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stats_dir, f"batch_id={batch_id}")
+    )
+
+
+def read_gate_stats(spark: SparkSession, out_root: str) -> DataFrame:
+    """Per-batch admission stats with batch_id recovered from partitions."""
+    return spark.read.parquet(os.path.join(out_root, "gate_stats"))
 
 
 def start_dedup_gate(docs_stream: DataFrame, out_root: str) -> StreamingQuery:

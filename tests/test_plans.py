@@ -303,10 +303,18 @@ def test_semantic_dedup_broadcasts_centroids_and_joins_on_cid(spark, sf_dir):
 def test_incremental_gate_shuffles_fingerprints_not_documents(spark, sf_dir):
     plan = plan_of(spark, "incremental_dedup_gate", sf_dir)
     # the existing-corpus side collapses to DISTINCT md5 fingerprints
-    # before the join: the join keys are the 32-char hash, and no plan
-    # node carries the text column past its own scan/projection stage
-    assert "md5" in plan
+    # before the join: the join keys are the 32-char hash ...
+    assert "keys [1]: [fingerprint" in plan.lower()
     assert "CartesianProduct" not in plan
+    # ... and no exchange ever carries a document body — text is projected
+    # down to its md5 before the first shuffle
+    exchanges = [
+        blk for blk in plan.split("\n(")
+        if blk.partition("\n")[0].rstrip().endswith(("Exchange", "BroadcastExchange"))
+    ]
+    assert exchanges, plan
+    for blk in exchanges:
+        assert "text#" not in blk, blk
 
 
 def test_quota_sample_prefilters_before_rank_window(spark, sf_dir):
@@ -317,3 +325,8 @@ def test_quota_sample_prefilters_before_rank_window(spark, sf_dir):
     i_filter = plan.find("conv(substring(md5")
     i_window = plan.find("row_number")
     assert i_filter != -1 and i_window != -1
+    # formatted-plan details are numbered leaf-to-root, so textual order is
+    # execution order: the bucket prefilter (the broadcast-join condition)
+    # must run BEFORE the rank window's exchange — the window shuffles
+    # survivors only, never the full corpus
+    assert i_filter < i_window, plan

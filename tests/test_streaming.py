@@ -345,41 +345,41 @@ def test_streaming_dedup_gate_matches_batch_semantics(spark, tmp_path):
 def test_streaming_dedup_gate_survives_restart(spark, tmp_path):
     """Stop the gate mid-stream and restart on the same checkpoint: the
     second query resumes from the unprocessed chunks only, and the final
-    store is identical to an uninterrupted drain (exactly-once)."""
+    store is identical to an uninterrupted drain (exactly-once). The
+    mid-stream stop is deterministic: the last two chunk files are held
+    back until the first query has drained and stopped."""
+    import glob
+    import shutil
+
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
         read_doc_stream,
+        read_gate_stats,
         start_dedup_gate,
         write_doc_chunks,
     )
 
     sf_dir = "/root/testdata/sf0.001"
     chunk_dir = str(tmp_path / "chunks")
+    hold_dir = tmp_path / "held"
+    hold_dir.mkdir()
     out_root = str(tmp_path / "gate")
     write_doc_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    chunks = sorted(glob.glob(f"{chunk_dir}/*.parquet"))
+    held = []
+    for f in chunks[2:]:  # hold back the last two chunks (mtimes survive)
+        dest = str(hold_dir / os.path.basename(f))
+        shutil.move(f, dest)
+        held.append((dest, f))
 
-    # first query: drain exactly 2 of the 4 chunks, then stop
-    q1 = start_dedup_gate(
-        read_doc_stream(spark, chunk_dir, max_files_per_trigger=1), out_root
-    )
+    q1 = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
     try:
-        import time
-
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            try:
-                n_batches = len(
-                    spark.read.parquet(f"{out_root}/gate_stats")
-                    .select("batch_id").distinct().collect()
-                )
-                if n_batches >= 2:
-                    break
-            except Exception:  # noqa: BLE001 — stats dir not created yet
-                pass
-            time.sleep(0.5)
+        q1.processAllAvailable()
     finally:
         q1.stop()
+    assert read_gate_stats(spark, out_root).count() == 2  # genuinely mid-stream
 
-    # second query, same checkpoint: finishes the drain
+    for src, dest in held:
+        shutil.move(src, dest)
     q2 = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
     try:
         q2.processAllAvailable()
@@ -390,3 +390,5 @@ def test_streaming_dedup_gate_survives_restart(spark, tmp_path):
     n_distinct = spark.read.parquet(chunk_dir).select("text").distinct().count()
     assert store.count() == n_distinct
     assert store.select("fingerprint").distinct().count() == n_distinct
+    # the resumed drain processed only the held-back chunks: 4 batches total
+    assert read_gate_stats(spark, out_root).count() == 4
