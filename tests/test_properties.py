@@ -106,3 +106,94 @@ def test_showcase_order_is_total_and_prioritized(greens, stale):
             for f in verified:
                 if f not in stale:
                     assert rank[s] < rank[f], (s, f)
+
+
+# ---------------------------------------------------------------- chunking
+
+_n_tokens = st.lists(st.integers(min_value=0, max_value=80), min_size=1, max_size=25)
+
+
+def _write_docs(spark, texts_by_id):
+    """Materialize a synthetic documents.parquet the operators can load."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_docs_")
+    spark.createDataFrame(
+        [(i, t, "en" if i % 3 else "de", "s") for i, t in texts_by_id.items()],
+        "doc_id bigint, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+@settings(max_examples=5, deadline=None)
+@given(_n_tokens)
+def test_doc_chunks_match_python_model_on_arbitrary_lengths(spark, ns):
+    """doc_chunks (window 32 / stride 24) vs an independent Python model
+    of the same contract, over arbitrary token counts incl. 0 and the
+    exact window/stride boundaries."""
+    import math
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import doc_chunks
+
+    texts = {i: " ".join(f"w{j}" for j in range(n)) for i, n in enumerate(ns)}
+    d = _write_docs(spark, texts)
+    got = {
+        (r.doc_id, r.chunk_idx): r.n_chunk_tokens
+        for r in doc_chunks(spark, d).collect()
+    }
+    want = {}
+    for i, n in enumerate(ns):
+        k = math.ceil(max(n - 32, 0) / 24) + 1
+        for c in range(k):
+            want[(i, c)] = max(min(32, n - 24 * c), 0)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=200), min_size=2, max_size=6))
+def test_quota_sample_matches_python_model(spark, sizes):
+    """stratified_quota_sample vs an independent Python reimplementation:
+    same hash-bucket prefilter, same (md5, doc_id) rank order, same
+    quotas — over synthetic strata of arbitrary sizes."""
+    import hashlib
+    import math
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import stratified_quota_sample
+
+    texts, langs = {}, {}
+    doc_id = 0
+    for s_idx, sz in enumerate(sizes):
+        lang = "en" if s_idx == 0 else f"l{s_idx}"
+        for j in range(sz):
+            texts[doc_id] = f"doc {s_idx} {j} payload"
+            langs[doc_id] = lang
+            doc_id += 1
+    d = _write_docs(spark, texts)
+    # _write_docs assigns its own langs; rewrite with ours
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_quota_")
+    spark.createDataFrame(
+        [(i, t, langs[i], "s") for i, t in texts.items()],
+        "doc_id bigint, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = [
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in stratified_quota_sample(spark, d).collect()
+    ]
+    want = []
+    by_lang = {}
+    for i in sorted(texts):
+        by_lang.setdefault(langs[i], []).append(i)
+    for lang, ids in by_lang.items():
+        q = 40 if lang == "en" else 20
+        thresh = min(100, math.ceil(300.0 * q / len(ids)))
+        surv = []
+        for i in ids:
+            h = hashlib.md5(texts[i].encode()).hexdigest()
+            if int(h[:8], 16) % 100 < thresh:
+                surv.append((h, i))
+        for rank, (_, i) in enumerate(sorted(surv)[:q], start=1):
+            want.append((lang, i, rank))
+    assert sorted(got) == sorted(want)

@@ -102,6 +102,24 @@ def main() -> int:
         # in showcase order (never-verified, then stale, then fresh)
         n = int(args[1]) if len(args) > 1 else 50
         names = list(specs)[:n]
+    elif args and args[0] == "--stale":
+        # the whole unverified class (never-verified + stale), window
+        # overflow included: the one command that pays the staleness debt
+        # down locally when the class exceeds the driver's 50-slot sample
+        import json as _json
+
+        greens = registry.last_green_rounds()
+        try:
+            with open(registry._FINGERPRINTS_PATH) as f:
+                fps = _json.load(f)
+        except OSError:
+            fps = {}
+        names = [
+            name for name, spec in specs.items()
+            if name not in greens
+            or (fps.get(name) or {}).get("sha256") != registry.query_fingerprint(spec)
+        ]
+        print(f"unverified class: {len(names)} queries (never-verified + stale)")
     else:
         names = args or sorted(specs)
     if os.environ.get("CHECK_HOSTILE"):
