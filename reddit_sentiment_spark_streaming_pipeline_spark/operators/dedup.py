@@ -547,9 +547,9 @@ _FP_SQL = f"""
 """
 
 
-def simhash_fp(corpus: DataFrame) -> DataFrame:
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    tok = corpus.select("doc_id", F.explode(toks).alias("word"))
+def simhash_fp_from_tokens(tok: DataFrame) -> DataFrame:
+    """(doc_id, h0..h3) SimHash-64 over any (doc_id, word) token frame —
+    word-level tokens for text, byte-n-gram tokens for opaque payloads."""
     tfrel = (
         tok.groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -560,6 +560,53 @@ def simhash_fp(corpus: DataFrame) -> DataFrame:
     )
     return sums.select(
         "doc_id", *[F.expr(e).alias(f"h{c}") for c, e in enumerate(simhash_chunk_exprs("s"))]
+    )
+
+
+def simhash_fp(corpus: DataFrame) -> DataFrame:
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    return simhash_fp_from_tokens(
+        corpus.select("doc_id", F.explode(toks).alias("word"))
+    )
+
+
+def simhash_pair_rows(fp: DataFrame) -> DataFrame:
+    """Chunk-equality banded candidates + bit_count(xor) verify over a
+    SimHash fingerprint frame; pairs at Hamming <= threshold."""
+    cl = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("ci"), F.col(f"h{c}").alias("cv"))
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
+    a, b = cl.alias("a"), cl.alias("b")
+    scand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("fa_id"),
+                   *[F.col(f"h{c}").alias(f"a{c}") for c in range(SIMHASH_CHUNKS)])
+    fb = fp.select(F.col("doc_id").alias("fb_id"),
+                   *[F.col(f"h{c}").alias(f"b{c}") for c in range(SIMHASH_CHUNKS)])
+    ham = F.expr(hamming_expr("a", "b", "spark"))
+    return (
+        scand.join(fa, F.col("fa_id") == F.col("doc_a"))
+        .join(fb, F.col("fb_id") == F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -602,40 +649,7 @@ _CHUNKS_LONG = "\n            UNION ALL ".join(
     "Hamming ≤ 8 over 4 chunks... candidates) + bit_count(xor) verify",
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = simhash_fp(dedup_corpus(spark, sf_dir))
-    cl = fp.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("ci"), F.col(f"h{c}").alias("cv"))
-                    for c in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
-    a, b = cl.alias("a"), cl.alias("b")
-    scand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("fa_id"), *[F.col(f"h{c}").alias(f"a{c}") for c in range(SIMHASH_CHUNKS)])
-    fb = fp.select(F.col("doc_id").alias("fb_id"), *[F.col(f"h{c}").alias(f"b{c}") for c in range(SIMHASH_CHUNKS)])
-    ham = F.expr(hamming_expr("a", "b", "spark"))
-    return (
-        scand.join(fa, F.col("fa_id") == F.col("doc_a"))
-        .join(fb, F.col("fb_id") == F.col("doc_b"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    return simhash_pair_rows(simhash_fp(dedup_corpus(spark, sf_dir)))
 
 
 # ------------------------------------------------ dedup cluster formation
@@ -985,3 +999,62 @@ def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim_raw", 6).alias("head_similarity"),
         )
     )
+
+
+@register(
+    "payload_simhash_dups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    pay AS (SELECT doc_id, hex(text::BLOB) AS hx FROM corpus),
+    tok AS (
+        SELECT doc_id, substr(hx, 2 * i + 1, 8) AS word
+        FROM (
+            SELECT doc_id, hx,
+                   unnest(generate_series(0, length(hx) // 2 - 4)) AS i
+            FROM pay WHERE length(hx) >= 8
+        )
+    ),
+    tfrel AS (
+        SELECT doc_id, word, count(*) AS tf, md5(word) AS h
+        FROM tok GROUP BY doc_id, word
+    ),
+    sums AS (SELECT doc_id, {_SUM_COLS} FROM tfrel GROUP BY doc_id),
+    fp AS (SELECT doc_id, {_CHUNK_COLS} FROM sums),
+    cl AS ({_CHUNKS_LONG}),
+    scand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cl a JOIN cl b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming
+    FROM scand s
+    JOIN fp fa ON fa.doc_id = s.doc_a
+    JOIN fp fb ON fb.doc_id = s.doc_b
+    WHERE {hamming_expr('fa.h', 'fb.h', 'duckdb')} <= {HAMMING_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Binary-payload near-dup detection, codec-free: the multimodal "
+    "dedup path. Payloads are opaque bytes (here the UTF-8 text bytes "
+    "stand in, exactly like operators/multimodal.py's media table); "
+    "tokens are overlapping byte 4-grams read off the payload's hex — no "
+    "decoder, no text assumption, works for any file type — feeding the "
+    "same tf-weighted SimHash-64 + pigeonhole chunk banding + "
+    "bit_count(xor) verify as the text pipeline. Byte granularity "
+    "catches in-place binary edits (appended tails, header tweaks) that "
+    "word tokens can't see. Scale shape is unchanged: one doc_id-keyed "
+    "shuffle to build fingerprints, banded equi-join for candidates — "
+    "never an all-pairs scan over payloads.",
+)
+def payload_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    pay = corpus.select("doc_id", F.hex(F.encode("text", "UTF-8")).alias("hx"))
+    grams = F.expr(
+        """
+        CASE WHEN length(hx) >= 8 THEN
+            transform(sequence(0, length(hx) div 2 - 4),
+                      i -> substr(hx, 2 * i + 1, 8))
+        ELSE array() END
+        """
+    )
+    tok = pay.select("doc_id", F.explode(grams).alias("word"))
+    return simhash_pair_rows(simhash_fp_from_tokens(tok))

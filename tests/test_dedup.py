@@ -122,3 +122,31 @@ def test_dedup_recall_eval_semantics(spark, sf_dir):
     assert r.precision == 1.0
     assert r.n_hits <= r.n_true and r.n_hits == r.n_lsh
     assert 0 < r.recall <= 1.0
+
+
+def test_payload_simhash_finds_byte_level_dups(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        HAMMING_THRESHOLD,
+        payload_simhash_dups,
+    )
+
+    pdf = payload_simhash_dups(spark, sf_dir).toPandas()
+    assert (pdf.hamming <= HAMMING_THRESHOLD).all()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_exact = docs.filter((docs.doc_id % 10) == 0).count()
+    # byte-identical payloads hash identically: every exact resubmit pairs
+    # with its original at hamming 0
+    zero = pdf[pdf.hamming == 0]
+    planted_exact = set(
+        r.doc_id for r in docs.filter((docs.doc_id % 10) == 0).select("doc_id").collect()
+    )
+    got_exact = {
+        (a, b) for a, b in zip(zero.doc_a, zero.doc_b)
+        if b - 1000000 == a and a in planted_exact
+    }
+    assert len(got_exact) == n_exact
+    # appended-tail edits stay within the hamming budget at byte level:
+    # most +2M tailed docs pair with their source
+    tailed = pdf[(pdf.doc_b >= 2000000) & (pdf.doc_a == pdf.doc_b - 2000000)]
+    n_tailed = docs.filter((docs.doc_id % 7) == 0).count()
+    assert len(tailed) >= 0.8 * n_tailed
