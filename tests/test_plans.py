@@ -330,3 +330,11 @@ def test_quota_sample_prefilters_before_rank_window(spark, sf_dir):
     # must run BEFORE the rank window's exchange — the window shuffles
     # survivors only, never the full corpus
     assert i_filter < i_window, plan
+
+
+def test_payload_simhash_is_banded_not_quadratic(spark, sf_dir):
+    plan = plan_of(spark, "payload_simhash_dups", sf_dir)
+    # candidates come from the chunk-equality equi-join, never a cartesian
+    # pass over payloads, and the byte-gram hashing stays JVM-side
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
