@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
     LSH_BANDS,
-    MINHASH_K,
     band_exprs,
     hamming_expr,
     hex28_expr,

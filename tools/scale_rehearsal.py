@@ -60,6 +60,10 @@ QUERIES = [
     # stages — zero shuffle at both scales.
     "incremental_dedup_gate", "snapshot_ngram_novelty",
     "stratified_quota_sample", "doc_chunks", "gopher_quality_flags",
+    # byte-level multimodal dedup: fingerprints are a doc_id-keyed
+    # aggregate, candidates a banded equi-join — shuffle should scale
+    # linearly, never quadratically, exactly like the word-level simhash
+    "payload_simhash_dups",
 ]
 
 
