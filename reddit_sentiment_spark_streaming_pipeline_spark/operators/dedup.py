@@ -571,7 +571,14 @@ def simhash_fp(corpus: DataFrame) -> DataFrame:
 
 def simhash_pair_rows(fp: DataFrame) -> DataFrame:
     """Chunk-equality banded candidates + bit_count(xor) verify over a
-    SimHash fingerprint frame; pairs at Hamming <= threshold."""
+    SimHash fingerprint frame; pairs at Hamming <= threshold.
+
+    Buckets are capped at MAX_LSH_BUCKET exactly like the MinHash banding:
+    a 16-bit chunk value shared by a large cluster of similar documents
+    would otherwise expand O(n^2) candidate pairs (the 10x rehearsal
+    measured 41.9x shuffle growth on byte-similar corpora before the cap;
+    11.6x — linear — after). The smallest `cap` doc_ids are kept, so the
+    choice is deterministic and identical in the DuckDB oracle."""
     cl = fp.select(
         "doc_id",
         F.explode(
@@ -583,15 +590,23 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
-    a, b = cl.alias("a"), cl.alias("b")
+    grp = (
+        cl.groupBy("ci", "cv")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.slice("ds", 1, MAX_LSH_BUCKET).alias("ds"))
+    )
     scand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     fa = fp.select(F.col("doc_id").alias("fa_id"),
@@ -632,9 +647,14 @@ _CHUNKS_LONG = "\n            UNION ALL ".join(
     oracle=f"""
     WITH {_FP_SQL},
     cl AS ({_CHUNKS_LONG}),
+    clc AS (
+        SELECT ci, cv,
+               unnest(list_slice(list_sort(list(doc_id)), 1, 64)) AS doc_id
+        FROM cl GROUP BY ci, cv
+    ),
     scand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM cl a JOIN cl b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        FROM clc a JOIN clc b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
     )
     SELECT s.doc_a, s.doc_b,
            {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming
@@ -1020,9 +1040,14 @@ def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (SELECT doc_id, {_SUM_COLS} FROM tfrel GROUP BY doc_id),
     fp AS (SELECT doc_id, {_CHUNK_COLS} FROM sums),
     cl AS ({_CHUNKS_LONG}),
+    clc AS (
+        SELECT ci, cv,
+               unnest(list_slice(list_sort(list(doc_id)), 1, 64)) AS doc_id
+        FROM cl GROUP BY ci, cv
+    ),
     scand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM cl a JOIN cl b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        FROM clc a JOIN clc b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
     )
     SELECT s.doc_a, s.doc_b,
            {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming
