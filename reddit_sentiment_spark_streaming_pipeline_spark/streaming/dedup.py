@@ -75,6 +75,23 @@ def read_doc_stream(spark: SparkSession, chunk_dir: str,
     )
 
 
+def _store_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem resolved FOR the path.
+
+    `os.path.isdir` only sees the driver's local filesystem; on any
+    non-local store root (hdfs://, s3a://) it would always report the
+    store absent and every batch would silently re-admit everything.
+    Resolving the FileSystem from the Path itself makes the check correct
+    for whichever scheme the deployment uses, and a real FS error (auth,
+    network) still propagates and fails the batch.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return bool(fs.exists(jpath))
+
+
 def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                stats_dir: str) -> None:
     """Admit the batch's unseen fingerprints into the store; upsert stats.
@@ -82,9 +99,11 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     Within-batch collisions keep the lowest doc_id (the same greedy
     keep-first rule as the batch operators); cross-batch collisions are
     rejected by the store anti-join. The store read is gated on the
-    directory existing — NOT on a broad exception swallow — so a real
-    read failure (corrupt part file, FS error) propagates and fails the
-    batch instead of silently re-admitting everything as "first batch".
+    path existing on the store's OWN filesystem (Hadoop FileSystem API,
+    not the driver's local disk) — and NOT on a broad exception swallow —
+    so a real read failure (corrupt part file, FS error) propagates and
+    fails the batch instead of silently re-admitting everything as
+    "first batch".
     """
     spark = batch_df.sparkSession
     fps = batch_df.select(
@@ -99,7 +118,7 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     n_batch = fps.count()
     store = (
         spark.read.parquet(store_dir).select("fingerprint")
-        if os.path.isdir(store_dir)
+        if _store_path_exists(spark, store_dir)
         else None
     )
     admitted = (
