@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import STOPWORDS, stopwords_sql_list, tokens
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import (
+    STOPWORDS,
+    explode_clean,
+    stopwords_sql_list,
+    tokens,
+)
 from reddit_sentiment_spark_streaming_pipeline_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
@@ -289,16 +294,21 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("toks"))
+    # outer + null filter: a plain explode pushes an inferred
+    # size/isnotnull filter below that re-evaluates the sequence AND the
+    # tokens() split feeding it twice per row (functions/text.py
+    # explode_clean rationale); the sequence is never empty, so the
+    # filter is a formality
     idx = t.select(
         "doc_id",
         "toks",
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 F.lit(0).cast("bigint"),
                 F.ceil(F.greatest(F.size("toks") - 32, F.lit(0)) * F.lit(1.0) / 24),
             )
         ).alias("chunk_idx"),
-    )
+    ).filter(F.col("chunk_idx").isNotNull())
     chunk = F.slice("toks", F.col("chunk_idx").cast("int") * 24 + 1, 32)
     return idx.select(
         "doc_id",
@@ -409,4 +419,158 @@ def snapshot_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("n_novel") == 0, 1)).alias("n_fully_seen"),
         )
         .orderBy("source")
+    )
+
+
+# ------------------------------------------- segment-level boilerplate dedup
+
+# Non-overlapping 4-word segments: the unit of CCNet-style repeated-content
+# removal. Word-aligned fixed windows keep the oracle expressible and the
+# Spark side a single transform; production systems use lines/paragraphs —
+# same algebra, different splitter.
+SEG_LEN = 4
+BOILERPLATE_MIN_DOCS = 2
+
+_SEGS_SQL = rf"""
+        t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+            FROM corpus
+        ),
+        segs AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, {SEG_LEN} * i + 1,
+                                              {SEG_LEN} * i + {SEG_LEN}), ' ') AS seg
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) // {SEG_LEN} - 1)) AS i
+                FROM t WHERE len(toks) >= {SEG_LEN}
+            )
+        ),
+        prev AS (
+            SELECT md5(seg) AS seg_hash,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*)               AS n_occurrences
+            FROM segs GROUP BY md5(seg)
+        )
+"""
+
+
+def _segment_rows(corpus) -> DataFrame:
+    """(doc_id, seg) — non-overlapping SEG_LEN-word segments."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    t = corpus.select("doc_id", toks.alias("toks"))
+    seg_expr = F.expr(
+        f"""
+        CASE WHEN size(toks) >= {SEG_LEN}
+        THEN transform(sequence(0, size(toks) div {SEG_LEN} - 1),
+                       i -> concat_ws(' ', slice(toks, i * {SEG_LEN} + 1, {SEG_LEN})))
+        ELSE cast(array() AS array<string>) END
+        """
+    )
+    gen, keep = explode_clean(seg_expr, "seg")
+    return t.select("doc_id", gen).filter(keep)
+
+
+@register(
+    "segment_dedup_prevalence",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, lower(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lower(text) FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, lower(text) || ' zz extra tail'
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_SEGS_SQL}
+    SELECT seg_hash, n_docs, n_occurrences
+    FROM prev WHERE n_docs >= {BOILERPLATE_MIN_DOCS}
+    ORDER BY seg_hash
+    """,
+    doc="CCNet-style repeated-segment prevalence: hash each 4-word "
+    "segment, count distinct docs per hash, keep segments shared by >= 2 "
+    "docs (boilerplate candidates). Shuffle carries only 16-byte segment "
+    "hashes with map-side combine; document text never leaves its "
+    "partition. The dedup fixture corpus (operators/dedup.py) supplies "
+    "the planted duplicates that make prevalence deterministic.",
+)
+def segment_dedup_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import dedup_corpus
+
+    seg = _segment_rows(dedup_corpus(spark, sf_dir))
+    return (
+        seg.groupBy(F.md5("seg").alias("seg_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy("seg_hash")
+    )
+
+
+@register(
+    "boilerplate_segment_stats",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, lower(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lower(text) FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, lower(text) || ' zz extra tail'
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_SEGS_SQL},
+    freq AS (SELECT seg_hash FROM prev WHERE n_docs >= {BOILERPLATE_MIN_DOCS}),
+    m AS (
+        SELECT s.doc_id,
+               count(*) AS n_segments,
+               CAST(sum(CASE WHEN f.seg_hash IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boilerplate
+        FROM (SELECT doc_id, md5(seg) AS h FROM segs) s
+        LEFT JOIN freq f ON f.seg_hash = s.h
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_segments, n_boilerplate,
+           round(n_boilerplate * 1.0 / n_segments, 6) AS boilerplate_ratio
+    FROM m WHERE n_boilerplate >= 1
+    ORDER BY doc_id
+    """,
+    doc="Per-document boilerplate accounting: join each doc's segment "
+    "hashes against the shared-segment dictionary and report how much of "
+    "the doc is repeated content — the strip/keep decision input of "
+    "CCNet-style cleaning. The dictionary side is ONLY the segments "
+    "shared across docs (boilerplate is rare by mass), so it broadcasts; "
+    "the corpus side never shuffles for the join — one doc_id-keyed "
+    "aggregate finishes the plan.",
+)
+def boilerplate_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import dedup_corpus
+
+    seg = _segment_rows(dedup_corpus(spark, sf_dir)).select(
+        "doc_id", F.md5("seg").alias("h")
+    )
+    freq = (
+        seg.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .select("h", F.lit(1).alias("is_bp"))
+    )
+    return (
+        seg.join(F.broadcast(freq), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).alias("n_boilerplate"),
+        )
+        .filter(F.col("n_boilerplate") >= 1)
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boilerplate",
+            F.round(F.col("n_boilerplate") / F.col("n_segments"), 6)
+            .alias("boilerplate_ratio"),
+        )
+        .orderBy("doc_id")
     )

@@ -164,6 +164,15 @@ def shingle_rows(corpus: DataFrame) -> DataFrame:
     the split() expression directly inside the transform lambda makes Spark
     re-evaluate the regex split per element (~3×shingles splits per doc,
     ~10× slower end-to-end).
+
+    The explode is OUTER + an explicit null filter on the exploded
+    shingle: a plain explode makes InferFiltersFromGenerate synthesize
+    size(sh) > 0 AND isnotnull(sh) and push both to the scan, where each
+    re-evaluates the full interpreted shingle transform per input row —
+    tripling the pipeline's dominant CPU inside the parallelism-bound
+    scan stage. Outer generates infer nothing; the cheap null filter
+    drops the one null row an empty array emits (docs with <3 tokens),
+    keeping plain-explode semantics.
     """
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     tokdf = corpus.select("doc_id", toks.alias("toks"))
@@ -179,7 +188,10 @@ def shingle_rows(corpus: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return tokdf.select("doc_id", F.explode(sh).alias("shingle"))
+    return (
+        tokdf.select("doc_id", F.explode_outer(sh).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
 
 
 # ----------------------------------------------------------- MinHash LSH
@@ -274,7 +286,11 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     ).select("ds")
     return (
         grp.select(
-            F.explode(
+            # outer + null filter: a plain explode makes Catalyst push an
+            # inferred size/isnotnull filter below that re-evaluates the
+            # whole quadratic expansion expression twice (functions/
+            # text.py explode_clean rationale)
+            F.explode_outer(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
@@ -282,6 +298,7 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -561,27 +578,95 @@ _FP_SQL = f"""
 """
 
 
-def simhash_fp_from_tokens(tok: DataFrame) -> DataFrame:
-    """(doc_id, h0..h3) SimHash-64 over any (doc_id, word) token frame —
-    word-level tokens for text, byte-n-gram tokens for opaque payloads."""
-    tfrel = (
-        tok.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.expr("md5(word)"))
+def simhash_fp_from_token_arrays(tokdf: DataFrame) -> DataFrame:
+    """(doc_id, h0..h3) SimHash-64 over a (doc_id, toks array<string>)
+    frame — word arrays for text, byte-n-gram arrays for opaque payloads.
+
+    NO token shuffle. The tf-weighted formulation is algebraically
+    tf-free: summing ±1 per token OCCURRENCE equals tf x (±1) per
+    distinct token, so the (doc_id, word) tf aggregation the previous
+    shape paid for — a shuffle of every distinct token string, the
+    pipeline's dominant and worst-compressing exchange (the 10x
+    rehearsal measured 18.8x shuffle growth on byte-4-gram payloads) —
+    is unnecessary. Tokens explode straight into md5 + a
+    groupBy(doc_id) of the 64 ±1 bit-sums: every doc's tokens stay
+    inside the partition that exploded them, so map-side partial
+    aggregation emits exactly ONE 64-sum row per doc and the exchange
+    carries docs x 64 longs, independent of token count and token
+    entropy. All of it is whole-stage-codegen hash aggregation — no
+    interpreted higher-order functions. Values are unchanged; the
+    DuckDB oracle keeps the tf-explicit groupBy formulation and still
+    hash-matches.
+
+    The aggregate side is integer-only and lane-packed: each token row
+    decodes md5's first 16 hex chars into four 16-bit ints ONCE (md5
+    shared across the four convs by codegen subexpression elimination),
+    and the 64 per-bit occurrence counts ride in 16 packed SUM
+    aggregates — four 16-bit counter lanes per 64-bit long — because
+    the aggregation cost at this row volume is dominated by per-row
+    buffer updates (65 unpacked sums measured ~4x slower wall than the
+    packed 17). The sign test is the count identity: sum over
+    occurrences of (bit ? +1 : -1) = 2*sum(bit) - count, so bit_k is
+    set iff 2*B_k >= N — exact integers, identical to the oracle's
+    tf-weighted ±1 sums. Lane width bounds docs at 65,535 tokens;
+    longer documents should be split upstream (doc_chunks), standard
+    practice for SimHash over long inputs anyway.
+
+    Docs with empty token arrays drop out, matching the oracle, which
+    has no tfrel rows for them either. The explode is OUTER + an
+    explicit null filter on the exploded word, NOT a plain explode:
+    InferFiltersFromGenerate would otherwise synthesize
+    size(toks) > 0 AND isnotnull(toks) and push it to the scan, where
+    it re-evaluates the whole token-array expression (an interpreted
+    higher-order transform) twice per input row — measured as ~95% of
+    the payload pipeline's CPU, concentrated in the scan stage whose
+    parallelism is file-bound. Outer generates infer nothing; the
+    cheap post-explode null filter drops the one null row an empty
+    array emits.
+    """
+    ex = (
+        tokdf.select("doc_id", F.explode_outer("toks").alias("word"))
+        .filter(F.col("word").isNotNull())
+        .select(
+            "doc_id",
+            *[
+                F.expr(f"cast(conv(substr(md5(word), {4 * c + 1}, 4), 16, 10) as int)").alias(f"v{c}")
+                for c in range(SIMHASH_CHUNKS)
+            ],
+        )
     )
-    sums = tfrel.groupBy("doc_id").agg(
-        *[F.expr(e).alias(f"s{k}") for k, e in enumerate(simhash_sum_exprs("tf", "h"))]
+
+    def bit(k: int) -> str:  # occurrence bit k as a 0/1 long
+        return f"cast((v{k // 16} >> {15 - k % 16}) & 1 as bigint)"
+
+    sums = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(
+                "sum(" + " + ".join(
+                    f"({bit(4 * j + lane)} << {16 * lane})" for lane in range(4)
+                ) + ")"
+            ).alias(f"S{j}")
+            for j in range(16)
+        ],
     )
-    return sums.select(
-        "doc_id", *[F.expr(e).alias(f"h{c}") for c, e in enumerate(simhash_chunk_exprs("s"))]
-    )
+    chunk_cols = []
+    for c in range(SIMHASH_CHUNKS):
+        terms = []
+        for i in range(16):
+            k = 16 * c + i
+            j, lane = divmod(k, 4)
+            terms.append(
+                f"CASE WHEN 2 * ((S{j} >> {16 * lane}) & 65535) >= n "
+                f"THEN {1 << (15 - i)} ELSE 0 END"
+            )
+        chunk_cols.append(F.expr("(" + " + ".join(terms) + ")").alias(f"h{c}"))
+    return sums.select("doc_id", *chunk_cols)
 
 
 def simhash_fp(corpus: DataFrame) -> DataFrame:
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    return simhash_fp_from_tokens(
-        corpus.select("doc_id", F.explode(toks).alias("word"))
-    )
+    return simhash_fp_from_token_arrays(corpus.select("doc_id", toks.alias("toks")))
 
 
 def simhash_pair_rows(fp: DataFrame) -> DataFrame:
@@ -630,7 +715,7 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
     ham = F.expr(hamming_expr("p.a.h", "p.b.h", "spark"))
     return (
         grp.select(
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
@@ -638,6 +723,7 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
@@ -1105,5 +1191,5 @@ def payload_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE array() END
         """
     )
-    tok = pay.select("doc_id", F.explode(grams).alias("word"))
-    return simhash_pair_rows(simhash_fp_from_tokens(tok))
+    tok = pay.select("doc_id", grams.cast("array<string>").alias("toks"))
+    return simhash_pair_rows(simhash_fp_from_token_arrays(tok))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_sentiment_spark_streaming_pipeline_spark.operators.refs import _AUG_SQL, URL_PATTERN, augmented_docs
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import explode_clean
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 
 DAMPING = 0.85
@@ -85,10 +86,10 @@ def _pr_iter_sql(i: int) -> str:
 )
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = augmented_docs(spark, sf_dir)
-    urls = docs.select(
-        "source",
-        F.explode(F.regexp_extract_all("text_aug", F.lit(URL_PATTERN), F.lit(0))).alias("url"),
+    ugen, ukeep = explode_clean(
+        F.regexp_extract_all("text_aug", F.lit(URL_PATTERN), F.lit(0)), "url"
     )
+    urls = docs.select("source", ugen).filter(ukeep)
     edges = urls.select(
         F.col("source").alias("src"),
         F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("dst"),

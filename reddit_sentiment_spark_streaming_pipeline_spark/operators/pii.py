@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import explode_clean
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -211,7 +212,8 @@ def _doc_grams(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) 
             ),
         ),
     ).otherwise(F.array().cast("array<struct<rn:int,g:string>>"))
-    return tokdf.select("doc_id", F.explode(gram).alias("e")).select(
+    ggen, gkeep = explode_clean(gram, "e")
+    return tokdf.select("doc_id", ggen).filter(gkeep).select(
         "doc_id", F.col("e.rn").alias("rn"), F.col("e.g").alias("g")
     )
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import explode_clean
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -145,10 +146,10 @@ def refs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen'd per row; one shuffle on the low-cardinality domain key)",
 )
 def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    urls = augmented_docs(spark, sf_dir).select(
-        "doc_id",
-        F.explode(F.regexp_extract_all("text_aug", F.lit(URL_PATTERN), F.lit(0))).alias("url"),
+    ugen, ukeep = explode_clean(
+        F.regexp_extract_all("text_aug", F.lit(URL_PATTERN), F.lit(0)), "url"
     )
+    urls = augmented_docs(spark, sf_dir).select("doc_id", ugen).filter(ukeep)
     return (
         urls.select("doc_id", F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"))
         .groupBy("domain")

@@ -600,3 +600,124 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+Q3_PIVOT = "1998-01-01"
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{Q3_PIVOT} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{Q3_PIVOT} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): 3-way join with the segment "
+    "filter reducing customer to a broadcast build side, both date "
+    "filters pushed into the scans, group-by on the order key, top-10 by "
+    "revenue via TakeOrderedAndProject — no global sort materialization. "
+    "orderkey added to the sort keys so rounded-revenue ties stay "
+    "deterministic across engines.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(f"{Q3_PIVOT} 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(f"{Q3_PIVOT} 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    ca AS (
+        SELECT o_custkey, count(*) AS n, sum(cents) AS total
+        FROM oc GROUP BY o_custkey
+    )
+    SELECT o.o_custkey AS custkey,
+           any_value(ca.n) AS n_orders,
+           CAST(sum(CASE WHEN o.cents * ca.n > ca.total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           CAST(round(max(o.cents * ca.n - ca.total) * 1.0 / any_value(ca.n))
+                AS BIGINT) AS max_above_avg_cents
+    FROM oc o JOIN ca USING (o_custkey)
+    GROUP BY o.o_custkey
+    HAVING sum(CASE WHEN o.cents * ca.n > ca.total THEN 1 ELSE 0 END) >= 1
+    ORDER BY custkey
+    """,
+    doc="Correlated-subquery shape ('orders above this customer's "
+    "average') rewritten as a window: the naive self-join against a "
+    "per-customer aggregate shuffles orders twice and dedups once; the "
+    "window formulation shuffles ONCE on the customer key and computes "
+    "the comparison in the same exchange — the canonical decorrelation "
+    "rewrite at scale. The above-average test and the reported margin "
+    "run in integer cents (cents * n > total) so no float average ever "
+    "enters a comparison or a representation-boundary rounding — "
+    "cross-engine exact.",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = W.partitionBy("o_custkey")
+    enriched = orders.select(
+        "o_custkey",
+        cents.alias("cents"),
+    ).select(
+        "o_custkey",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("total"),
+    )
+    over = F.col("cents") * F.col("n") - F.col("total")
+    return (
+        enriched.groupBy("o_custkey")
+        .agg(
+            F.first("n").alias("n_orders"),
+            F.sum(F.when(over > 0, 1).otherwise(0)).alias("n_above"),
+            F.round(F.max(over) / F.first("n"), 0).cast("long")
+            .alias("max_above_avg_cents"),
+        )
+        .filter(F.col("n_above") >= 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders", "n_above", "max_above_avg_cents",
+        )
+        .orderBy("custkey")
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import tokens, TOKENS_SQL
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import explode_clean, tokens, TOKENS_SQL
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -87,8 +87,9 @@ _BUCKET_UNION = " UNION ALL ".join(
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    wgen, wkeep = explode_clean(tokens("text"), "word")
     exact = (
-        docs.select(F.explode(tokens("text")).alias("word"))
+        docs.select(wgen).filter(wkeep)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         # referenced three times below (sketch cells, top-k, estimate

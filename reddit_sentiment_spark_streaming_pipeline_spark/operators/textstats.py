@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import STOPWORDS, stopwords_sql_list, tokens
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import (
+    STOPWORDS,
+    explode_clean,
+    stopwords_sql_list,
+    tokens,
+)
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -39,7 +44,8 @@ _TOK_POS_SQL = r"""
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    gen, keep = explode_clean(tokens("text"), "word")
+    tok = docs.select("doc_id", gen).filter(keep)
     return tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("word").alias("n_distinct"),
@@ -299,8 +305,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    bgen, bkeep = explode_clean(bg, "g")
     bgc = (
-        tokdf.select("doc_id", F.explode(bg).alias("g"))
+        tokdf.select("doc_id", bgen).filter(bkeep)
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -696,8 +703,9 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    wgen, wkeep = explode_clean(tokens("text"), "word")
     words = (
-        docs.select(F.explode(tokens("text")).alias("word"))
+        docs.select(wgen).filter(wkeep)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.length("word") >= 2)
@@ -865,4 +873,99 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("alpha_word_frac") < 0.8).alias("low_alpha_frac"),
         (F.col("stopword_hits") < 2).alias("low_stopword_hits"),
         in_bounds.alias("keep"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=rf"""
+    WITH t AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '{_BPE_SQL}'))   AS n_bpe,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> w <> ''))                       AS n_words,
+               length(text)                                         AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT)                      AS total_bpe_tokens,
+           round(sum(n_bpe) * 1.0 / sum(n_words), 6)       AS fertility,
+           round(sum(n_chars) * 1.0 / sum(n_bpe), 6)       AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility audit by language: corpus-level BPE-ish "
+    "tokens per whitespace word and chars per token — the per-language "
+    "cost profile that drives tokenizer/vocab decisions for a training "
+    "mix. Pure map stage + one tiny groupBy on lang; integer sums make "
+    "the ratios exact across engines before the final rounding.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = docs.select("lang", F.lower("text").alias("lt"), F.length("text").alias("n_chars"))
+    per_doc = lowered.select(
+        "lang",
+        "n_chars",
+        F.size(F.regexp_extract_all("lt", F.lit(BPE_PATTERN), F.lit(0))).alias("n_bpe"),
+        F.size(F.filter(F.split("lt", r"\s+"), lambda w: w != "")).alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_words"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_bpe"), 6).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "length_band_filter",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS p5,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars >= b.p5 AND d.n_chars <= b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(any_value(b.p5), 4)  AS p5,
+           round(any_value(b.p95), 4) AS p95
+    FROM documents d JOIN b USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Length-band outlier filter (corpus curation): per-language "
+    "p5/p95 interpolated percentiles of doc length, docs outside the "
+    "band dropped. The percentile side is a per-lang aggregate over "
+    "integer lengths (tiny — one row per language, broadcast back); the "
+    "corpus side never shuffles. Linear-interpolation percentile over "
+    "integers is the same closed form in Spark (percentile) and DuckDB "
+    "(quantile_cont), so the band edges match bit-for-bit.",
+)
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    bands = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p5"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= F.col("p5")) & (F.col("n_chars") <= F.col("p95")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept"),
+            F.round(F.first("p5"), 4).alias("p5"),
+            F.round(F.first("p95"), 4).alias("p95"),
+        )
+        .orderBy("lang")
     )

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import CONTENT_TOKENS_SQL, STOPWORDS, content_tokens
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import (
+    CONTENT_TOKENS_SQL,
+    STOPWORDS,
+    content_tokens,
+    explode_clean,
+)
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -69,7 +74,8 @@ _WORD_SCORES_SQL = f"""
 def word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, df, total_tf, avg_score) for the capped vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(content_tokens("text")).alias("word"))
+    tgen, tkeep = explode_clean(content_tokens("text"), "word")
+    tok = docs.select("doc_id", tgen).filter(tkeep)
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     wordstats = tf.groupBy("word").agg(
         F.count(F.lit(1)).alias("df"),
@@ -231,7 +237,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     K1, B = 1.2, 0.75
     query_terms = ["data", "query", "stream", "vector", "hash"]
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(content_tokens("text")).alias("word"))
+    tgen, tkeep = explode_clean(content_tokens("text"), "word")
+    tok = docs.select("doc_id", tgen).filter(tkeep)
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     stats = dl.agg(F.round(F.avg("dl"), 9).alias("avgdl")).crossJoin(

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import _TOK_POS_SQL
-from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import tokens
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import explode_clean, tokens
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
@@ -156,7 +156,8 @@ RARE_MAX_COUNT = 2     # corpus count <= this => token counts as rare
 )
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tgen, tkeep = explode_clean(tokens("text"), "word")
+    tok = docs.select("doc_id", tgen).filter(tkeep)
     vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     topk = vocab.orderBy(F.desc("cnt"), "word").limit(LOGPROB_TOP_K)
     tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
@@ -278,7 +279,8 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         docs.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", hvs.alias("hvs"))
-        .select("doc_id", F.explode(mins).alias("fp"))
+        .select("doc_id", explode_clean(mins, "fp")[0])
+        .filter(F.col("fp").isNotNull())
     )
     # Bucket-group + capped expansion (the minhash_candidates shape): ONE
     # shuffle of the fingerprint table, deterministic smallest-doc_id cap
@@ -292,14 +294,17 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = buck.select(
         "fp",
-        F.explode(
+        # outer + null filter: a plain explode pushes an inferred filter
+        # below that re-evaluates the quadratic expansion expression
+        # twice (functions/text.py explode_clean rationale)
+        F.explode_outer(
             F.expr(
                 "flatten(transform(ds, (x, i) -> "
                 "transform(slice(ds, i + 2, size(ds) - i - 1), "
                 "y -> struct(x AS doc_a, y AS doc_b))))"
             )
         ).alias("p"),
-    ).select("p.doc_a", "p.doc_b")
+    ).filter(F.col("p").isNotNull()).select("p.doc_a", "p.doc_b")
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
