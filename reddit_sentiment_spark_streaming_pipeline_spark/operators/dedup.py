@@ -586,8 +586,8 @@ def simhash_fp_from_token_arrays(tokdf: DataFrame) -> DataFrame:
     tf-free: summing ±1 per token OCCURRENCE equals tf x (±1) per
     distinct token, so the (doc_id, word) tf aggregation the previous
     shape paid for — a shuffle of every distinct token string, the
-    pipeline's dominant and worst-compressing exchange (the 10x
-    rehearsal measured 18.8x shuffle growth on byte-4-gram payloads) —
+    pipeline's dominant and worst-compressing exchange (REHEARSAL_r04
+    recorded 18.2x shuffle growth at 10x data on byte-4-gram payloads) —
     is unnecessary. Tokens explode straight into md5 + a
     groupBy(doc_id) of the 64 ±1 bit-sums: every doc's tokens stay
     inside the partition that exploded them, so map-side partial

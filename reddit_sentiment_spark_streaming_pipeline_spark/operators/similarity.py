@@ -877,3 +877,154 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pruned_id")
     )
+
+
+# ---------------------------------------- RP-SimHash embedding fingerprints
+
+RP_PLANES = 24  # 24-bit signature: 3 bands x 8 bits
+RP_HAMMING = 2  # pigeonhole: Hamming <= 2 over 3 bands => >= 1 equal band
+RP_BUCKET_CAP = 64
+
+
+def _rp_coef(p: int, d: int) -> int:
+    """Deterministic integer hyperplane coefficient in [-1000, 1000]."""
+    return int(hashlib.md5(f"plane{p}d{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+
+_RP_COEFS = [[_rp_coef(p, d) for d in range(DIM)] for p in range(RP_PLANES)]
+
+_RP_VALUES = ", ".join(
+    f"({p}, {d}, {_RP_COEFS[p][d]})" for p in range(RP_PLANES) for d in range(DIM)
+)
+
+
+@register(
+    "embedding_rp_simhash_dups",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xq
+        FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, d, xq FROM base
+        UNION ALL
+        SELECT vec_id + 1000000, d, xq + (vec_id + d) % 3 - 1
+        FROM base WHERE vec_id % 5 = 0
+    ),
+    planes AS (SELECT * FROM (VALUES {_RP_VALUES}) AS t(p, d, c)),
+    dots AS (
+        SELECT corpus.vec_id, planes.p, sum(corpus.xq * planes.c) AS dot
+        FROM corpus JOIN planes ON planes.d = corpus.d
+        GROUP BY corpus.vec_id, planes.p
+    ),
+    fp AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0 THEN 1 << (23 - p) ELSE 0 END)
+                    AS BIGINT) AS fpb
+        FROM dots GROUP BY vec_id
+    ),
+    cl AS (
+        SELECT vec_id, ci.ci AS ci, (fpb >> (8 * (2 - ci.ci))) & 255 AS cv, fpb
+        FROM fp, (SELECT unnest(generate_series(0, 2)) AS ci) ci
+    ),
+    clc AS (
+        SELECT ci, cv,
+               unnest(list_slice(list_sort(list(vec_id)), 1, {RP_BUCKET_CAP}))
+                   AS vec_id
+        FROM cl GROUP BY ci, cv
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM clc a JOIN clc b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, bit_count(xor(fa.fpb, fb.fpb)) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.vec_id = c.vec_a
+    JOIN fp fb ON fb.vec_id = c.vec_b
+    WHERE bit_count(xor(fa.fpb, fb.fpb)) <= {RP_HAMMING}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding near-dup via signed-random-projection SimHash: each "
+    "vector is quantized to integer millis (floor(x*1000) — EXACT, so "
+    "no float summation-order divergence can flip a sign bit in either "
+    "engine), dotted with 24 md5-derived integer hyperplanes in-row "
+    "(zip_with + fold, no shuffle, no UDF), packed to a 24-bit "
+    "signature, and banded into 3 byte-chunks; Hamming <= 2 implies a "
+    "shared band by pigeonhole, verification is bit_count(xor) computed "
+    "inline during bucket expansion (fingerprints travel with the "
+    "bucket, so no re-join against the fingerprint table). Buckets are "
+    "row_number-capped before aggregation like every LSH path here. "
+    "Near-dups are planted (every 5th vector re-added with ±1 milli "
+    "jitter) exactly as the dedup corpus plants text dups. At scale the "
+    "24-bit signature is the cheap store-and-sweep representation: 3 "
+    "bytes per vector, band-keyed equi-join for candidates, never a "
+    "vector-by-vector scan; the dot products would move to a BLAS "
+    "mapInPandas only if profiling demands it.",
+)
+def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    xq = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"
+        ).alias("xq"),
+    )
+    jit = xq.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr("transform(xq, (x, d) -> x + (vec_id + d) % 3 - 1)").alias("xq"),
+    )
+    corpus = xq.unionByName(jit)
+    fp_terms = []
+    for p in range(RP_PLANES):
+        coefs = ", ".join(str(c) for c in _RP_COEFS[p])
+        dot = (
+            f"aggregate(zip_with(xq, array({coefs}), (x, c) -> x * c), "
+            f"0L, (acc, v) -> acc + v)"
+        )
+        fp_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (23 - p)} ELSE 0 END)")
+    fp = corpus.select("vec_id", F.expr(" + ".join(fp_terms)).alias("fpb"))
+    cl = fp.select(
+        F.struct("vec_id", "fpb").alias("d"),
+        F.explode(
+            F.array(*[F.lit(c).alias("x") for c in range(3)])
+        ).alias("ci"),
+    ).select(
+        "d", "ci", F.expr("(d.fpb >> (8 * (2 - ci))) & 255").alias("cv")
+    )
+    wb = Window.partitionBy("ci", "cv").orderBy("d.vec_id")
+    capped = (
+        cl.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= RP_BUCKET_CAP)
+        .drop("rn")
+    )
+    grp = (
+        capped.groupBy("ci", "cv")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select("ds")
+    )
+    return (
+        grp.select(
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            F.expr("bit_count(p.a.fpb ^ p.b.fpb)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= RP_HAMMING)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )

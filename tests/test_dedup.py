@@ -150,3 +150,22 @@ def test_payload_simhash_finds_byte_level_dups(spark, sf_dir):
     tailed = pdf[(pdf.doc_b >= 2000000) & (pdf.doc_a == pdf.doc_b - 2000000)]
     n_tailed = docs.filter((docs.doc_id % 7) == 0).count()
     assert len(tailed) >= 0.8 * n_tailed
+
+
+def test_segment_prevalence_counts_consistent(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import segment_dedup_prevalence
+
+    rows = segment_dedup_prevalence(spark, sf_dir).collect()
+    assert rows, "planted duplicates guarantee shared segments"
+    for r in rows:
+        assert r.n_docs >= 2 and r.n_occurrences >= r.n_docs
+
+
+def test_boilerplate_ratio_bounds(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import boilerplate_segment_stats
+
+    rows = boilerplate_segment_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_boilerplate <= r.n_segments
+        assert 0 < r.boilerplate_ratio <= 1

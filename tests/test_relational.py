@@ -71,3 +71,24 @@ def test_nearest_asof_is_symmetric_nearest(spark, sf_dir):
         uv = views[views.user_id == row.user_id]
         best = (uv.ts - s_ts).abs().dt.total_seconds().min()
         assert int(best) == row.gap_seconds
+
+
+def test_q3_top10_sorted_and_bounded(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.relational import q3_shipping_priority
+
+    rows = q3_shipping_priority(spark, sf_dir).collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_orders_above_customer_avg_invariants(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.relational import orders_above_customer_avg
+
+    rows = orders_above_customer_avg(spark, sf_dir).collect()
+    assert rows, "fixture has multi-order customers"
+    for r in rows:
+        # strictly-above count can never reach the group size (the max
+        # order is above the mean only if another order is below it)
+        assert 1 <= r.n_above < r.n_orders or (r.n_orders == 1 and r.n_above == 0)
+        assert r.max_above_avg_cents > 0

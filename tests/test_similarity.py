@@ -89,3 +89,17 @@ def test_semantic_dedup_pairs_share_cluster(spark, sf_dir):
     # greedy keep-lowest-id: an exemplar may itself appear as pruned only
     # via a lower id, never via itself
     assert not (pdf.exemplar_id == pdf.pruned_id).any()
+
+
+def test_rp_simhash_finds_planted_jitter_pairs(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import embedding_rp_simhash_dups
+
+    rows = embedding_rp_simhash_dups(spark, sf_dir).collect()
+    planted = {(r.vec_a, r.vec_b) for r in rows if r.vec_b == r.vec_a + 1000000}
+    # ±1-milli jitter flips at most a couple of sign bits: expect most of
+    # the planted every-5th pairs back (banding is recall-lossy only when
+    # >RP_HAMMING bits flip, which the jitter magnitude makes rare)
+    n_planted_inputs = len([1 for (a, b) in planted])
+    assert n_planted_inputs >= 1
+    for r in rows:
+        assert 0 <= r.hamming <= 2

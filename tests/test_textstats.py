@@ -239,3 +239,22 @@ def test_gopher_flags_compose_into_keep(spark, sf_dir):
     assert (pdf.keep == ~fired).all()
     assert pdf.alpha_word_frac.between(0, 1).all()
     assert (pdf.stopword_hits <= 8).all()
+
+
+def test_fertility_at_least_one_token_per_word(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import tokenizer_fertility_by_lang
+
+    for r in tokenizer_fertility_by_lang(spark, sf_dir).collect():
+        # the BPE-ish pre-tokenizer can only split words, never merge them
+        assert r.fertility >= 1.0
+        assert r.chars_per_token > 0
+
+
+def test_length_band_keeps_at_least_ninety_percent_minus_ties(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.textstats import length_band_filter
+
+    for r in length_band_filter(spark, sf_dir).collect():
+        assert r.p5 <= r.p95
+        # p5/p95 band keeps ~90% of rows; on a discrete column each tail
+        # can exclude up to one extra boundary doc, hence the -2 slack
+        assert r.n_kept >= 0.9 * r.n_total - 2
