@@ -294,21 +294,16 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("toks"))
-    # outer + null filter: a plain explode pushes an inferred
-    # size/isnotnull filter below that re-evaluates the sequence AND the
-    # tokens() split feeding it twice per row (functions/text.py
-    # explode_clean rationale); the sequence is never empty, so the
-    # filter is a formality
     idx = t.select(
         "doc_id",
         "toks",
-        F.explode_outer(
+        F.explode(
             F.sequence(
                 F.lit(0).cast("bigint"),
                 F.ceil(F.greatest(F.size("toks") - 32, F.lit(0)) * F.lit(1.0) / 24),
             )
         ).alias("chunk_idx"),
-    ).filter(F.col("chunk_idx").isNotNull())
+    )
     chunk = F.slice("toks", F.col("chunk_idx").cast("int") * 24 + 1, 32)
     return idx.select(
         "doc_id",

@@ -165,14 +165,12 @@ def shingle_rows(corpus: DataFrame) -> DataFrame:
     re-evaluate the regex split per element (~3×shingles splits per doc,
     ~10× slower end-to-end).
 
-    The explode is OUTER + an explicit null filter on the exploded
-    shingle: a plain explode makes InferFiltersFromGenerate synthesize
+    The plain explode relies on the session excluding
+    InferFiltersFromGenerate (session.py): that rule would synthesize
     size(sh) > 0 AND isnotnull(sh) and push both to the scan, where each
     re-evaluates the full interpreted shingle transform per input row —
     tripling the pipeline's dominant CPU inside the parallelism-bound
-    scan stage. Outer generates infer nothing; the cheap null filter
-    drops the one null row an empty array emits (docs with <3 tokens),
-    keeping plain-explode semantics.
+    scan stage.
     """
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     tokdf = corpus.select("doc_id", toks.alias("toks"))
@@ -188,10 +186,7 @@ def shingle_rows(corpus: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        tokdf.select("doc_id", F.explode_outer(sh).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-    )
+    return tokdf.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 # ----------------------------------------------------------- MinHash LSH
@@ -286,11 +281,7 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     ).select("ds")
     return (
         grp.select(
-            # outer + null filter: a plain explode makes Catalyst push an
-            # inferred size/isnotnull filter below that re-evaluates the
-            # whole quadratic expansion expression twice (functions/
-            # text.py explode_clean rationale)
-            F.explode_outer(
+            F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
@@ -298,7 +289,6 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
                 )
             ).alias("p")
         )
-        .filter(F.col("p").isNotNull())
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -613,27 +603,21 @@ def simhash_fp_from_token_arrays(tokdf: DataFrame) -> DataFrame:
     practice for SimHash over long inputs anyway.
 
     Docs with empty token arrays drop out, matching the oracle, which
-    has no tfrel rows for them either. The explode is OUTER + an
-    explicit null filter on the exploded word, NOT a plain explode:
-    InferFiltersFromGenerate would otherwise synthesize
-    size(toks) > 0 AND isnotnull(toks) and push it to the scan, where
-    it re-evaluates the whole token-array expression (an interpreted
-    higher-order transform) twice per input row — measured as ~95% of
-    the payload pipeline's CPU, concentrated in the scan stage whose
-    parallelism is file-bound. Outer generates infer nothing; the
-    cheap post-explode null filter drops the one null row an empty
-    array emits.
+    has no tfrel rows for them either. A plain explode here relies on
+    the session excluding InferFiltersFromGenerate (session.py): that
+    rule would synthesize size(toks) > 0 AND isnotnull(toks) and push
+    it to the scan, where it re-evaluates the whole token-array
+    expression (an interpreted higher-order transform) twice per input
+    row — measured as ~95% of the payload pipeline's CPU, concentrated
+    in the scan stage whose parallelism is file-bound (19x wall at 10x
+    data).
     """
-    ex = (
-        tokdf.select("doc_id", F.explode_outer("toks").alias("word"))
-        .filter(F.col("word").isNotNull())
-        .select(
-            "doc_id",
-            *[
-                F.expr(f"cast(conv(substr(md5(word), {4 * c + 1}, 4), 16, 10) as int)").alias(f"v{c}")
-                for c in range(SIMHASH_CHUNKS)
-            ],
-        )
+    ex = tokdf.select("doc_id", F.explode("toks").alias("word")).select(
+        "doc_id",
+        *[
+            F.expr(f"cast(conv(substr(md5(word), {4 * c + 1}, 4), 16, 10) as int)").alias(f"v{c}")
+            for c in range(SIMHASH_CHUNKS)
+        ],
     )
 
     def bit(k: int) -> str:  # occurrence bit k as a 0/1 long
@@ -715,7 +699,7 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
     ham = F.expr(hamming_expr("p.a.h", "p.b.h", "spark"))
     return (
         grp.select(
-            F.explode_outer(
+            F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
@@ -723,7 +707,6 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
                 )
             ).alias("p")
         )
-        .filter(F.col("p").isNotNull())
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),

@@ -1010,7 +1010,7 @@ def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grp.select(
-            F.explode_outer(
+            F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
@@ -1018,7 +1018,6 @@ def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         )
-        .filter(F.col("p").isNotNull())
         .select(
             F.col("p.a.vec_id").alias("vec_a"),
             F.col("p.b.vec_id").alias("vec_b"),

@@ -280,7 +280,6 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", hvs.alias("hvs"))
         .select("doc_id", explode_clean(mins, "fp")[0])
-        .filter(F.col("fp").isNotNull())
     )
     # Bucket-group + capped expansion (the minhash_candidates shape): ONE
     # shuffle of the fingerprint table, deterministic smallest-doc_id cap
@@ -294,17 +293,14 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = buck.select(
         "fp",
-        # outer + null filter: a plain explode pushes an inferred filter
-        # below that re-evaluates the quadratic expansion expression
-        # twice (functions/text.py explode_clean rationale)
-        F.explode_outer(
+        F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) -> "
                 "transform(slice(ds, i + 2, size(ds) - i - 1), "
                 "y -> struct(x AS doc_a, y AS doc_b))))"
             )
         ).alias("p"),
-    ).filter(F.col("p").isNotNull()).select("p.doc_a", "p.doc_b")
+    ).select("p.doc_a", "p.doc_b")
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -43,6 +43,21 @@ def get_spark(app_name: str = "reddit_sentiment_spark_streaming_pipeline_spark",
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes size(e) > 0 AND
+        # isnotnull(e) under every explode and pushes both conjuncts to
+        # the scan, re-evaluating the generator operand per input row.
+        # Every exploded operand in this engine is an interpreted
+        # higher-order expression (tokenizers, byte-n-gram transforms,
+        # regexp_extract_all, quadratic bucket expansions) and is
+        # essentially never empty, so the rule costs up to 2 extra
+        # operand evaluations in the parallelism-bound scan stage and
+        # prunes nothing — measured 19x wall at 10x data on the
+        # byte-4-gram payload dedup pipeline. Excluding it is safe:
+        # explode already drops empty/null arrays at the Generate.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Streaming state-store commit cost dominates high-frequency
         # micro-batches (the reference triggers every 10s): keep only the
         # checkpoint files recovery actually needs and stop compacting

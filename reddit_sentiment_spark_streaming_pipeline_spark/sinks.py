@@ -171,3 +171,88 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@register(
+    "csv_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS total_price,
+           max(o_orderdate)             AS max_orderdate
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="CSV source/sink round-trip: orders written as headered CSV with "
+    "an explicit microsecond timestampFormat (CSV's default pattern "
+    "drops sub-second precision) and read back with a pinned schema — "
+    "never inference, which costs an extra full pass at scale and "
+    "widens types under dirty rows. The oracle aggregates the ORIGINAL "
+    "parquet, so a green row proves the text round-trip is lossless for "
+    "numerics, strings and timestamps alike.",
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_csv_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    orders.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", ts_fmt
+    ).csv(out)
+    back = (
+        spark.read.schema(orders.schema)
+        .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .csv(out)
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_orderdate").alias("max_orderdate"),
+    )
+
+
+@register(
+    "orc_roundtrip_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           count(*)                          AS n_items,
+           round(sum(l_extendedprice), 2)    AS sum_price,
+           round(sum(l_quantity), 2)         AS sum_qty,
+           max(l_shipdate)                   AS max_shipdate
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="ORC source/sink round-trip: the largest fact table written as "
+    "ORC (Spark-native columnar alternative to parquet — zlib-compressed "
+    "stripes, predicate-pushdown-capable) and read back, then aggregated "
+    "against the original-parquet oracle. Proves the engine can publish "
+    "and consume the second standard lakehouse format without loss, "
+    "including decimal-valued doubles and timestamps.",
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_orc_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.schema(li.schema).orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
