@@ -338,3 +338,44 @@ def test_payload_simhash_is_banded_not_quadratic(spark, sf_dir):
     # pass over payloads, and the byte-gram hashing stays JVM-side
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q3_broadcasts_customer_and_takes_top10(spark, sf_dir):
+    plan = plan_of(spark, "q3_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan   # segment-filtered customer dim
+    assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_orders_above_avg_is_single_hash_exchange(spark, sf_dir):
+    # decorrelated-subquery-as-window: the per-customer stats and the
+    # comparison share ONE hash exchange on o_custkey (the trailing
+    # range exchange is the presentation orderBy)
+    plan = plan_of(spark, "orders_above_customer_avg", sf_dir)
+    assert "Join" not in plan            # no self-join against an agg
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_simhash_fingerprints_never_shuffle_tokens(spark, sf_dir):
+    # tf-free formulation: one round-robin spread of raw docs, then ONE
+    # doc_id hash exchange carrying 64-sum rows — exploded tokens must
+    # stay inside the partition that produced them
+    plan = plan_of(spark, "simhash_fingerprints", sf_dir)
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_boilerplate_dictionary_broadcasts(spark, sf_dir):
+    # the shared-segment dictionary is the small side by construction;
+    # the corpus's segment rows must never shuffle for the join
+    plan = plan_of(spark, "boilerplate_segment_stats", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rp_simhash_has_no_joins_at_all(spark, sf_dir):
+    # fingerprints are computed in-row and travel WITH the bucket, so
+    # candidate verification needs no re-join against a fingerprint
+    # table — the whole pipeline is map + window-cap + groupBy + distinct
+    plan = plan_of(spark, "embedding_rp_simhash_dups", sf_dir)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
