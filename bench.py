@@ -173,16 +173,18 @@ def main() -> None:
                 pass
         spark.catalog.clearCache()  # drop sf0.001 persists before timing
 
-    # Each query is timed twice and the MINIMUM reported: the box is
-    # shared, and a co-tenant burst during a single timing inflates it
-    # 2-4x (observed; load_avg_1m below flags such runs). Min-of-2 is the
+    # Each query is timed three times and the MINIMUM reported: the box
+    # is shared, and a co-tenant burst during a single timing inflates it
+    # 2-4x (observed; load_avg_1m below flags such runs). Min-of-N is the
     # standard interference-robust estimator of the engine's actual cost —
-    # there is no caching between repeats (noop sink, no persist), so the
-    # second run re-executes the full plan.
+    # there is no caching between repeats (noop sink, no persist), so each
+    # repeat re-executes the full plan. (r5: min-of-2 still let ambient
+    # load move per-query numbers ±30% round-over-round; a third repeat
+    # measurably tightens the floor for ~25s of extra bench wall.)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_noop(specs[name].fn(spark, sf_dir))
             dt = time.perf_counter() - t0
