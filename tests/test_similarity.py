@@ -103,3 +103,28 @@ def test_rp_simhash_finds_planted_jitter_pairs(spark, sf_dir):
     assert n_planted_inputs >= 1
     for r in rows:
         assert 0 <= r.hamming <= 2
+
+
+def test_decode_pgm_parses_reference_bytes():
+    import numpy as np
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_pgm
+
+    raster = bytes(range(12))
+    buf = b"P5\n4 3\n255\n" + raster
+    w, h, maxval, px = decode_pgm(buf)
+    assert (w, h, maxval) == (4, 3, 255)
+    assert np.array_equal(px, np.frombuffer(raster, dtype=np.uint8))
+
+
+def test_pgm_payloads_are_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_path):
+    # binary fidelity through a real sink: write the payload column to
+    # parquet, read it back, decode — dims must match the metadata cols
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_pgm, pgm_media_table
+
+    path = str(tmp_path / "pgm")
+    pgm_media_table(spark, sf_dir).limit(20).write.mode("overwrite").parquet(path)
+    for row in spark.read.parquet(path).collect():
+        w, h, maxval, px = decode_pgm(row.payload)
+        assert (w, h) == (row.w, row.h)
+        assert maxval == 255 and len(px) == w * h
