@@ -342,3 +342,169 @@ def pgm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=_PGM_STATS_SCHEMA).orderBy("media_id")
+
+
+# ---------------------------------------------- real decode path: PCM WAV
+
+# Same no-codec-needed trick for the audio modality: a canonical 44-byte
+# RIFF/WAVE header plus raw little-endian int16 PCM needs only byte
+# arithmetic to decode. The engine builds the ENTIRE file as one hex
+# string (dynamic chunk sizes little-endian-encoded with lpad/hex/substr)
+# and unhexes once; the decoder walks the RIFF chunks for real.
+
+WAV_SAMPLE_RATE = 8000
+
+
+def _le32_lit(v: int) -> str:
+    return v.to_bytes(4, "little").hex()
+
+
+def _le32(hex_of: str) -> str:
+    """SQL fragment: little-endian 4-byte hex of an int expression."""
+    be = f"lpad(hex({hex_of}), 8, '0')"
+    return (
+        f"concat(substr({be}, 7, 2), substr({be}, 5, 2), "
+        f"substr({be}, 3, 2), substr({be}, 1, 2))"
+    )
+
+
+def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, n_samples, payload) — payload is a complete PCM16 WAV."""
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 128 + 32).cast("int").alias("n_samples"),
+    )
+    # static header pieces (mono, 16-bit, 8 kHz):
+    #   "RIFF" <riff_size> "WAVE" "fmt " 16 fmt=1 ch=1 rate bytrate align bits
+    #   "data" <data_size> <samples>
+    static_fmt = (
+        "57415645"          # "WAVE"
+        "666d7420"          # "fmt "
+        "10000000"          # fmt chunk size 16 (LE)
+        "0100" "0100"       # PCM, mono
+        + _le32_lit(WAV_SAMPLE_RATE)
+        + _le32_lit(WAV_SAMPLE_RATE * 2)
+        + "0200" "1000"     # block align 2, bits 16
+        "64617461"          # "data"
+    )
+    payload_hex = F.expr(
+        "concat("
+        "'52494646', "                       # "RIFF"
+        f"{_le32('36 + 2 * n_samples')}, "
+        f"'{static_fmt}', "
+        f"{_le32('2 * n_samples')}, "
+        "substr(concat_ws('', transform(sequence(0, (2 * n_samples + 15) div 16 - 1), "
+        "i -> md5(concat(cast(media_id as string), ':', cast(i as string))))), "
+        "1, 4 * n_samples)"
+        ")"
+    )
+    return dims.select(
+        "media_id", "n_samples", F.unhex(payload_hex).alias("payload")
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[int, "np.ndarray"]:
+    """Walk the RIFF chunks of a PCM16 WAV; returns (sample_rate, samples)."""
+    import numpy as np
+
+    b = bytes(buf)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    idx, rate, data = 12, None, None
+    while idx + 8 <= len(b):
+        cid = b[idx : idx + 4]
+        size = int.from_bytes(b[idx + 4 : idx + 8], "little")
+        body = b[idx + 8 : idx + 8 + size]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise ValueError("not PCM")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        idx += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+_WAV_STATS_SCHEMA = (
+    "media_id bigint, n_samples bigint, duration_ms bigint, "
+    "sum_sq bigint, max_abs bigint"
+)
+
+
+@register(
+    "wav_decode_stats",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 128 + 32 AS INTEGER) AS n
+        FROM documents
+    ),
+    hx AS (
+        SELECT media_id, n,
+               string_agg(md5(media_id || ':' || i), '' ORDER BY i) AS hex
+        FROM (
+            SELECT media_id, n,
+                   unnest(generate_series(0, (2 * n + 15) // 16 - 1)) AS i
+            FROM m
+        )
+        GROUP BY media_id, n
+    ),
+    sm AS (
+        SELECT media_id, n,
+               CAST(('0x' || substr(hex, 4 * j + 3, 2)
+                          || substr(hex, 4 * j + 1, 2)) AS BIGINT) AS v
+        FROM (
+            SELECT media_id, n, hex,
+                   unnest(generate_series(0, n - 1)) AS j
+            FROM hx
+        )
+    ),
+    sgn AS (
+        SELECT media_id, n,
+               CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        FROM sm
+    )
+    SELECT media_id,
+           count(*)                                        AS n_samples,
+           CAST((count(*) * 1000) // {WAV_SAMPLE_RATE} AS BIGINT) AS duration_ms,
+           CAST(sum(s * s) AS BIGINT)                      AS sum_sq,
+           CAST(max(abs(s)) AS BIGINT)                     AS max_abs
+    FROM sgn GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL audio decode, no codec library: engine-side construction of "
+    "complete RIFF/WAVE PCM16 files — dynamic chunk sizes little-endian-"
+    "encoded in SQL, md5-derived sample bytes — then an Arrow-batched "
+    "mapInPandas that walks the RIFF chunks for real (fmt validation, "
+    "word-aligned chunk skipping, numpy int16 view) and emits per-clip "
+    "energy statistics. The oracle reproduces the samples as hex "
+    "arithmetic with the same little-endian byte order and two's-"
+    "complement sign rule; integer stats only, so a green row proves the "
+    "audio encode→decode round-trip bit-exactly.",
+)
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = wav_media_table(spark, sf_dir).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = {k: [] for k in (
+            "media_id", "n_samples", "duration_ms", "sum_sq", "max_abs",
+        )}
+        for pdf in it:
+            for mid, payload in zip(pdf.media_id, pdf.payload):
+                rate, px = decode_wav(payload)
+                if rate != WAV_SAMPLE_RATE:
+                    raise ValueError(f"unexpected sample rate {rate}")
+                w = px.astype(np.int64)
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(len(w))
+                rows["duration_ms"].append(len(w) * 1000 // rate)
+                rows["sum_sq"].append(int((w * w).sum()))
+                rows["max_abs"].append(int(np.abs(w).max()))
+        if rows["media_id"]:
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=_WAV_STATS_SCHEMA).orderBy("media_id")

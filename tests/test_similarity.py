@@ -128,3 +128,33 @@ def test_pgm_payloads_are_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_p
         w, h, maxval, px = decode_pgm(row.payload)
         assert (w, h) == (row.w, row.h)
         assert maxval == 255 and len(px) == w * h
+
+
+def test_decode_wav_parses_reference_bytes():
+    import numpy as np
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1234], dtype="<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    rate, px = decode_wav(hdr + data)
+    assert rate == 8000
+    assert np.array_equal(px, samples)
+
+
+def test_wav_payloads_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_path):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_wav, wav_media_table
+
+    path = str(tmp_path / "wav")
+    wav_media_table(spark, sf_dir).limit(20).write.mode("overwrite").parquet(path)
+    for row in spark.read.parquet(path).collect():
+        rate, px = decode_wav(row.payload)
+        assert rate == 8000 and len(px) == row.n_samples
