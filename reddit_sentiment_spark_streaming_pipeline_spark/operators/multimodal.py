@@ -508,3 +508,144 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=_WAV_STATS_SCHEMA).orderBy("media_id")
+
+
+# ------------------------------------------- real decode path: Y4M video
+
+# Completes the modality triple. YUV4MPEG2 is the uncompressed video
+# container (mpv/ffmpeg's raw interchange format): one ASCII stream
+# header, then per frame an ASCII "FRAME\n" marker + the raw plane bytes.
+# A mono-plane variant decodes with byte arithmetic alone, and the frame
+# loop makes this the REAL 1->N decode: one binary payload row explodes
+# into per-frame statistic rows inside the Arrow batch.
+
+Y4M_W, Y4M_H = 8, 6  # fixed mono plane per frame (48 bytes)
+
+
+def y4m_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, n_frames, payload) — payload is a complete mono Y4M."""
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 4 + 2).cast("int").alias("n_frames"),
+    )
+    wh = Y4M_W * Y4M_H
+    header = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 Cmono\n"
+    raster_hex = (
+        f"concat_ws('', transform(sequence(0, (n_frames * {wh} + 15) div 16 - 1), "
+        "i -> md5(concat(cast(media_id as string), ':', cast(i as string)))))"
+    )
+    payload = F.expr(
+        f"concat(encode('{header[:-1]}\\n', 'UTF-8'), "
+        f"aggregate(sequence(0, n_frames - 1), X'', "
+        f"(acc, f) -> concat(acc, encode('FRAME\\n', 'UTF-8'), "
+        f"substr(unhex({raster_hex}), f * {wh} + 1, {wh}))))"
+    )
+    return dims.select("media_id", "n_frames", payload.alias("payload"))
+
+
+def decode_y4m(buf: bytes) -> tuple[int, int, list["np.ndarray"]]:
+    """Parse a mono-plane Y4M: returns (width, height, frame planes)."""
+    import numpy as np
+
+    b = bytes(buf)
+    nl = b.index(b"\n")
+    header = b[:nl].decode("ascii")
+    tokens = header.split(" ")
+    if tokens[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for t in tokens[1:]:
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+    if not w or not h:
+        raise ValueError("missing W/H header tokens")
+    frames, idx = [], nl + 1
+    while idx < len(b):
+        fnl = b.index(b"\n", idx)
+        if not b[idx:fnl].startswith(b"FRAME"):
+            raise ValueError("bad frame marker")
+        start = fnl + 1
+        frames.append(np.frombuffer(b, dtype=np.uint8, count=w * h, offset=start))
+        idx = start + w * h
+    return w, h, frames
+
+
+_Y4M_STATS_SCHEMA = (
+    "media_id bigint, frame_idx int, n_pixels bigint, "
+    "sum_pixels bigint, max_pixel bigint"
+)
+
+
+@register(
+    "y4m_frame_stats",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+        FROM documents
+    ),
+    hx AS (
+        SELECT media_id, nf,
+               string_agg(md5(media_id || ':' || i), '' ORDER BY i) AS hex
+        FROM (
+            SELECT media_id, nf,
+                   unnest(generate_series(0, (nf * {Y4M_W * Y4M_H} + 15) // 16 - 1)) AS i
+            FROM m
+        )
+        GROUP BY media_id, nf
+    ),
+    px AS (
+        SELECT media_id,
+               j // {Y4M_W * Y4M_H} AS frame_idx,
+               CAST(('0x' || substr(hex, 2 * j + 1, 2)) AS BIGINT) AS p
+        FROM (
+            SELECT media_id, nf, hex,
+                   unnest(generate_series(0, nf * {Y4M_W * Y4M_H} - 1)) AS j
+            FROM hx
+        )
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           count(*)                   AS n_pixels,
+           CAST(sum(p) AS BIGINT)     AS sum_pixels,
+           CAST(max(p) AS BIGINT)     AS max_pixel
+    FROM px GROUP BY media_id, frame_idx
+    ORDER BY media_id, frame_idx
+    """,
+    doc="REAL video decode, codec-free, 1->N: complete mono-plane "
+    "YUV4MPEG2 streams built engine-side (ASCII stream header, per-frame "
+    "FRAME markers + raw planes concatenated with a binary aggregate "
+    "fold) and parsed back for real in mapInPandas — header tokenizer, "
+    "frame-marker walk, numpy plane views — exploding each clip into "
+    "per-frame pixel statistics. The oracle reproduces every plane byte "
+    "as hex arithmetic with the same frame offsets; integer stats, "
+    "bit-exact round-trip proof for the third modality.",
+)
+def y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = y4m_media_table(spark, sf_dir).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in (
+            "media_id", "frame_idx", "n_pixels", "sum_pixels", "max_pixel",
+        )}
+        for pdf in it:
+            for mid, payload in zip(pdf.media_id, pdf.payload):
+                w, h, frames = decode_y4m(payload)
+                if (w, h) != (Y4M_W, Y4M_H):
+                    raise ValueError(f"unexpected plane dims {w}x{h}")
+                for fi, px in enumerate(frames):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(fi)
+                    rows["n_pixels"].append(len(px))
+                    rows["sum_pixels"].append(int(px.sum()))
+                    rows["max_pixel"].append(int(px.max()))
+        if rows["media_id"]:
+            yield pd.DataFrame(rows)
+
+    return (
+        media.mapInPandas(batches, schema=_Y4M_STATS_SCHEMA)
+        .orderBy("media_id", "frame_idx")
+    )

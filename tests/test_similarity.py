@@ -158,3 +158,27 @@ def test_wav_payloads_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_path)
     for row in spark.read.parquet(path).collect():
         rate, px = decode_wav(row.payload)
         assert rate == 8000 and len(px) == row.n_samples
+
+
+def test_decode_y4m_parses_reference_bytes():
+    import numpy as np
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_y4m
+
+    f0 = bytes(range(12))
+    f1 = bytes(range(100, 112))
+    buf = b"YUV4MPEG2 W4 H3 F25:1 Ip A1:1 Cmono\n" + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    w, h, frames = decode_y4m(buf)
+    assert (w, h) == (4, 3) and len(frames) == 2
+    assert np.array_equal(frames[0], np.frombuffer(f0, dtype=np.uint8))
+    assert np.array_equal(frames[1], np.frombuffer(f1, dtype=np.uint8))
+
+
+def test_y4m_payloads_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_path):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_y4m, y4m_media_table
+
+    path = str(tmp_path / "y4m")
+    y4m_media_table(spark, sf_dir).limit(12).write.mode("overwrite").parquet(path)
+    for row in spark.read.parquet(path).collect():
+        w, h, frames = decode_y4m(row.payload)
+        assert (w, h) == (8, 6) and len(frames) == row.n_frames
