@@ -588,19 +588,18 @@ def simhash_fp_from_token_arrays(tokdf: DataFrame) -> DataFrame:
     DuckDB oracle keeps the tf-explicit groupBy formulation and still
     hash-matches.
 
-    The aggregate side is integer-only and lane-packed: each token row
-    decodes md5's first 16 hex chars into four 16-bit ints ONCE (md5
-    shared across the four convs by codegen subexpression elimination),
-    and the 64 per-bit occurrence counts ride in 16 packed SUM
-    aggregates — four 16-bit counter lanes per 64-bit long — because
-    the aggregation cost at this row volume is dominated by per-row
-    buffer updates (65 unpacked sums measured ~4x slower wall than the
-    packed 17). The sign test is the count identity: sum over
-    occurrences of (bit ? +1 : -1) = 2*sum(bit) - count, so bit_k is
-    set iff 2*B_k >= N — exact integers, identical to the oracle's
-    tf-weighted ±1 sums. Lane width bounds docs at 65,535 tokens;
-    longer documents should be split upstream (doc_chunks), standard
-    practice for SimHash over long inputs anyway.
+    The aggregate side is integer-only: each token row decodes md5's
+    first 16 hex chars into four 16-bit ints ONCE (md5 shared across
+    the four convs by codegen subexpression elimination), and the 64
+    per-bit occurrence counts are plain long SUM aggregates of
+    shift/mask tests. (A lane-packed variant — four 16-bit counters per
+    long, 17 buffers instead of 65 — measured wall-identical once the
+    InferFiltersFromGenerate pushdown was excluded, and its lane width
+    silently bounded documents at 65,535 token occurrences; unpacked
+    sums carry no size bound at all.) The sign test is the count
+    identity: sum over occurrences of (bit ? +1 : -1) = 2*sum(bit) -
+    count, so bit_k is set iff 2*B_k >= N — exact integers, identical
+    to the oracle's tf-weighted ±1 sums for documents of ANY length.
 
     Docs with empty token arrays drop out, matching the oracle, which
     has no tfrel rows for them either. A plain explode here relies on
@@ -620,30 +619,19 @@ def simhash_fp_from_token_arrays(tokdf: DataFrame) -> DataFrame:
         ],
     )
 
-    def bit(k: int) -> str:  # occurrence bit k as a 0/1 long
-        return f"cast((v{k // 16} >> {15 - k % 16}) & 1 as bigint)"
-
     sums = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.expr(
-                "sum(" + " + ".join(
-                    f"({bit(4 * j + lane)} << {16 * lane})" for lane in range(4)
-                ) + ")"
-            ).alias(f"S{j}")
-            for j in range(16)
+            F.expr(f"sum((v{k // 16} >> {15 - k % 16}) & 1)").alias(f"b{k}")
+            for k in range(64)
         ],
     )
     chunk_cols = []
     for c in range(SIMHASH_CHUNKS):
-        terms = []
-        for i in range(16):
-            k = 16 * c + i
-            j, lane = divmod(k, 4)
-            terms.append(
-                f"CASE WHEN 2 * ((S{j} >> {16 * lane}) & 65535) >= n "
-                f"THEN {1 << (15 - i)} ELSE 0 END"
-            )
+        terms = [
+            f"CASE WHEN 2 * b{16 * c + i} >= n THEN {1 << (15 - i)} ELSE 0 END"
+            for i in range(16)
+        ]
         chunk_cols.append(F.expr("(" + " + ".join(terms) + ")").alias(f"h{c}"))
     return sums.select("doc_id", *chunk_cols)
 

@@ -247,19 +247,24 @@ def decode_pgm(buf: bytes) -> tuple[int, int, int, "np.ndarray"]:
     """Parse a binary P5 PGM: returns (width, height, maxval, pixels)."""
     import numpy as np
 
-    if bytes(buf[:2]) != b"P5":
+    b = bytes(buf)
+    if b[:2] != b"P5":
         raise ValueError("not a binary PGM payload")
-    idx, vals = 2, []
+    idx, vals, end = 2, [], len(b)
     while len(vals) < 3:
-        while bytes(buf[idx : idx + 1]).isspace():
+        while idx < end and b[idx : idx + 1].isspace():
             idx += 1
         start = idx
-        while not bytes(buf[idx : idx + 1]).isspace():
+        while idx < end and not b[idx : idx + 1].isspace():
             idx += 1
-        vals.append(int(buf[start:idx]))
+        if start == idx:  # ran off the end mid-header
+            raise ValueError("truncated PGM header")
+        vals.append(int(b[start:idx]))
     idx += 1  # the single whitespace byte that terminates the header
     w, h, maxval = vals
-    px = np.frombuffer(bytes(buf), dtype=np.uint8, count=w * h, offset=idx)
+    if end - idx < w * h:
+        raise ValueError("truncated PGM raster")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=idx)
     return w, h, maxval, px
 
 
@@ -539,9 +544,16 @@ def y4m_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"concat(encode('{header[:-1]}\\n', 'UTF-8'), "
         f"aggregate(sequence(0, n_frames - 1), X'', "
         f"(acc, f) -> concat(acc, encode('FRAME\\n', 'UTF-8'), "
-        f"substr(unhex({raster_hex}), f * {wh} + 1, {wh}))))"
+        f"substr(raster, f * {wh} + 1, {wh}))))"
     )
-    return dims.select("media_id", "n_frames", payload.alias("payload"))
+    # raster is materialized in its own projection so the fold lambda
+    # references a column, not the md5-chain expression — otherwise the
+    # full-clip hex string is recomputed once per frame
+    return dims.select(
+        "media_id",
+        "n_frames",
+        F.expr(f"unhex({raster_hex})").alias("raster"),
+    ).select("media_id", "n_frames", payload.alias("payload"))
 
 
 def decode_y4m(buf: bytes) -> tuple[int, int, list["np.ndarray"]]:

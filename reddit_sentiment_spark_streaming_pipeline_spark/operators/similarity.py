@@ -996,18 +996,29 @@ def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "d", "ci", F.expr("(d.fpb >> (8 * (2 - ci))) & 255").alias("cv")
     )
-    wb = Window.partitionBy("ci", "cv").orderBy("d.vec_id")
+    wb = Window.partitionBy("ci", "cv")
     capped = (
-        cl.withColumn("rn", F.row_number().over(wb))
+        cl.withColumn("full", F.count(F.lit(1)).over(wb))
+        .withColumn("rn", F.row_number().over(wb.orderBy("d.vec_id")))
         .filter(F.col("rn") <= RP_BUCKET_CAP)
-        .drop("rn")
     )
     grp = (
         capped.groupBy("ci", "cv")
-        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .agg(
+            F.array_sort(F.collect_list("d")).alias("ds"),
+            F.first("full").alias("full"),
+        )
         .filter(F.size("ds") >= 2)
-        .select("ds")
     )
+    # same no-silent-caps discipline as the MinHash banding: report how
+    # many candidate pairs the bucket cap dropped, from the pre-cap size
+    full = F.col("full")
+    kept = F.least(full, F.lit(RP_BUCKET_CAP))
+    grp = grp.observe(
+        "rp_bucket_cap",
+        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
+        F.max(full).alias("max_bucket_vecs"),
+    ).select("ds")
     return (
         grp.select(
             F.explode(

@@ -276,10 +276,12 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    _FP_GEN, _FP_KEEP = explode_clean(mins, "fp")
     fp = (
         docs.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", hvs.alias("hvs"))
-        .select("doc_id", explode_clean(mins, "fp")[0])
+        .select("doc_id", _FP_GEN)
+        .filter(_FP_KEEP)
     )
     # Bucket-group + capped expansion (the minhash_candidates shape): ONE
     # shuffle of the fingerprint table, deterministic smallest-doc_id cap

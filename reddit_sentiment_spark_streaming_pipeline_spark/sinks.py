@@ -154,9 +154,13 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    # fixed per-sf path, NOT pid-keyed: the returned frame lazily reads
+    # these files, so they cannot be deleted here — a stable overwritten
+    # location bounds /tmp at one copy per format per scale factor
+    # instead of accumulating a copy per process
     out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_jsonl_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        tempfile.gettempdir(), "spark_graft_roundtrips",
+        f"jsonl_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(out, ignore_errors=True)
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -197,9 +201,13 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
     orders = load_table(spark, sf_dir, "orders")
+    # fixed per-sf path, NOT pid-keyed: the returned frame lazily reads
+    # these files, so they cannot be deleted here — a stable overwritten
+    # location bounds /tmp at one copy per format per scale factor
+    # instead of accumulating a copy per process
     out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_csv_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        tempfile.gettempdir(), "spark_graft_roundtrips",
+        f"csv_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(out, ignore_errors=True)
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -243,9 +251,13 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
+    # fixed per-sf path, NOT pid-keyed: the returned frame lazily reads
+    # these files, so they cannot be deleted here — a stable overwritten
+    # location bounds /tmp at one copy per format per scale factor
+    # instead of accumulating a copy per process
     out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_orc_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        tempfile.gettempdir(), "spark_graft_roundtrips",
+        f"orc_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(out, ignore_errors=True)
     li.write.mode("overwrite").orc(out)

@@ -93,14 +93,17 @@ def test_semantic_dedup_pairs_share_cluster(spark, sf_dir):
 
 def test_rp_simhash_finds_planted_jitter_pairs(spark, sf_dir):
     from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import embedding_rp_simhash_dups
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
+    n_planted = load_table(spark, sf_dir, "embeddings").filter(
+        "vec_id % 5 = 0"
+    ).count()
     rows = embedding_rp_simhash_dups(spark, sf_dir).collect()
-    planted = {(r.vec_a, r.vec_b) for r in rows if r.vec_b == r.vec_a + 1000000}
-    # ±1-milli jitter flips at most a couple of sign bits: expect most of
-    # the planted every-5th pairs back (banding is recall-lossy only when
-    # >RP_HAMMING bits flip, which the jitter magnitude makes rare)
-    n_planted_inputs = len([1 for (a, b) in planted])
-    assert n_planted_inputs >= 1
+    recovered = {(r.vec_a, r.vec_b) for r in rows if r.vec_b == r.vec_a + 1000000}
+    # ±1-milli jitter flips a sign bit only where |dot| is tiny: at least
+    # 60% of the planted every-5th pairs must survive banding + the
+    # Hamming<=2 verify (a recall collapse must fail, not slip through)
+    assert len(recovered) >= 0.6 * n_planted
     for r in rows:
         assert 0 <= r.hamming <= 2
 
