@@ -70,11 +70,15 @@ def parse_posts(wire: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def synthetic_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthetic_wire(
+    spark: SparkSession, sf_dir: str, n_batches: int | None = None
+) -> DataFrame:
     """Deterministic wire-stream fixture from `documents`:
     - submission JSON per doc (subreddit←source, author←lang),
     - every 97th line corrupted (unparseable JSON),
-    - keepalive heartbeat interleaved per 20th doc.
+    - keepalive heartbeat interleaved per 20th doc,
+    - optional `batch` column (doc_id % n_batches) for deterministic
+      micro-batch splits in streaming fixtures.
     """
     docs = load_table(spark, sf_dir, "documents")
     submission = F.to_json(
@@ -88,7 +92,13 @@ def synthetic_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corrupted = F.when(F.col("doc_id") % 97 == 0, F.concat(F.lit("{malformed "), submission)).otherwise(submission)
-    wire = docs.select(corrupted.alias("value"))
+    # batch assignment (doc_id % n) is closed-form so a SQL oracle can
+    # reproduce each micro-batch's membership exactly; None keeps the
+    # plain single-column wire shape
+    batch = (
+        [(F.col("doc_id") % n_batches).alias("batch")] if n_batches else []
+    )
+    wire = docs.select(corrupted.alias("value"), *batch)
     keepalives = (
         docs.filter(F.col("doc_id") % 20 == 0)
         .select(
@@ -97,7 +107,8 @@ def synthetic_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("keepalive").alias("type"),
                     (F.lit(_EPOCH_2024) + F.col("doc_id")).cast("double").alias("created_utc"),
                 )
-            ).alias("value")
+            ).alias("value"),
+            *batch,
         )
     )
     return wire.unionByName(keepalives)

@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.winnowing",
     "reddit_sentiment_spark_streaming_pipeline_spark.sql",
     "reddit_sentiment_spark_streaming_pipeline_spark.sinks",
+    "reddit_sentiment_spark_streaming_pipeline_spark.streaming.posts",
 ]
 
 

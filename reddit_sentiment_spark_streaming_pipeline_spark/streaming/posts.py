@@ -213,3 +213,132 @@ def start_posts_pipeline(wire: DataFrame, out_root: str,
         .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
         .start()
     )
+
+
+# DuckDB mirror of the drained sink tables: survivors (the engine's
+# P1/P2 filter) per deterministic micro-batch (doc_id % 3), per-doc
+# sentiment via the inlined lexicon (identical CTE to operators/sentiment),
+# per-batch avg + reference totals + processed-post counts — i.e. the
+# EXPECTED CONTENTS of the sentiment / references / processed sinks.
+def _batch_tables_sql() -> str:
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.sentiment import lexicon_values_sql
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.posts import _EPOCH_2024
+
+    return f"""
+    WITH lex(word, score) AS (VALUES {lexicon_values_sql()}),
+    surv AS (
+        SELECT doc_id, text, doc_id % 3 AS batch,
+               make_timestamp(({_EPOCH_2024} + doc_id) * 1000000) AS created_time
+        FROM documents
+        WHERE doc_id % 97 <> 0
+          AND text IS NOT NULL AND text <> '' AND length(text) > 10
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM surv
+    ),
+    valence AS (
+        SELECT t.doc_id, sum(coalesce(CAST(l.score AS DOUBLE), 0.0)) AS s
+        FROM tok t LEFT JOIN lex l ON t.word = l.word
+        GROUP BY t.doc_id
+    ),
+    sent AS (
+        SELECT doc_id, round(s / sqrt(s * s + 15.0), 6) AS sentiment FROM valence
+    )
+    SELECT max(s.created_time)                    AS timestamp,
+           round(avg(st.sentiment), 6)            AS average_sentiment,
+           CAST(sum(len(regexp_extract_all(s.text, '/u/\\w+'))) AS DOUBLE)          AS total_user_refs,
+           CAST(sum(len(regexp_extract_all(s.text, '/r/\\w+'))) AS DOUBLE)          AS total_sub_refs,
+           CAST(sum(len(regexp_extract_all(s.text, 'https?://[^\\s]+'))) AS DOUBLE) AS total_urls,
+           count(*)                               AS n_posts
+    FROM surv s JOIN sent st USING (doc_id)
+    GROUP BY s.batch
+    ORDER BY timestamp
+    """
+
+
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import register  # noqa: E402
+
+
+@register(
+    "posts_batch_result_tables",
+    oracle=_batch_tables_sql(),
+    doc="K1-K3 end-to-end: the synthetic wire fixture drained through the "
+    "REAL Structured Streaming foreachBatch pipeline (3 deterministic "
+    "micro-batches, one chunk file per trigger), then the committed "
+    "sentiment / references / processed sink tables read back and "
+    "reconciled per batch — a green row proves the streaming sink "
+    "CONTENTS, not just the batch operators they reuse "
+    "(reference reddit_consumer.py:282-444)",
+)
+def posts_batch_result_tables(spark, sf_dir: str) -> DataFrame:
+    """Drain → read-back → reconcile. The per-batch timestamp (max
+    surviving created_time) is the join key across sink tables: it is
+    unique per batch and independent of trigger order, so the check does
+    not assume which chunk the engine picked up first.
+
+    Fixture setup (3 tiny chunk writes) is test-scale machinery; the
+    drained pipeline itself is the production path (one persisted parse
+    per micro-batch feeding all five sinks)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.posts import synthetic_wire
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import (
+        _order_files_by_name,
+        read_wire_stream,
+    )
+
+    # fixed per-sf path, NOT pid-keyed (same rationale as the format
+    # round-trips in sinks.py): the returned frame lazily reads the sink
+    # parquet, so the directory must outlive this function
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_roundtrips",
+        "posts_batch_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "wire")
+    os.makedirs(chunks)
+    wire = synthetic_wire(spark, sf_dir, n_batches=3)
+    for b in range(3):
+        part_dir = os.path.join(root, f"_part{b}")
+        (
+            wire.filter(F.col("batch") == b)
+            .select("value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(part_dir)
+        )
+        src = glob.glob(os.path.join(part_dir, "part-*"))[0]
+        os.replace(src, os.path.join(chunks, f"{b:03d}.txt"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    _order_files_by_name(chunks, ".txt")
+
+    out_root = os.path.join(root, "tables")
+    q = start_posts_pipeline(read_wire_stream(spark, chunks), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sinks = PostsSinks(out_root)
+    sent = spark.read.parquet(sinks.sentiment_dir)
+    refs = spark.read.parquet(sinks.refs_dir)
+    proc = (
+        spark.read.parquet(sinks.processed_dir)
+        .groupBy("batch_id")
+        .agg(
+            F.max("created_time").alias("timestamp"),
+            F.count(F.lit(1)).alias("n_posts"),
+        )
+        .select("timestamp", "n_posts")
+    )
+    return (
+        sent.join(refs, "timestamp")
+        .join(proc, "timestamp")
+        .select(
+            "timestamp", "average_sentiment", "total_user_refs",
+            "total_sub_refs", "total_urls", "n_posts",
+        )
+        .orderBy("timestamp")
+    )

@@ -228,3 +228,23 @@ def test_wire_chunks_are_event_time_ordered(spark, sf_dir, tmp_path):
     assert len(ranges) >= 2
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"chunk event-time ranges overlap: {ranges}"
+
+
+def test_posts_batch_result_tables_query(spark, sf_dir, duck):
+    """The registered drain-and-reconcile query: 3 deterministic batches,
+    sink contents equal the DuckDB closed form."""
+    from reddit_sentiment_spark_streaming_pipeline_spark import registry
+
+    spec = registry.load_all()["posts_batch_result_tables"]
+    got = spec.fn(spark, sf_dir).toPandas()
+    assert len(got) == 3  # one row per micro-batch
+    exp = duck.execute(spec.oracle).df()
+    assert list(got.columns) == list(exp.columns)
+    assert got["n_posts"].sum() == exp["n_posts"].sum()
+    # per-batch reconciliation on the closed-form join key
+    g = got.sort_values("timestamp").reset_index(drop=True)
+    e = exp.sort_values("timestamp").reset_index(drop=True)
+    assert (g["timestamp"] == e["timestamp"]).all()
+    assert (g["n_posts"] == e["n_posts"]).all()
+    assert (g["total_user_refs"] == e["total_user_refs"]).all()
+    assert abs(g["average_sentiment"] - e["average_sentiment"]).max() < 1e-6
