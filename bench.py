@@ -131,6 +131,120 @@ def time_streaming_replay(spark, sf_dir: str, n_chunks: int = 10) -> float:
         shutil.rmtree(replay_dir, ignore_errors=True)
 
 
+def time_streaming_socket_replay(spark, sf_dir: str) -> float:
+    """S1 (the reference's socket wire source, reddit_consumer.py:143-152)
+    under the bench harness: the same events fixture as streaming_replay
+    served over a localhost TCP socket and drained through the identical
+    watermarked windowed aggregation. What differs from the file replay is
+    the ingestion edge — TCP framing, driver-side line buffering, and
+    arrival-batched (rather than file-bounded) triggers — so a number
+    within ~2x of streaming_replay says the socket edge adds no
+    pathological cost. Serialization dump + TCP serve are setup (untimed);
+    the timed span is stream start → all lines aggregated.
+    """
+    import glob
+    import shutil
+    import socket as socketlib
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import start_windowed_query
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import read_wire_socket
+
+    dump_dir = tempfile.mkdtemp(prefix="bench_socket_wire_")
+    try:
+        # distributed JSONL dump; ts as epoch micros for an exact round-trip
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.select(
+                F.to_json(
+                    F.struct(
+                        "event_id",
+                        F.unix_micros("ts").alias("ts_us"),
+                        "user_id",
+                        "event_type",
+                        "value",
+                    )
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(dump_dir)
+        )
+        files = sorted(glob.glob(os.path.join(dump_dir, "part-*")))
+        chunks = [open(f, "rb").read() for f in files]
+        payload = b"".join(chunks)
+        n = payload.count(b"\n")
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts_us", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+
+        def drain_once(rep: int) -> float:
+            server = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+            server.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+            server.bind(("127.0.0.1", 0))
+            server.listen(1)
+            port = server.getsockname()[1]
+            stop_evt = threading.Event()
+
+            def serve() -> None:
+                try:
+                    conn, _ = server.accept()
+                except OSError:
+                    return
+                with conn:
+                    try:
+                        conn.sendall(payload)
+                    except OSError:
+                        return
+                    stop_evt.wait(timeout=300)
+
+            threading.Thread(target=serve, daemon=True).start()
+            t0 = time.perf_counter()
+            wire = read_wire_socket(spark, "127.0.0.1", port)
+            parsed = (
+                wire.select(F.from_json("value", schema).alias("d"))
+                .select(
+                    "d.event_id",
+                    F.timestamp_micros(F.col("d.ts_us")).alias("ts"),
+                    "d.user_id",
+                    "d.event_type",
+                    "d.value",
+                )
+            )
+            q = start_windowed_query(parsed, f"bench_socket_{rep}",
+                                     state_partitions=4)
+            try:
+                # the socket source has no end-of-stream: poll cumulative
+                # input rows across micro-batches until every line landed
+                seen: dict[int, int] = {}
+                deadline = time.monotonic() + 300
+                while sum(seen.values()) < n and time.monotonic() < deadline:
+                    for p in q.recentProgress:
+                        seen[p["batchId"]] = p["numInputRows"]
+                    time.sleep(0.05)
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                stop_evt.set()
+                server.close()
+            return time.perf_counter() - t0
+
+        return round(min(drain_once(r) for r in range(2)), 3)
+    finally:
+        shutil.rmtree(dump_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -195,6 +309,8 @@ def main() -> None:
     # events table replayed as micro-batches through the watermarked
     # event-time windowed agg (not a registry query; timed end-to-end).
     timings["streaming_replay"] = time_streaming_replay(spark, sf_dir)
+    # S1 parity lap: same volume and agg over the TCP socket source
+    timings["streaming_socket_replay"] = time_streaming_socket_replay(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
