@@ -38,6 +38,7 @@ HEADLINE = [
     "session_windows",           # sessionization
     "windowed_subreddit_sentiment",  # full wire pipeline under event-time windows
     "minhash_near_dups",         # MinHash+LSH near-dup dedup
+    "repeated_ngram_spans",      # exact substring (repeated-span) dedup
     "embedding_near_dups",       # embedding-cosine near-dup dedup
     "cosine_topk",               # embedding similarity search (exact)
     "ivf_ann_topk",              # embedding similarity search (IVF ANN)

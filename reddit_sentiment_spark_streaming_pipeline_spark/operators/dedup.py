@@ -1164,3 +1164,115 @@ def payload_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = pay.select("doc_id", grams.cast("array<string>").alias("toks"))
     return simhash_pair_rows(simhash_fp_from_token_arrays(tok))
+
+
+# ------------------------------- exact substring (repeated-span) dedup
+
+# Window width in WORDS for cross-document repeated-span detection.
+SPAN_NGRAM = 8
+
+
+@register(
+    "repeated_ngram_spans",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    winpos AS (
+        SELECT doc_id, w, unnest(generate_series(0, len(w) - {SPAN_NGRAM})) AS pos
+        FROM tok WHERE len(w) >= {SPAN_NGRAM}
+    ),
+    win AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos + 1 : pos + {SPAN_NGRAM}], ' ')) AS h
+        FROM winpos
+    ),
+    rep AS (
+        SELECT h FROM win GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ),
+    hits AS (SELECT doc_id, pos FROM win JOIN rep USING (h)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + {SPAN_NGRAM}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR pos > max(pos + {SPAN_NGRAM}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS flag
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM isl
+    )
+    SELECT doc_id,
+           min(pos)                               AS span_start,
+           max(pos) + {SPAN_NGRAM}                AS span_end,
+           max(pos) + {SPAN_NGRAM} - min(pos)     AS span_words,
+           count(*)                               AS n_windows
+    FROM grp GROUP BY doc_id, g
+    ORDER BY doc_id, span_start
+    """,
+    doc="Exact substring dedup (Lee et al. 2022, 'Deduplicating Training "
+    "Data Makes Language Models Better'): every 8-word window is hashed; "
+    "windows whose hash appears in >=2 DISTINCT documents are repeated "
+    "spans, and overlapping/adjacent repeated windows merge into maximal "
+    "(doc_id, span_start, span_end) cut-lists — span-LEVEL dedup that "
+    "removes boilerplate passages from otherwise-unique documents, the "
+    "modality doc-level near-dup (MinHash/SimHash) cannot express. "
+    "Scale shape: window rows are linear in corpus tokens; repeated-hash "
+    "discovery is one map-side-combined groupBy(h) with min/max doc_id "
+    "(min<>max == cross-doc, no distinct-count buffer); the hash "
+    "equi-join back adds <=1 row per window (never expands, even for "
+    "boilerplate appearing in millions of docs — output is "
+    "per-OCCURRENCE, not per-pair, which is why this scales where pair "
+    "enumeration needs bucket caps); island merging is one doc_id-keyed "
+    "window pass. Three linear shuffles total, no caps needed.",
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    base = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= SPAN_NGRAM
+    )
+    win = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {SPAN_NGRAM}), "
+                f"i -> struct(cast(i AS bigint) AS pos, "
+                f"md5(concat_ws(' ', slice(w, i + 1, {SPAN_NGRAM}))) AS h))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h"))
+    rep = (
+        win.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    hits = win.join(rep, "h").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_cov = F.max(F.col("pos") + SPAN_NGRAM).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "flag",
+        F.when(prev_cov.isNull() | (F.col("pos") > prev_cov), 1).otherwise(0),
+    )
+    grp = flagged.withColumn("g", F.sum("flag").over(wd))
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SPAN_NGRAM).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_words"),
+            "n_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )

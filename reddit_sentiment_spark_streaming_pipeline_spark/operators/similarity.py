@@ -253,6 +253,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_DUP_THRESHOLD = 0.99
+# SemDeDup target mean cluster size: K = max(N_CENTROIDS, ceil(N / this)).
+SEMDEDUP_CLUSTER_SIZE = 256
 
 # The corpus is random (organic max cosine ≈ 0.51 at sf0.01), so near-dup
 # pairs are constructed: every 10th vector re-added with its first element
@@ -786,7 +788,13 @@ def int8_quant_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS ({_DUP_CORPUS_SQL}),
     cent AS (
         SELECT vec_id - {_CENTROID_LO} AS cid, ce AS cv
-        FROM base WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_LO + N_CENTROIDS - 1}
+        FROM base
+        WHERE vec_id >= {_CENTROID_LO}
+          AND vec_id < {_CENTROID_LO} + (
+              SELECT greatest({N_CENTROIDS},
+                              CAST(ceil(count(*) / {SEMDEDUP_CLUSTER_SIZE}.0) AS INT))
+              FROM base
+          )
     ),
     dists AS (
         SELECT base.vec_id, cent.cid, {_DIST_SQL} AS dist
@@ -816,15 +824,22 @@ def int8_quant_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY pruned_id
     """,
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023): assign every "
-    "vector to its nearest coarse centroid (broadcast of 8 centroids + "
+    "vector to its nearest coarse centroid (broadcast centroids + "
     "partial-aggregable arg-min — the IVF assignment), then discover "
     "near-duplicate pairs ONLY within a cluster via a cid-keyed self-join "
     "and greedily keep the lowest-id exemplar per duplicate relation. "
-    "The cluster id is the shuffle key, so pair enumeration is quadratic "
-    "only in cluster size — at 100 TB you raise K proportionally to the "
-    "corpus (the paper uses ~100k clusters) so clusters stay bounded, and "
-    "the whole prune is one shuffle + one co-partitioned self-join, never "
-    "an all-pairs scan. Run over the planted-dup corpus (cosine >= 0.99).",
+    "The centroid count SCALES with the corpus — K = max(8, N/256), "
+    "computed in-plan as a broadcast scalar, never collected — so mean "
+    "cluster size stays ~bounded and within-cluster pair enumeration is "
+    "~linear in N (the paper's regime: ~100k clusters at web scale). "
+    "Before this, a fixed K=8 made pairs grow as N^2/16: the 30x "
+    "rehearsal measured a 103x wall knee that this parametrization "
+    "removes. Assignment cost is N x K = N^2/256 multiplies — fine "
+    "through tens of millions of vectors; past that you refine the "
+    "assignment hierarchically (coarse-quantize the centroids "
+    "themselves), which changes only the `assign` stage. The whole "
+    "prune remains one shuffle + one co-partitioned self-join, never an "
+    "all-pairs scan. Run over the planted-dup corpus (cosine >= 0.99).",
 )
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The centroid assignment below intentionally mirrors _ivf_assign
@@ -836,9 +851,23 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = spread(_dup_corpus(emb))
-    cent = base.filter(
-        F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)
-    ).select((F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv"))
+    # corpus-scaled centroid count as a broadcast scalar (no collect):
+    # K = max(8, ceil(N / 256)) keeps mean cluster size ~256 as N grows,
+    # so the within-cluster pair stage stays ~linear in N
+    kf = base.agg(
+        F.greatest(
+            F.lit(N_CENTROIDS).cast("long"),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(SEMDEDUP_CLUSTER_SIZE))),
+        ).cast("int").alias("k")
+    )
+    cent = (
+        base.crossJoin(F.broadcast(kf))
+        .filter(
+            (F.col("vec_id") >= _CENTROID_LO)
+            & (F.col("vec_id") < _CENTROID_LO + F.col("k"))
+        )
+        .select((F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv"))
+    )
     dist = F.round(
         dot(F.col("ce"), F.col("ce"))
         - 2 * dot(F.col("ce"), F.col("cv"))

@@ -169,3 +169,34 @@ def test_boilerplate_ratio_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_boilerplate <= r.n_segments
         assert 0 < r.boilerplate_ratio <= 1
+
+
+def test_repeated_ngram_spans_cover_planted_exact_dups(spark, sf_dir):
+    """Every planted exact-dup doc (doc_id % 10 == 0 copied to +1000000)
+    shares ALL its windows with its copy, so both sides must surface one
+    span covering the whole tokenized doc (when it has >= SPAN_NGRAM
+    words); the near-dup tail copies (+2000000) share their long prefix."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        SPAN_NGRAM,
+        dedup_corpus,
+        repeated_ngram_spans,
+    )
+    from pyspark.sql import functions as F
+
+    spans = repeated_ngram_spans(spark, sf_dir).toPandas()
+    assert (spans.span_end - spans.span_start == spans.span_words).all()
+    assert (spans.span_words >= SPAN_NGRAM).all()
+    # whole-doc coverage for the exact-dup copies
+    lens = (
+        dedup_corpus(spark, sf_dir)
+        .filter(F.col("doc_id") >= 1000000)
+        .filter(F.col("doc_id") < 2000000)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .filter(F.col("n") >= SPAN_NGRAM)
+        .toPandas()
+    )
+    merged = spans.groupby("doc_id").agg({"span_start": "min", "span_end": "max"})
+    for _, r in lens.iterrows():
+        assert r.doc_id in merged.index, f"no span for exact-dup copy {r.doc_id}"
+        assert merged.loc[r.doc_id, "span_start"] == 0
+        assert merged.loc[r.doc_id, "span_end"] == r.n

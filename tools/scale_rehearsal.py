@@ -8,16 +8,31 @@ are the direct evidence that broadcast sides stay broadcast-sized and
 nothing degenerates to a corpus-wide shuffle as data grows.
 
 Replicas are perturbed so the duplicate RATE stays realistic instead of
-exploding: every word in replica k is prefixed `r{k}-`, so replicas share
-zero 3-gram shingles with each other (not near-dups), while the synthetic
-dup construction inside each query (every 10th/7th doc) still scales
-linearly. Embeddings get deterministic per-replica jitter for the same
-reason. Everything is generated and written by executors — no driver
-collect — so the same script is the rehearsal you'd run at sf100.
+exploding: replica k's text goes through a per-replica substitution
+cipher (the 36-char lowercase+digit class rotated by k, uppercase
+rotated separately), so replicas share zero 3-gram word shingles AND
+zero byte 4-grams with each other — word-LEVEL and byte-level dedup
+both see them as unrelated — while the synthetic dup construction
+inside each query (every 10th/7th doc) still scales linearly. (The
+previous word-prefix perturbation diverged only at word granularity:
+byte 4-gram queries saw replicas as genuine near-dups, so
+payload_simhash_dups' pair output grew quadratically BY CONSTRUCTION —
+the 18.2x/16.5x "super-linear shuffle" r4/r5 readings were the fixture,
+not the operator.) Word shapes and lengths are preserved, which is
+more realistic for token/quality queries than prefix-inflated words.
+Embeddings get deterministic per-replica jitter for the same reason.
+Everything is generated and written by executors — no driver collect —
+so the same script is the rehearsal you'd run at sf100.
 
 Pass criteria (VERDICT r2 item 8): ≤ ~12× time at 10× data, no OOM.
 
 Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir]
+           [--replicas N] [--queries q1,q2,...]
+
+--replicas / --queries narrow the sweep for targeted deep points, e.g.
+the 30× knee-check on the iterative/clustered dedup paths (VERDICT r4
+item 4): constants like the 8 IVF centroids or the 64-id bucket cap
+could hide super-linear knees that a 10× point misses.
 """
 
 from __future__ import annotations
@@ -64,6 +79,10 @@ QUERIES = [
     # aggregate, candidates a banded equi-join — shuffle should scale
     # linearly, never quadratically, exactly like the word-level simhash
     "payload_simhash_dups",
+    # r5 additions: SemDeDup with corpus-scaled K (the 30x knee fix) and
+    # span-level exact-substring dedup (per-occurrence output — the one
+    # dedup modality that needs no bucket caps at all)
+    "semantic_dedup_prune", "repeated_ngram_spans",
 ]
 
 
@@ -93,17 +112,29 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     doc_stride = docs.agg((F.max("doc_id") + 1).alias("_stride"))
     emb_stride = emb.agg((F.max("vec_id") + 1).alias("_stride"))
 
+    # Per-replica substitution cipher: rotation k over the 36-char
+    # lowercase+digit class is injective across k=1..35, so no two
+    # replicas (or replica vs original) share alphanumeric bytes.
+    # Uppercase rotates in its own 26-char class ((k-1)%25+1 — the rare
+    # k=1/k=26-style collision touches only uppercase-heavy docs, a
+    # negligible linear tail at <=30 replicas).
+    lo36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+    up26 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    cipher = F.col("text")
+    for k in range(1, REPLICAS):
+        r36 = k % 36
+        r26 = (k - 1) % 25 + 1
+        cipher = F.when(
+            F.col("k") == k,
+            F.translate(
+                "text",
+                lo36 + up26,
+                lo36[r36:] + lo36[:r36] + up26[r26:] + up26[:r26],
+            ),
+        ).otherwise(cipher)
     big_docs = docs.crossJoin(F.broadcast(doc_stride)).crossJoin(rep).select(
         (F.col("doc_id") + F.col("k") * F.col("_stride")).alias("doc_id"),
-        F.when(F.col("k") == 0, F.col("text")).otherwise(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.split("text", r"\s+"),
-                    lambda w: F.concat(F.lit("r"), F.col("k"), F.lit("-"), w),
-                ),
-            )
-        ).alias("text"),
+        cipher.alias("text"),
         "lang", "source", "n_chars",
     )
     big_emb = emb.crossJoin(F.broadcast(emb_stride)).crossJoin(rep).select(
@@ -136,8 +167,18 @@ def time_queries(spark, specs, sf_dir: str) -> dict[str, dict]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_rehearsal_sf1"
+    global REPLICAS, QUERIES
+    args = list(sys.argv[1:])
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        REPLICAS = int(args[i + 1])
+        del args[i:i + 2]
+    if "--queries" in args:
+        i = args.index("--queries")
+        QUERIES = args[i + 1].split(",")
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    out_dir = args[1] if len(args) > 1 else "/tmp/scale_rehearsal_sf1"
     spark = get_spark("scale-rehearsal")
     specs = registry.load_all()
 
@@ -150,7 +191,7 @@ def main() -> None:
     big = time_queries(spark, specs, out_dir)
 
     print(json.dumps({
-        "rehearsal": "dedup_ann_10x",
+        "rehearsal": f"dedup_ann_{REPLICAS}x",
         "replicas": REPLICAS,
         "base": base,
         "big": big,
