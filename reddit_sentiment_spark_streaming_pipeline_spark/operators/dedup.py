@@ -1171,11 +1171,10 @@ def payload_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window width in WORDS for cross-document repeated-span detection.
 SPAN_NGRAM = 8
 
-
-@register(
-    "repeated_ngram_spans",
-    oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+# Shared CTE chain: corpus -> windows -> cross-doc repeated hashes ->
+# island-merged spans. Used by the span query and the removal-accounting
+# query so the two oracles cannot drift.
+_SPAN_CTES = f"""corpus AS ({_CORPUS_SQL}),
     tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
     winpos AS (
         SELECT doc_id, w, unnest(generate_series(0, len(w) - {SPAN_NGRAM})) AS pos
@@ -1206,13 +1205,23 @@ SPAN_NGRAM = 8
     grp AS (
         SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS g
         FROM isl
-    )
-    SELECT doc_id,
-           min(pos)                               AS span_start,
-           max(pos) + {SPAN_NGRAM}                AS span_end,
-           max(pos) + {SPAN_NGRAM} - min(pos)     AS span_words,
-           count(*)                               AS n_windows
-    FROM grp GROUP BY doc_id, g
+    ),
+    spans AS (
+        SELECT doc_id,
+               min(pos)                               AS span_start,
+               max(pos) + {SPAN_NGRAM}                AS span_end,
+               max(pos) + {SPAN_NGRAM} - min(pos)     AS span_words,
+               count(*)                               AS n_windows
+        FROM grp GROUP BY doc_id, g
+    )"""
+
+
+@register(
+    "repeated_ngram_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, span_words, n_windows
+    FROM spans
     ORDER BY doc_id, span_start
     """,
     doc="Exact substring dedup (Lee et al. 2022, 'Deduplicating Training "
@@ -1232,6 +1241,12 @@ SPAN_NGRAM = 8
     "window pass. Three linear shuffles total, no caps needed.",
 )
 def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _span_frame(spark, sf_dir).orderBy("doc_id", "span_start")
+
+
+def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, span_start, span_end, span_words, n_windows)
+    cut-list frame; shared by the span query and the removal accounting."""
     corpus = dedup_corpus(spark, sf_dir)
     base = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= SPAN_NGRAM
@@ -1274,5 +1289,70 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("span_end") - F.col("span_start")).alias("span_words"),
             "n_windows",
         )
-        .orderBy("doc_id", "span_start")
+    )
+
+
+@register(
+    "span_dedup_stats",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    per_doc AS (
+        SELECT doc_id, CAST(sum(span_words) AS BIGINT) AS cut_words,
+               count(*) AS n_spans
+        FROM spans GROUP BY doc_id
+    ),
+    lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM corpus
+    )
+    SELECT CASE WHEN l.doc_id < 1000000 THEN 'original'
+                WHEN l.doc_id < 2000000 THEN 'exact_copy'
+                ELSE 'near_copy' END                          AS doc_class,
+           count(*)                                           AS n_docs,
+           count(p.doc_id)                                    AS n_docs_with_spans,
+           CAST(sum(l.n_words) AS BIGINT)                     AS words_total,
+           CAST(sum(coalesce(p.cut_words, 0)) AS BIGINT)      AS words_cut,
+           round(sum(coalesce(p.cut_words, 0)) * 1.0
+                 / sum(l.n_words), 6)                         AS cut_ratio
+    FROM lens l LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY doc_class
+    ORDER BY doc_class
+    """,
+    doc="Removal accounting for exact substring dedup: the span cut-lists "
+    "applied back to the corpus as per-class totals (planted exact "
+    "copies, near copies, originals) — how many documents are touched, "
+    "how many words the cuts remove, and the cut ratio. The per-class "
+    "split doubles as a self-check: exact copies must cut ~everything, "
+    "originals only their genuinely repeated passages. One extra "
+    "doc_id-keyed aggregate + broadcast-sized class rollup on top of "
+    "the shared span plan; nothing new shuffles at corpus width.",
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = (
+        _span_frame(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_words").alias("cut_words"))
+    )
+    lens = dedup_corpus(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    cls = (
+        F.when(F.col("doc_id") < 1000000, "original")
+        .when(F.col("doc_id") < 2000000, "exact_copy")
+        .otherwise("near_copy")
+    )
+    return (
+        lens.join(per_doc, "doc_id", "left")
+        .groupBy(cls.alias("doc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("cut_words").alias("n_docs_with_spans"),
+            F.sum("n_words").alias("words_total"),
+            F.sum(F.coalesce("cut_words", F.lit(0))).alias("words_cut"),
+            F.round(
+                F.sum(F.coalesce("cut_words", F.lit(0)))
+                / F.sum("n_words"),
+                6,
+            ).alias("cut_ratio"),
+        )
+        .orderBy("doc_class")
     )
