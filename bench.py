@@ -158,10 +158,17 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
 
     dump_dir = tempfile.mkdtemp(prefix="bench_socket_wire_")
     try:
-        # distributed JSONL dump; ts as epoch micros for an exact round-trip
+        # distributed JSONL dump; ts as epoch micros for an exact round-trip.
+        # Range-partitioned and sorted on ts (like write_replay_chunks):
+        # part files concatenated in name order give a globally event-time-
+        # ordered wire, so the 2h watermark never drops rows regardless of
+        # how the source parquet was laid out — an unordered dump would
+        # silently shrink the aggregation work on any multi-file fixture.
         ev = load_table(spark, sf_dir, "events")
         (
-            ev.select(
+            ev.repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .select(
                 F.to_json(
                     F.struct(
                         "event_id",

