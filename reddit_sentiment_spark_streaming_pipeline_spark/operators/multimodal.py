@@ -661,3 +661,126 @@ def y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.mapInPandas(batches, schema=_Y4M_STATS_SCHEMA)
         .orderBy("media_id", "frame_idx")
     )
+
+
+# -------------------------- cross-video duplicate-frame detection
+
+def y4m_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, n_frames, payload) with PLANTED cross-video duplicate
+    frames: every 5th video's frame 0 is drawn from one of 3 shared
+    rasters (keyed by media_id % 3) instead of its own — the fixture for
+    frame-level dedup, same container format as `y4m_media_table`."""
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 4 + 2).cast("int").alias("n_frames"),
+    )
+    wh = Y4M_W * Y4M_H
+    header = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 Cmono\n"
+    # 48-byte frame == exactly 3 md5 blocks; the frame key switches to the
+    # shared pool for (media_id % 5 == 0, f == 0)
+    key = (
+        "CASE WHEN media_id % 5 = 0 AND f = 0 "
+        "THEN concat('shared', cast(media_id % 3 as string)) "
+        "ELSE cast(media_id as string) END"
+    )
+    frame_hex = "concat(" + ", ".join(
+        f"md5(concat({key}, ':', cast(f as string), ':{c}'))" for c in range(3)
+    ) + ")"
+    raster_hex = (
+        f"concat_ws('', transform(sequence(0, n_frames - 1), f -> {frame_hex}))"
+    )
+    payload = F.expr(
+        f"concat(encode('{header[:-1]}\\n', 'UTF-8'), "
+        f"aggregate(sequence(0, n_frames - 1), X'', "
+        f"(acc, f) -> concat(acc, encode('FRAME\\n', 'UTF-8'), "
+        f"substr(raster, f * {wh} + 1, {wh}))))"
+    )
+    # raster materialized in its own projection (same reasoning as
+    # y4m_media_table: the fold lambda must reference a column)
+    return dims.select(
+        "media_id",
+        "n_frames",
+        F.expr(f"unhex({raster_hex})").alias("raster"),
+    ).select("media_id", "n_frames", payload.alias("payload"))
+
+
+_DUP_FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_hex string"
+
+
+@register(
+    "dup_frame_groups",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+        FROM documents
+    ),
+    fr AS (SELECT media_id, unnest(generate_series(0, nf - 1)) AS f FROM m),
+    keyed AS (
+        SELECT media_id, f,
+               CASE WHEN media_id % 5 = 0 AND f = 0
+                    THEN 'shared' || CAST(media_id % 3 AS VARCHAR)
+                    ELSE CAST(media_id AS VARCHAR) END AS k
+        FROM fr
+    ),
+    fh AS (
+        SELECT media_id, f,
+               md5(k || ':' || f || ':0') || md5(k || ':' || f || ':1')
+               || md5(k || ':' || f || ':2') AS frame_hex
+        FROM keyed
+    ),
+    per AS (
+        SELECT frame_hex, media_id, count(*) AS nf_in_media
+        FROM fh GROUP BY frame_hex, media_id
+    )
+    SELECT frame_hex,
+           count(*)                        AS n_media,
+           CAST(sum(nf_in_media) AS BIGINT) AS n_frames,
+           min(media_id)                   AS first_media
+    FROM per GROUP BY frame_hex HAVING count(*) >= 2
+    ORDER BY frame_hex
+    """,
+    doc="Cross-video duplicate-frame detection — the multimodal decode "
+    "path feeding the dedup path: complete Y4M streams (with planted "
+    "shared frames across every 5th video) are REALLY decoded in "
+    "mapInPandas, each frame's raw plane bytes re-hexed, and frames "
+    "whose bytes appear in >=2 distinct videos grouped into dup groups. "
+    "The oracle re-derives each frame's bytes as hex arithmetic, so a "
+    "green row proves decode fidelity AND the dedup semantics at once. "
+    "Scale shape: decode is Arrow-batched and embarrassingly parallel; "
+    "grouping shuffles one 96-char key per frame, two-stage "
+    "(frame, media) -> frame aggregation, both map-side combined — "
+    "per-occurrence output like repeated_ngram_spans, no caps needed.",
+)
+def dup_frame_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = y4m_dup_media_table(spark, sf_dir).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in ("media_id", "frame_idx", "frame_hex")}
+        for pdf in it:
+            for mid, payload in zip(pdf.media_id, pdf.payload):
+                w, h, frames = decode_y4m(payload)
+                if (w, h) != (Y4M_W, Y4M_H):
+                    raise ValueError(f"unexpected plane dims {w}x{h}")
+                for fi, px in enumerate(frames):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(fi)
+                    rows["frame_hex"].append(px.tobytes().hex())
+        if rows["media_id"]:
+            yield pd.DataFrame(rows)
+
+    frames = media.mapInPandas(batches, schema=_DUP_FRAME_SCHEMA)
+    per = frames.groupBy("frame_hex", "media_id").agg(
+        F.count(F.lit(1)).alias("nf_in_media")
+    )
+    return (
+        per.groupBy("frame_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("nf_in_media").alias("n_frames"),
+            F.min("media_id").alias("first_media"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy("frame_hex")
+    )
