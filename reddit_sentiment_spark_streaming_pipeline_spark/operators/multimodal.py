@@ -784,3 +784,188 @@ def dup_frame_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_media") >= 2)
         .orderBy("frame_hex")
     )
+
+
+# ------------------- gain-invariant audio fingerprint matching
+
+# Planted-match fixture knobs: every 7th clip draws its PCM from one of
+# two shared pools, members of a pool differ by a uniform x2 gain.
+_AUD_POOL = "((media_id div 7) % 2)"
+_AUD_GAIN = "(1 + (((media_id div 7) div 2) % 2))"
+# DuckDB spellings of the same expressions (// is its integer division)
+_AUD_POOL_SQL = "((media_id // 7) % 2)"
+_AUD_GAIN_SQL = "(1 + (((media_id // 7) // 2) % 2))"
+_AUD_PLANTED = "(media_id % 7 = 0)"
+AUDIO_FP_WINDOW = 16  # samples per energy window
+
+
+def wav_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, n_samples, payload) PCM16 WAVs with PLANTED matches:
+    every 7th clip's samples come from a 2-pool shared bank (64 samples,
+    12-bit amplitudes) multiplied by a per-clip gain of 1 or 2 — the
+    same recording at different volumes, the case byte-level dedup
+    cannot catch and the energy-delta fingerprint must."""
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"CASE WHEN {_AUD_PLANTED.replace('media_id', 'doc_id')} THEN 64 "
+            "ELSE cast(doc_id % 128 + 32 as int) END"
+        ).cast("int").alias("n_samples"),
+    )
+    key = (
+        f"CASE WHEN {_AUD_PLANTED} THEN concat('aud', cast({_AUD_POOL} as string)) "
+        "ELSE cast(media_id as string) END"
+    )
+    v16 = (
+        f"cast(conv(substr(md5(concat({key}, ':', cast(j as string))), 1, 4), "
+        "16, 10) as int)"
+    )
+    s = (
+        f"CASE WHEN {_AUD_PLANTED} THEN (({v16} % 4096) - 2048) * {_AUD_GAIN} "
+        f"ELSE CASE WHEN {v16} >= 32768 THEN {v16} - 65536 ELSE {v16} END END"
+    )
+    u16 = f"((({s}) + 65536) % 65536)"
+    be = f"lpad(hex({u16}), 4, '0')"
+    le = f"concat(substr({be}, 3, 2), substr({be}, 1, 2))"
+    samples_hex = f"concat_ws('', transform(sequence(0, n_samples - 1), j -> {le}))"
+    static_fmt = (
+        "57415645" "666d7420" "10000000" "0100" "0100"
+        + _le32_lit(WAV_SAMPLE_RATE)
+        + _le32_lit(WAV_SAMPLE_RATE * 2)
+        + "0200" "1000" "64617461"
+    )
+    payload_hex = F.expr(
+        "concat("
+        "'52494646', "
+        f"{_le32('36 + 2 * n_samples')}, "
+        f"'{static_fmt}', "
+        f"{_le32('2 * n_samples')}, "
+        f"{samples_hex}"
+        ")"
+    )
+    return dims.select(
+        "media_id", "n_samples", F.unhex(payload_hex).alias("payload")
+    )
+
+
+_AUDIO_FP_SCHEMA = "media_id bigint, n_windows int, fp string"
+
+
+@register(
+    "audio_fingerprint_matches",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 7 = 0 THEN 64
+                    ELSE CAST(doc_id % 128 + 32 AS INTEGER) END AS n
+        FROM documents
+    ),
+    keyed AS (
+        SELECT media_id, n,
+               CASE WHEN media_id % 7 = 0
+                    THEN 'aud' || CAST({_AUD_POOL_SQL} AS VARCHAR)
+                    ELSE CAST(media_id AS VARCHAR) END AS k,
+               CASE WHEN media_id % 7 = 0 THEN {_AUD_GAIN_SQL} ELSE 1 END AS g
+        FROM m
+    ),
+    sm AS (
+        SELECT media_id, g,
+               j // {AUDIO_FP_WINDOW} AS w,
+               CAST(('0x' || substr(md5(k || ':' || j), 1, 4)) AS INTEGER) AS v
+        FROM (
+            SELECT media_id, n, k, g,
+                   unnest(generate_series(0, (n // {AUDIO_FP_WINDOW}) * {AUDIO_FP_WINDOW} - 1)) AS j
+            FROM keyed
+        )
+    ),
+    sgn AS (
+        SELECT media_id, w,
+               CASE WHEN media_id % 7 = 0 THEN ((v % 4096) - 2048) * g
+                    ELSE CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               END AS s
+        FROM sm
+    ),
+    en AS (
+        SELECT media_id, w, sum(CAST(s AS BIGINT) * s) AS e
+        FROM sgn GROUP BY media_id, w
+    ),
+    tr AS (
+        SELECT media_id, w, e,
+               lag(e) OVER (PARTITION BY media_id ORDER BY w) AS pe
+        FROM en
+    ),
+    fp AS (
+        SELECT media_id,
+               count(*) + 1 AS n_windows,
+               string_agg(
+                   CASE WHEN e > 2 * pe THEN '3'
+                        WHEN e > pe THEN '2'
+                        WHEN 2 * e > pe THEN '1'
+                        ELSE '0' END, '' ORDER BY w) AS fp
+        FROM tr WHERE pe IS NOT NULL
+        GROUP BY media_id
+    )
+    SELECT CAST(n_windows AS INTEGER) AS n_windows, fp,
+           count(*)       AS n_media,
+           min(media_id)  AS first_media
+    FROM fp GROUP BY n_windows, fp HAVING count(*) >= 2
+    ORDER BY n_windows, fp
+    """,
+    doc="Audio near-dup via gain-invariant fingerprints — the audio "
+    "analogue of frame dedup, catching what byte comparison cannot: the "
+    "planted matches are the SAME recording at different volumes (x1 vs "
+    "x2 gain), so their PCM bytes differ everywhere. Clips are really "
+    "decoded (RIFF chunk walk) in mapInPandas; per 16-sample window "
+    "energies feed a transition fingerprint whose alphabet is the "
+    "integer comparisons e>2pe / e>pe / 2e>pe — uniform gain scales "
+    "every energy by g^2, preserving each inequality EXACTLY, so pool "
+    "members fingerprint identically by construction, not by tolerance. "
+    "The oracle re-derives every sample through the same hex arithmetic "
+    "and window algebra. Scale shape: decode + fingerprint are "
+    "Arrow-batched map work; only (n_windows, fp) keys shuffle, "
+    "two-stage map-side-combined grouping, per-occurrence output.",
+)
+def audio_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = wav_dup_media_table(spark, sf_dir).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = {k: [] for k in ("media_id", "n_windows", "fp")}
+        for pdf in it:
+            for mid, payload in zip(pdf.media_id, pdf.payload):
+                rate, samples = decode_wav(payload)
+                if rate != WAV_SAMPLE_RATE:
+                    raise ValueError(f"unexpected sample rate {rate}")
+                nw = len(samples) // AUDIO_FP_WINDOW
+                if nw < 2:
+                    continue  # no transitions to fingerprint
+                s = samples[: nw * AUDIO_FP_WINDOW].astype(np.int64)
+                e = (s * s).reshape(nw, AUDIO_FP_WINDOW).sum(axis=1)
+                cls = []
+                for k in range(1, nw):
+                    if e[k] > 2 * e[k - 1]:
+                        cls.append("3")
+                    elif e[k] > e[k - 1]:
+                        cls.append("2")
+                    elif 2 * e[k] > e[k - 1]:
+                        cls.append("1")
+                    else:
+                        cls.append("0")
+                rows["media_id"].append(int(mid))
+                rows["n_windows"].append(nw)
+                rows["fp"].append("".join(cls))
+        if rows["media_id"]:
+            yield pd.DataFrame(rows)
+
+    fps = media.mapInPandas(batches, schema=_AUDIO_FP_SCHEMA)
+    return (
+        fps.groupBy("n_windows", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").alias("first_media"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy("n_windows", "fp")
+    )

@@ -185,3 +185,66 @@ def test_y4m_payloads_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_path)
     for row in spark.read.parquet(path).collect():
         w, h, frames = decode_y4m(row.payload)
         assert (w, h) == (8, 6) and len(frames) == row.n_frames
+
+
+def test_dup_frame_groups_planted_pools(spark, sf_dir):
+    """Every 5th video's frame 0 comes from a 3-raster shared pool, so the
+    dup groups are exactly the non-singleton pools and each group's size
+    equals its pool's membership."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import dup_frame_groups
+    from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
+
+    got = dup_frame_groups(spark, sf_dir).toPandas()
+    assert len(got) <= 3  # one group per shared raster key (media_id % 3)
+    assert (got.n_media >= 2).all()
+    assert (got.n_frames == got.n_media).all()  # one shared frame per video
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .groupBy((F.col("doc_id") % 3).alias("pool"))
+        .count()
+        .toPandas()
+    )
+    exp_sizes = sorted(int(c) for c in expected["count"] if c >= 2)
+    assert sorted(int(c) for c in got.n_media) == exp_sizes
+
+
+def test_audio_fingerprint_gain_invariance(spark, sf_dir):
+    """Planted pool members are the same recording at x1 vs x2 gain; the
+    transition fingerprint must be IDENTICAL within a pool (exact
+    integer-inequality invariance, not tolerance)."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        wav_dup_media_table,
+    )
+
+    rows = (
+        wav_dup_media_table(spark, sf_dir)
+        .filter(F.col("media_id") % 7 == 0)
+        .select("media_id", "payload")
+        .collect()
+    )
+    import numpy as np
+
+    fps = {}
+    for r in rows:
+        rate, samples = decode_wav(r.payload)
+        assert len(samples) == 64
+        s = samples.astype(np.int64)
+        e = (s * s).reshape(4, 16).sum(axis=1)
+        fp = "".join(
+            "3" if e[k] > 2 * e[k - 1] else
+            "2" if e[k] > e[k - 1] else
+            "1" if 2 * e[k] > e[k - 1] else "0"
+            for k in range(1, 4)
+        )
+        fps.setdefault((r.media_id // 7) % 2, set()).add(fp)
+        # gains actually differ within a pool: amplitudes at gain 2 are
+        # exactly double those at gain 1, so raw bytes differ
+    assert len(fps) == 2
+    for pool, got in fps.items():
+        assert len(got) == 1, f"pool {pool} fingerprints diverged: {got}"
