@@ -969,3 +969,157 @@ def audio_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_media") >= 2)
         .orderBy("n_windows", "fp")
     )
+
+
+# ------------------- brightness-invariant image dHash matching
+
+_IMG_POOL = "((media_id div 6) % 3)"
+_IMG_OFFSET = "(32 * ((media_id div 18) % 3))"
+_IMG_PLANTED = "(media_id % 6 = 0)"
+DHASH_W, DHASH_H = 9, 8  # canonical dHash frame: 8 gradient bits x 8 rows
+
+
+def pgm_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, w, h, payload) binary P5 PGMs with PLANTED matches:
+    every 6th image is a 9x8 render of one of 3 shared rasters with a
+    per-image brightness offset of +0/+32/+64 — the same picture at
+    different exposures, byte-unequal everywhere, which the row-gradient
+    (dHash) fingerprint must still match. Base amplitudes are capped at
+    191 so no offset clips and gradient signs stay EXACTLY invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"CASE WHEN {_IMG_PLANTED.replace('media_id', 'doc_id')} "
+            f"THEN {DHASH_W} ELSE cast(doc_id % 12 + 4 as int) END"
+        ).cast("int").alias("w"),
+        F.expr(
+            f"CASE WHEN {_IMG_PLANTED.replace('media_id', 'doc_id')} "
+            f"THEN {DHASH_H} ELSE cast(doc_id % 8 + 4 as int) END"
+        ).cast("int").alias("h"),
+    )
+    key = (
+        f"CASE WHEN {_IMG_PLANTED} THEN concat('img', cast({_IMG_POOL} as string)) "
+        "ELSE cast(media_id as string) END"
+    )
+    v8 = (
+        f"cast(conv(substr(md5(concat({key}, ':', cast(j div 16 as string))), "
+        "2 * (j % 16) + 1, 2), 16, 10) as int)"
+    )
+    px = f"CASE WHEN {_IMG_PLANTED} THEN ({v8} % 192) + {_IMG_OFFSET} ELSE {v8} END"
+    raster_hex = (
+        f"concat_ws('', transform(sequence(0, w * h - 1), "
+        f"j -> lpad(hex({px}), 2, '0')))"
+    )
+    header = F.concat(
+        F.lit("P5\n"),
+        F.col("w").cast("string"),
+        F.lit(" "),
+        F.col("h").cast("string"),
+        F.lit("\n255\n"),
+    )
+    return dims.select(
+        "media_id", "w", "h",
+        F.concat(
+            F.encode(header, "UTF-8"), F.expr(f"unhex({raster_hex})")
+        ).alias("payload"),
+    )
+
+
+_DHASH_SCHEMA = "media_id bigint, w int, h int, fp string"
+
+
+@register(
+    "image_dhash_matches",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 6 = 0 THEN {DHASH_W}
+                    ELSE CAST(doc_id % 12 + 4 AS INTEGER) END AS w,
+               CASE WHEN doc_id % 6 = 0 THEN {DHASH_H}
+                    ELSE CAST(doc_id % 8 + 4 AS INTEGER) END AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT media_id, w, h,
+               CASE WHEN media_id % 6 = 0
+                    THEN 'img' || CAST(((media_id // 6) % 3) AS VARCHAR)
+                    ELSE CAST(media_id AS VARCHAR) END AS k,
+               CASE WHEN media_id % 6 = 0
+                    THEN 32 * ((media_id // 18) % 3) ELSE 0 END AS off
+        FROM m
+    ),
+    pxv AS (
+        SELECT media_id, w, h,
+               j // w AS r, j % w AS c,
+               CAST(('0x' || substr(md5(k || ':' || CAST(j // 16 AS VARCHAR)),
+                                    2 * (j % 16) + 1, 2)) AS INTEGER) AS v
+        FROM (
+            SELECT media_id, w, h, k, off,
+                   unnest(generate_series(0, w * h - 1)) AS j
+            FROM keyed
+        )
+    ),
+    px AS (
+        SELECT p.media_id, p.w, p.h, p.r, p.c,
+               CASE WHEN p.media_id % 6 = 0 THEN (p.v % 192) + k.off
+                    ELSE p.v END AS px
+        FROM pxv p JOIN keyed k USING (media_id)
+    ),
+    bits AS (
+        SELECT a.media_id, a.w, a.h, a.r, a.c,
+               CASE WHEN a.px < b.px THEN '1' ELSE '0' END AS bit
+        FROM px a JOIN px b
+          ON a.media_id = b.media_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < a.w - 1
+    ),
+    fp AS (
+        SELECT media_id, w, h,
+               string_agg(bit, '' ORDER BY r, c) AS fp
+        FROM bits GROUP BY media_id, w, h
+    )
+    SELECT w, h, fp,
+           count(*)      AS n_media,
+           min(media_id) AS first_media
+    FROM fp GROUP BY w, h, fp HAVING count(*) >= 2
+    ORDER BY w, h, fp
+    """,
+    doc="Image near-dup via dHash (row-gradient) fingerprints — the image "
+    "member of the per-modality perceptual-dedup triple (text spans, "
+    "video frames, audio energy deltas): planted pools are the same "
+    "picture at +0/+32/+64 exposure, byte-unequal everywhere, but the "
+    "strict p[r,c] < p[r,c+1] gradient sign is EXACTLY invariant under "
+    "a uniform non-clipping brightness shift, so pool members hash "
+    "identically by construction. Images are really decoded (P5 header "
+    "tokenizer + numpy raster) in mapInPandas; the oracle re-derives "
+    "every pixel via hex arithmetic and the same gradient algebra. "
+    "Only (w, h, fp) keys shuffle; decode + hashing are Arrow-batched "
+    "map work, per-occurrence output, no caps.",
+)
+def image_dhash_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = pgm_dup_media_table(spark, sf_dir).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in ("media_id", "w", "h", "fp")}
+        for pdf in it:
+            for mid, payload in zip(pdf.media_id, pdf.payload):
+                w, h, maxval, pixels = decode_pgm(payload)
+                grid = pixels.reshape(h, w)
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(int).flatten()
+                rows["media_id"].append(int(mid))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fp"].append("".join(map(str, bits)))
+        if rows["media_id"]:
+            yield pd.DataFrame(rows)
+
+    fps = media.mapInPandas(batches, schema=_DHASH_SCHEMA)
+    return (
+        fps.groupBy("w", "h", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").alias("first_media"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy("w", "h", "fp")
+    )

@@ -248,3 +248,36 @@ def test_audio_fingerprint_gain_invariance(spark, sf_dir):
     assert len(fps) == 2
     for pool, got in fps.items():
         assert len(got) == 1, f"pool {pool} fingerprints diverged: {got}"
+
+
+def test_image_dhash_brightness_invariance(spark, sf_dir):
+    """Planted pool members are the same picture at +0/+32/+64 exposure;
+    the dHash must be identical within a pool while raw bytes differ."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import (
+        decode_pgm,
+        pgm_dup_media_table,
+    )
+
+    rows = (
+        pgm_dup_media_table(spark, sf_dir)
+        .filter(F.col("media_id") % 6 == 0)
+        .select("media_id", "payload")
+        .collect()
+    )
+    pools = {}
+    rasters = {}
+    for r in rows:
+        w, h, maxval, pixels = decode_pgm(r.payload)
+        assert (w, h) == (9, 8)
+        grid = pixels.reshape(h, w)
+        fp = "".join(map(str, (grid[:, :-1] < grid[:, 1:]).astype(int).flatten()))
+        pool = (r.media_id // 6) % 3
+        pools.setdefault(pool, set()).add(fp)
+        rasters.setdefault(pool, set()).add(bytes(pixels.tobytes()))
+    assert len(pools) == 3
+    for pool, fps in pools.items():
+        assert len(fps) == 1, f"pool {pool} hashes diverged"
+        # exposures genuinely differ: multiple distinct byte rasters
+        assert len(rasters[pool]) > 1, f"pool {pool} rasters all identical"
