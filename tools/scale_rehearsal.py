@@ -83,6 +83,10 @@ QUERIES = [
     # span-level exact-substring dedup (per-occurrence output — the one
     # dedup modality that needs no bucket caps at all)
     "semantic_dedup_prune", "repeated_ngram_spans",
+    # per-modality perceptual dedup: Arrow-batched decode + fingerprint
+    # map stages; only small fingerprint keys shuffle — all three should
+    # scale linearly in both wall and shuffle
+    "dup_frame_groups", "audio_fingerprint_matches", "image_dhash_matches",
 ]
 
 
