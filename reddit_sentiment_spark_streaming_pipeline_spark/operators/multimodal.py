@@ -817,9 +817,11 @@ def wav_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_AUD_PLANTED} THEN concat('aud', cast({_AUD_POOL} as string)) "
         "ELSE cast(media_id as string) END"
     )
+    # one digest yields 8 16-bit samples (4 hex chars each): 8x fewer
+    # md5 evaluations than a digest-per-sample derivation
     v16 = (
-        f"cast(conv(substr(md5(concat({key}, ':', cast(j as string))), 1, 4), "
-        "16, 10) as int)"
+        f"cast(conv(substr(md5(concat({key}, ':', cast(j div 8 as string))), "
+        "4 * (j % 8) + 1, 4), 16, 10) as int)"
     )
     s = (
         f"CASE WHEN {_AUD_PLANTED} THEN (({v16} % 4096) - 2048) * {_AUD_GAIN} "
@@ -872,7 +874,7 @@ _AUDIO_FP_SCHEMA = "media_id bigint, n_windows int, fp string"
     sm AS (
         SELECT media_id, g,
                j // {AUDIO_FP_WINDOW} AS w,
-               CAST(('0x' || substr(md5(k || ':' || j), 1, 4)) AS INTEGER) AS v
+               CAST(('0x' || substr(md5(k || ':' || CAST(j // 8 AS VARCHAR)), 4 * (j % 8) + 1, 4)) AS INTEGER) AS v
         FROM (
             SELECT media_id, n, k, g,
                    unnest(generate_series(0, (n // {AUDIO_FP_WINDOW}) * {AUDIO_FP_WINDOW} - 1)) AS j
