@@ -969,3 +969,122 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- vocabulary coverage curve
+
+COVERAGE_THRESHOLDS = (0.5, 0.9, 0.99)
+_COVERAGE_PARTS = 32  # range partitions for the distributed ordered cumsum
+
+
+@register(
+    "vocab_coverage_thresholds",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    ord AS (
+        SELECT word, freq,
+               sum(freq)     OVER (ORDER BY freq DESC, word) AS cum,
+               row_number()  OVER (ORDER BY freq DESC, word) AS rk
+        FROM freq
+    ),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM freq),
+    thr(threshold) AS (VALUES (0.5), (0.9), (0.99))
+    SELECT thr.threshold,
+           o.rk                              AS n_words,
+           o.freq                            AS boundary_freq,
+           round(o.cum * 1.0 / tot.t, 6)     AS coverage
+    FROM thr CROSS JOIN tot
+    JOIN ord o
+      ON o.cum >= thr.threshold * tot.t
+     AND (o.cum - o.freq) < thr.threshold * tot.t
+    ORDER BY thr.threshold
+    """,
+    doc="Vocabulary coverage curve read at 50/90/99%: how many distinct "
+    "words (ranked by frequency) cover each share of all token "
+    "occurrences — the corpus statistic that sizes tokenizer "
+    "vocabularies and stopword lists. The ordered cumulative sum is "
+    "DISTRIBUTED: vocab is range-partitioned on the global sort key "
+    "(freq DESC, word), each partition computes a local prefix sum "
+    "under a per-partition window, and the P per-partition totals "
+    "(P rows) are offset via a broadcast join — no single-reducer "
+    "global window even at a 100M-word web vocabulary. The crossing "
+    "row per threshold is found by the interval test "
+    "cum_prev < t*T <= cum, so no further ordered pass is needed.",
+)
+def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # pass 1: range-partition by the global order and tag rows with their
+    # partition id; each partition's local prefix sum is a KEYED window
+    ranked = (
+        freq.repartitionByRange(_COVERAGE_PARTS, F.desc("freq"), F.col("word"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("freq"), "word")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # persist: offsets and the final join BOTH read `local`; a recompute
+    # could in principle re-sample range boundaries and hand the two
+    # consumers different pid assignments. One materialization (vocab-
+    # sized, tiny next to the corpus) pins a single partitioning.
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+
+    local = track(
+        ranked.select(
+            "word", "freq", "pid",
+            F.sum("freq").over(wloc).alias("lcum"),
+            F.row_number().over(wloc).alias("lrk"),
+        ).persist()
+    )
+    # pass 2: P-row per-partition totals, offsets via tiny ordered window,
+    # broadcast back (pid ranges are ordered by construction of the range
+    # partitioner: lower pid == globally earlier sort range)
+    wpid = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("freq").alias("psum"), F.count(F.lit(1)).alias("pcnt"))
+        .select(
+            "pid",
+            (F.sum("psum").over(wpid) - F.col("psum")).alias("cum_off"),
+            (F.sum("pcnt").over(wpid) - F.col("pcnt")).alias("rk_off"),
+        )
+    )
+    cum = local.join(F.broadcast(offsets), "pid").select(
+        "word", "freq",
+        (F.col("lcum") + F.col("cum_off")).alias("cum"),
+        (F.col("lrk") + F.col("rk_off")).alias("rk"),
+    )
+    total = freq.agg(F.sum("freq").cast("long").alias("t"))
+    thr = spark.createDataFrame(
+        [(t,) for t in COVERAGE_THRESHOLDS], "threshold double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col("cum") >= F.col("threshold") * F.col("t"))
+            & ((F.col("cum") - F.col("freq")) < F.col("threshold") * F.col("t"))
+        )
+        .select(
+            "threshold",
+            F.col("rk").alias("n_words"),
+            F.col("freq").alias("boundary_freq"),
+            F.round(F.col("cum") / F.col("t"), 6).alias("coverage"),
+        )
+        .orderBy("threshold")
+    )
