@@ -721,3 +721,67 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------- TPC-H Q5: local supplier volume
+
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{Q5_TO} 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: the 6-way join at fact scale — lineitem joins "
+    "orders on the fact keys while supplier/customer/nation/region stay "
+    "broadcast dims; the same-nation predicate (c_nationkey = "
+    "s_nationkey) rides the supplier broadcast join instead of forcing "
+    "a customer x supplier shuffle, and the region/date filters prune "
+    "BEFORE the fact join (Catalyst pushes both into the dim/fact "
+    "scans). One fact-keyed shuffle (l_orderkey = o_orderkey) plus the "
+    "final small n_name aggregate — the canonical star-join plan a "
+    "1000-executor cluster wants.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q5_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q5_TO} 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (li.l_suppkey == dims.s_suppkey)
+            & (c.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
