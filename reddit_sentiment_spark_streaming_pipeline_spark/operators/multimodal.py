@@ -534,21 +534,29 @@ def y4m_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") % 4 + 2).cast("int").alias("n_frames"),
     )
-    wh = Y4M_W * Y4M_H
-    header = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 Cmono\n"
     raster_hex = (
-        f"concat_ws('', transform(sequence(0, (n_frames * {wh} + 15) div 16 - 1), "
+        f"concat_ws('', transform(sequence(0, (n_frames * {Y4M_W * Y4M_H} + 15) div 16 - 1), "
         "i -> md5(concat(cast(media_id as string), ':', cast(i as string)))))"
     )
+    return _y4m_payload_from_raster(dims, raster_hex)
+
+
+def _y4m_payload_from_raster(dims: DataFrame, raster_hex: str) -> DataFrame:
+    """Shared Y4M container build: stream header + per-frame FRAME markers
+    over a raster supplied as a hex-string SQL expression. Used by both
+    media tables so the container framing cannot drift between them.
+
+    The raster is materialized in its own projection so the fold lambda
+    references a column, not the hex-chain expression — otherwise the
+    full-clip hex string is recomputed once per frame."""
+    wh = Y4M_W * Y4M_H
+    header = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 Cmono\n"
     payload = F.expr(
         f"concat(encode('{header[:-1]}\\n', 'UTF-8'), "
         f"aggregate(sequence(0, n_frames - 1), X'', "
         f"(acc, f) -> concat(acc, encode('FRAME\\n', 'UTF-8'), "
         f"substr(raster, f * {wh} + 1, {wh}))))"
     )
-    # raster is materialized in its own projection so the fold lambda
-    # references a column, not the md5-chain expression — otherwise the
-    # full-clip hex string is recomputed once per frame
     return dims.select(
         "media_id",
         "n_frames",
@@ -675,8 +683,6 @@ def y4m_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") % 4 + 2).cast("int").alias("n_frames"),
     )
-    wh = Y4M_W * Y4M_H
-    header = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 Cmono\n"
     # 48-byte frame == exactly 3 md5 blocks; the frame key switches to the
     # shared pool for (media_id % 5 == 0, f == 0)
     key = (
@@ -690,19 +696,7 @@ def y4m_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster_hex = (
         f"concat_ws('', transform(sequence(0, n_frames - 1), f -> {frame_hex}))"
     )
-    payload = F.expr(
-        f"concat(encode('{header[:-1]}\\n', 'UTF-8'), "
-        f"aggregate(sequence(0, n_frames - 1), X'', "
-        f"(acc, f) -> concat(acc, encode('FRAME\\n', 'UTF-8'), "
-        f"substr(raster, f * {wh} + 1, {wh}))))"
-    )
-    # raster materialized in its own projection (same reasoning as
-    # y4m_media_table: the fold lambda must reference a column)
-    return dims.select(
-        "media_id",
-        "n_frames",
-        F.expr(f"unhex({raster_hex})").alias("raster"),
-    ).select("media_id", "n_frames", payload.alias("payload"))
+    return _y4m_payload_from_raster(dims, raster_hex)
 
 
 _DUP_FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_hex string"
@@ -797,11 +791,16 @@ _AUD_POOL_SQL = "((media_id // 7) % 2)"
 _AUD_GAIN_SQL = "(1 + (((media_id // 7) // 2) % 2))"
 _AUD_PLANTED = "(media_id % 7 = 0)"
 AUDIO_FP_WINDOW = 16  # samples per energy window
+# Clips shorter than this many full windows are not fingerprinted: a
+# 2-window clip has a 1-symbol fingerprint over a 4-letter alphabet, so
+# unrelated short clips would collapse into a handful of giant
+# coincidental "match" groups and swamp the real matches.
+AUDIO_FP_MIN_WINDOWS = 6
 
 
 def wav_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, n_samples, payload) PCM16 WAVs with PLANTED matches:
-    every 7th clip's samples come from a 2-pool shared bank (64 samples,
+    every 7th clip's samples come from a 2-pool shared bank (128 samples,
     12-bit amplitudes) multiplied by a per-clip gain of 1 or 2 — the
     same recording at different volumes, the case byte-level dedup
     cannot catch and the energy-delta fingerprint must."""
@@ -809,7 +808,7 @@ def wav_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = docs.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            f"CASE WHEN {_AUD_PLANTED.replace('media_id', 'doc_id')} THEN 64 "
+            f"CASE WHEN {_AUD_PLANTED.replace('media_id', 'doc_id')} THEN 128 "
             "ELSE cast(doc_id % 128 + 32 as int) END"
         ).cast("int").alias("n_samples"),
     )
@@ -817,12 +816,20 @@ def wav_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_AUD_PLANTED} THEN concat('aud', cast({_AUD_POOL} as string)) "
         "ELSE cast(media_id as string) END"
     )
-    # one digest yields 8 16-bit samples (4 hex chars each): 8x fewer
-    # md5 evaluations than a digest-per-sample derivation
-    v16 = (
-        f"cast(conv(substr(md5(concat({key}, ':', cast(j div 8 as string))), "
-        "4 * (j % 8) + 1, 4), 16, 10) as int)"
+    # one digest yields 8 16-bit samples (4 hex chars each). The digest
+    # chain is MATERIALIZED as its own column first: the per-sample
+    # formatting lambda below textually repeats its value reference up to
+    # ~6x (higher-order-function lambdas get no codegen subexpression
+    # elimination), and with md5 inlined those repeats would each re-hash
+    # — hoisted, the repeats are cheap substr/arithmetic over the column.
+    blocks = (
+        "concat_ws('', transform(sequence(0, (2 * n_samples + 15) div 16 - 1), "
+        f"b -> md5(concat({key}, ':', cast(b as string)))))"
     )
+    dims = dims.select(
+        "media_id", "n_samples", F.expr(blocks).alias("hexchain")
+    )
+    v16 = "cast(conv(substr(hexchain, 4 * j + 1, 4), 16, 10) as int)"
     s = (
         f"CASE WHEN {_AUD_PLANTED} THEN (({v16} % 4096) - 2048) * {_AUD_GAIN} "
         f"ELSE CASE WHEN {v16} >= 32768 THEN {v16} - 65536 ELSE {v16} END END"
@@ -859,7 +866,7 @@ _AUDIO_FP_SCHEMA = "media_id bigint, n_windows int, fp string"
     oracle=f"""
     WITH m AS (
         SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 7 = 0 THEN 64
+               CASE WHEN doc_id % 7 = 0 THEN 128
                     ELSE CAST(doc_id % 128 + 32 AS INTEGER) END AS n
         FROM documents
     ),
@@ -879,6 +886,7 @@ _AUDIO_FP_SCHEMA = "media_id bigint, n_windows int, fp string"
             SELECT media_id, n, k, g,
                    unnest(generate_series(0, (n // {AUDIO_FP_WINDOW}) * {AUDIO_FP_WINDOW} - 1)) AS j
             FROM keyed
+            WHERE n // {AUDIO_FP_WINDOW} >= {AUDIO_FP_MIN_WINDOWS}
         )
     ),
     sgn AS (
@@ -914,7 +922,12 @@ _AUDIO_FP_SCHEMA = "media_id bigint, n_windows int, fp string"
     FROM fp GROUP BY n_windows, fp HAVING count(*) >= 2
     ORDER BY n_windows, fp
     """,
-    doc="Audio near-dup via gain-invariant fingerprints — the audio "
+    doc="Audio near-dup CANDIDATE groups via gain-invariant fingerprints "
+    "(LSH-style: a verify stage consumes these, exactly like the MinHash "
+    "candidate path; on near-uniform noise fixtures the transition "
+    "alphabet skews toward its middle symbols, so some unrelated-clip "
+    "collisions are expected, deterministic, and identical in the "
+    "oracle) — the audio "
     "analogue of frame dedup, catching what byte comparison cannot: the "
     "planted matches are the SAME recording at different volumes (x1 vs "
     "x2 gain), so their PCM bytes differ everywhere. Clips are really "
@@ -941,8 +954,8 @@ def audio_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if rate != WAV_SAMPLE_RATE:
                     raise ValueError(f"unexpected sample rate {rate}")
                 nw = len(samples) // AUDIO_FP_WINDOW
-                if nw < 2:
-                    continue  # no transitions to fingerprint
+                if nw < AUDIO_FP_MIN_WINDOWS:
+                    continue  # too short: fingerprint would be all noise
                 s = samples[: nw * AUDIO_FP_WINDOW].astype(np.int64)
                 e = (s * s).reshape(nw, AUDIO_FP_WINDOW).sum(axis=1)
                 cls = []

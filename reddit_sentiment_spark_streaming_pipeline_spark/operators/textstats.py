@@ -977,9 +977,12 @@ COVERAGE_THRESHOLDS = (0.5, 0.9, 0.99)
 _COVERAGE_PARTS = 32  # range partitions for the distributed ordered cumsum
 
 
+_COVERAGE_THR_VALUES = ", ".join(f"({t})" for t in COVERAGE_THRESHOLDS)
+
+
 @register(
     "vocab_coverage_thresholds",
-    oracle=r"""
+    oracle=rf"""
     WITH tok AS (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                   w -> w <> '')) AS word
@@ -993,7 +996,7 @@ _COVERAGE_PARTS = 32  # range partitions for the distributed ordered cumsum
         FROM freq
     ),
     tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM freq),
-    thr(threshold) AS (VALUES (0.5), (0.9), (0.99))
+    thr(threshold) AS (VALUES {_COVERAGE_THR_VALUES})
     SELECT thr.threshold,
            o.rk                              AS n_words,
            o.freq                            AS boundary_freq,
@@ -1069,7 +1072,10 @@ def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lcum") + F.col("cum_off")).alias("cum"),
         (F.col("lrk") + F.col("rk_off")).alias("rk"),
     )
-    total = freq.agg(F.sum("freq").cast("long").alias("t"))
+    # grand total from the PERSISTED vocab frame — aggregating `freq`
+    # here would re-run the corpus tokenize+explode+shuffle (the query's
+    # dominant stage) a second time just for one scalar
+    total = local.agg(F.sum("freq").cast("long").alias("t"))
     thr = spark.createDataFrame(
         [(t,) for t in COVERAGE_THRESHOLDS], "threshold double"
     )

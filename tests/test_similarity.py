@@ -233,14 +233,14 @@ def test_audio_fingerprint_gain_invariance(spark, sf_dir):
     fps = {}
     for r in rows:
         rate, samples = decode_wav(r.payload)
-        assert len(samples) == 64
+        assert len(samples) == 128
         s = samples.astype(np.int64)
-        e = (s * s).reshape(4, 16).sum(axis=1)
+        e = (s * s).reshape(8, 16).sum(axis=1)
         fp = "".join(
             "3" if e[k] > 2 * e[k - 1] else
             "2" if e[k] > e[k - 1] else
             "1" if 2 * e[k] > e[k - 1] else "0"
-            for k in range(1, 4)
+            for k in range(1, 8)
         )
         fps.setdefault((r.media_id // 7) % 2, set()).add(fp)
         # gains actually differ within a pool: amplitudes at gain 2 are
@@ -281,3 +281,43 @@ def test_image_dhash_brightness_invariance(spark, sf_dir):
         assert len(fps) == 1, f"pool {pool} hashes diverged"
         # exposures genuinely differ: multiple distinct byte rasters
         assert len(rasters[pool]) > 1, f"pool {pool} rasters all identical"
+
+
+def test_audio_fingerprint_matches_contains_planted_pools(spark, sf_dir):
+    """The registered query's output must contain both planted pools:
+    a group at (n_windows=8, pool fp) with n_media >= the pool size."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        audio_fingerprint_matches,
+        wav_dup_media_table,
+    )
+    import numpy as np
+
+    got = audio_fingerprint_matches(spark, sf_dir).toPandas()
+    rows = (
+        wav_dup_media_table(spark, sf_dir)
+        .filter(F.col("media_id") % 7 == 0)
+        .select("media_id", "payload")
+        .collect()
+    )
+    pool_fp, pool_n = {}, {}
+    for r in rows:
+        _, samples = decode_wav(r.payload)
+        s = samples.astype(np.int64)
+        e = (s * s).reshape(8, 16).sum(axis=1)
+        fp = "".join(
+            "3" if e[k] > 2 * e[k - 1] else
+            "2" if e[k] > e[k - 1] else
+            "1" if 2 * e[k] > e[k - 1] else "0"
+            for k in range(1, 8)
+        )
+        pool = (r.media_id // 7) % 2
+        pool_fp[pool] = fp
+        pool_n[pool] = pool_n.get(pool, 0) + 1
+    assert len(pool_fp) == 2
+    for pool, fp in pool_fp.items():
+        hit = got[(got.n_windows == 8) & (got.fp == fp)]
+        assert len(hit) == 1, f"pool {pool} group missing from output"
+        assert int(hit.n_media.iloc[0]) >= pool_n[pool]
