@@ -785,3 +785,61 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ------------------------------- TPC-H Q18: large-volume order lookup
+
+Q18_QTY = 300
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING round(sum(l_quantity), 2) > {Q18_QTY}
+    )
+    SELECT c.c_name,
+           o.o_custkey                  AS custkey,
+           o.o_orderkey                 AS orderkey,
+           o.o_orderdate                AS orderdate,
+           round(o.o_totalprice, 2)     AS totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, orderkey
+    """,
+    doc="TPC-H Q18 shape: aggregate-filter-join-back — the fact table is "
+    "FIRST reduced to qualifying order keys (groupBy + HAVING with "
+    "map-side partial sums), and only that small survivor set joins "
+    "back to orders and the customer dim (both broadcast-eligible after "
+    "the reduction). The order matters at 100 TB: filtering AFTER a "
+    "full fact x orders join would shuffle every line item; aggregating "
+    "first means the fact shuffles once on its own key and everything "
+    "downstream is survivor-sized.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+    )
