@@ -569,3 +569,127 @@ def boilerplate_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------ declarative data-quality gate
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH o AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS bad_status,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                          OR o_orderdate >= TIMESTAMP '2005-01-01 00:00:00'
+                        THEN 1 ELSE 0 END) AS bad_date
+        FROM orders
+    ),
+    dup AS (
+        SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS n_dups,
+               CAST(coalesce(sum(cnt), 0) AS BIGINT)     AS n_rows
+        FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    ),
+    li AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS bad_disc,
+               sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_qty
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT (SELECT count(*) FROM orders) AS n,
+               count(*) AS orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+    ),
+    rules AS (
+        SELECT 'orders.o_custkey_not_null' AS rule, n AS n_checked,
+               CAST(null_cust AS BIGINT) AS n_violations FROM o
+        UNION ALL
+        SELECT 'orders.o_orderkey_unique', n_rows, n_dups FROM dup
+        UNION ALL
+        SELECT 'orders.o_orderstatus_in_set', n, CAST(bad_status AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'orders.o_orderdate_in_range', n, CAST(bad_date AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'orders.o_custkey_fk_customer', n, CAST(orphans AS BIGINT) FROM fk
+        UNION ALL
+        SELECT 'lineitem.l_discount_in_range', n, CAST(bad_disc AS BIGINT) FROM li
+        UNION ALL
+        SELECT 'lineitem.l_quantity_positive', n, CAST(bad_qty AS BIGINT) FROM li
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+    FROM rules ORDER BY rule
+    """,
+    doc="Declarative data-quality gate (the Deequ/Great-Expectations "
+    "shape a production pipeline runs before publishing a snapshot): "
+    "not-null, uniqueness, accepted-values, range, and referential-"
+    "integrity expectations evaluated as ONE pass per table — all "
+    "same-table rules fold into a single scan's conditional aggregates, "
+    "uniqueness is a key-grouped count (map-side combined, never a "
+    "distinct buffer), and the FK check is a null-producing left join "
+    "counted on the probe side. Output is the publishable audit row "
+    "per rule; a failing rule gates the snapshot.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        flag(F.col("o_custkey").isNull()).alias("null_cust"),
+        flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        flag(
+            (F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2005-01-01 00:00:00").cast("timestamp"))
+        ).alias("bad_date"),
+    )
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("n_dups"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+        )
+    )
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        flag((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).alias("bad_disc"),
+        flag(F.col("l_quantity") <= 0).alias("bad_qty"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+
+    def row(name, src, checked, viol):
+        return src.select(
+            F.lit(name).alias("rule"),
+            F.col(checked).alias("n_checked"),
+            F.col(viol).alias("n_violations"),
+        )
+
+    n_orders = o_agg.select("n").withColumnRenamed("n", "n_checked")
+    rules = (
+        row("orders.o_custkey_not_null", o_agg, "n", "null_cust")
+        .unionByName(row("orders.o_orderkey_unique", dup, "n_rows", "n_dups"))
+        .unionByName(row("orders.o_orderstatus_in_set", o_agg, "n", "bad_status"))
+        .unionByName(row("orders.o_orderdate_in_range", o_agg, "n", "bad_date"))
+        .unionByName(
+            orphans.crossJoin(F.broadcast(n_orders)).select(
+                F.lit("orders.o_custkey_fk_customer").alias("rule"),
+                F.col("n_checked"),
+                F.col("orphans").cast("long").alias("n_violations"),
+            )
+        )
+        .unionByName(row("lineitem.l_discount_in_range", li_agg, "n", "bad_disc"))
+        .unionByName(row("lineitem.l_quantity_positive", li_agg, "n", "bad_qty"))
+    )
+    return rules.select(
+        "rule", "n_checked", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")
