@@ -503,3 +503,67 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_order")
     )
+
+
+# -------------------------------- incremental aggregate maintenance
+
+INCR_SPLIT = "2024-01-20 00:00:00"
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    WITH valid AS (
+        SELECT * FROM events WHERE event_type <> 'error' AND value IS NOT NULL
+    )
+    SELECT event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 6) AS avg_value,
+           min(ts)              AS first_ts,
+           max(ts)              AS last_ts
+    FROM valid GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental view maintenance: the table is split into a 'base' "
+    "snapshot and a 'delta' batch at a cutoff, each aggregated to "
+    "PARTIAL states (count, sum, min, max), and the partials merged by "
+    "algebra (sum of counts/sums, min of mins, max of maxes; avg "
+    "derived from merged sums — avgs themselves do not merge, which is "
+    "why partials carry sum+count). The oracle recomputes from scratch, "
+    "so a green row PROVES merge algebra == full recompute — the "
+    "contract that lets a 100 TB nightly pipeline aggregate only the "
+    "new partition and fold it into yesterday's state instead of "
+    "rescanning history.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = valid_events(load_table(spark, sf_dir, "events"))
+    split = F.lit(INCR_SPLIT).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+
+    base = partials(ev.filter(F.col("ts") < split))
+    delta = partials(ev.filter(F.col("ts") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("first_ts"),
+            F.max("mx").alias("last_ts"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("s"), 4).alias("sum_value"),
+        F.round(F.col("s") / F.col("n_events"), 6).alias("avg_value"),
+        "first_ts",
+        "last_ts",
+    ).orderBy("event_type")
