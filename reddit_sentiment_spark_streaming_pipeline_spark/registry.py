@@ -101,10 +101,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # one — i.e. its implementation, its oracle, or a helper it rides on
 # changed after the last driver check.  Editing one query does not stale
 # its siblings; editing shared helpers conservatively stales the whole
-# module.  Sort: never-verified first, then
-# stale (oldest green round first), then fresh (oldest green round first),
-# registration order as the tiebreak.  This guarantees any query modified
-# since its last green row sorts into the driver's window.
+# module.  Sort: never-verified first; then stale queries whose OWN block
+# changed (directly edited code — the highest-risk unverified class),
+# oldest green round first; then everything else by oldest green round
+# (helper-only stale before fresh within the same round), registration
+# order as the tiebreak.  The round-first tail rank makes the window
+# DRAIN verification recency debt: a query whose newest driver row is n
+# rounds old re-enters the window ahead of recently-proven code even when
+# nothing changed, so no query's last driver check can age indefinitely
+# (with a 146-query registry and a 50-slot window, a full recheck cycle
+# is ~3 rounds).
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FINGERPRINTS_PATH = os.path.join(_REPO_ROOT, "tools", "fingerprints.json")
@@ -248,9 +254,10 @@ def showcase_order(
     fingerprints: dict | None = None,
     greens: dict[str, int] | None = None,
 ) -> list[str]:
-    """Deterministic presentation order: never-verified, then stale
-    (block-changed before helper-only, oldest-green first within each),
-    then fresh; registration order breaks remaining ties."""
+    """Deterministic presentation order: never-verified, then
+    block-changed stale (oldest-green first), then everything else by
+    oldest green round — helper-only stale ahead of fresh within the
+    same round; registration order breaks remaining ties."""
     reg = registry if registry is not None else _REGISTRY
     if greens is None:
         greens = last_green_rounds()
@@ -268,10 +275,13 @@ def showcase_order(
         fp = fingerprints.get(name)
         cur = query_fingerprint(spec)
         if fp is None or cur is None or fp.get("sha256") != cur:
-            # stale. Sub-rank: a query whose OWN block changed since its
-            # green row (or whose block history is unknown) outranks
-            # helper-only (conservative) staleness of any round — directly
-            # edited code is the highest-risk unverified class.
+            # stale. A query whose OWN block changed since its green row
+            # (or whose block history is unknown) outranks everything
+            # verified — directly edited code is the highest-risk
+            # unverified class. Helper-only (conservative) staleness
+            # instead folds into the round-recency drain below: it ranks
+            # by the age of its last driver row, just ahead of fresh
+            # queries of the same round.
             stored_block = (fp or {}).get("block_sha")
             cur_block = query_block_sha(spec)
             helper_only = (
@@ -279,8 +289,10 @@ def showcase_order(
                 and cur_block is not None
                 and stored_block == cur_block
             )
-            return (1, 1 if helper_only else 0, rnd, i)
-        return (2, 0, rnd, i)  # fresh: proven on current code
+            if not helper_only:
+                return (1, rnd, 0, i)
+            return (2, rnd, 0, i)
+        return (2, rnd, 1, i)  # fresh: proven on current code
 
     return [name for _, (name, _) in sorted(enumerate(reg.items()), key=key)]
 
