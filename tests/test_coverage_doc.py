@@ -63,3 +63,132 @@ def test_every_registered_query_is_documented():
     names = _backticked_names()
     missing = [n for n in reg if n not in names]
     assert not missing, f"registered queries absent from COVERAGE.md: {missing}"
+
+
+# --- rehearsal-claim drift guard -------------------------------------------
+#
+# r4 and r5 both shipped changelog bullets whose "N×" rehearsal numbers
+# disagreed with the committed REHEARSAL_r*.json artifacts (the bullets were
+# written from intermediate runs, then the artifact was re-committed). This
+# guard parses every per-query "N×" claim in artifact-referencing COVERAGE.md
+# bullets and checks it against the committed artifacts, so a claim that
+# matches no committed measurement fails CI instead of shipping.
+#
+# Parsing rules (tuned to the doc's conventions, conservative by design —
+# a skipped number is merely unchecked, never a false alarm):
+#   * only top-level bullets that name a `REHEARSAL_r*.json` file are in
+#     scope; claims are matched against the union of ALL committed artifacts
+#     (bullets legitimately cross-reference the 30× deep point).
+#   * a number is a claim when written `N×` (or decimal `N.Nx`); it is
+#     SKIPPED when historical or derived: clause carries a history marker
+#     (was/were/showed/shown/originally/claimed/cited/knee(s)/old
+#     fixture/first run/intermediate/pre-*), number precedes
+#     an `→` (the pre-fix side of A → B), or is prefixed by `~` `=` `≤` `≥`
+#     `<` `>` or a range dash.
+#   * "max wall N× (query" and "median wall N×" check the artifact's
+#     max/argmax and median directly; other claims must match the wall or
+#     shuffle ratio of a query named in the same bullet, or an artifact's
+#     replica count (scale labels like "at 30×").
+
+_ROOT = os.path.dirname(_DOC)
+
+_HIST = re.compile(
+    r"\b(was|were|showed|shown|originally|claimed|cited|knees?|old fixture|"
+    r"first run|intermediate|pre-\w+)\b",
+    re.I,
+)
+_NUM = re.compile(r"(?<![\d.\-~=])(\d+(?:\.\d+)?)×|(?<![\d.\-~=])(\d+\.\d+)x\b")
+
+
+def _artifacts() -> list[dict]:
+    import glob
+    import json
+
+    out = []
+    for path in sorted(glob.glob(os.path.join(_ROOT, "REHEARSAL_*.json"))):
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(art, dict) and "scaling_x" in art:
+            out.append(art)
+    return out
+
+
+def _close(claim: float, actual: float | None) -> bool:
+    if actual is None:
+        return False
+    return abs(claim - actual) <= max(0.06, 0.005 * abs(actual))
+
+
+def test_rehearsal_claims_match_committed_artifacts():
+    arts = _artifacts()
+    assert arts, "no committed REHEARSAL_*.json artifacts found"
+    with open(_DOC) as f:
+        text = f.read()
+    reg = set(registry.load_all())
+    bullets = re.split(r"\n(?=- |\#)", text)
+    failures = []
+    for bullet in bullets:
+        if not re.search(r"REHEARSAL_r\w+\.json", bullet):
+            continue
+        mentioned = {n for n in reg if n in bullet}
+        candidates = {
+            float(a["replicas"]) for a in arts if "replicas" in a
+        }
+        for art in arts:
+            for q in mentioned:
+                for key in ("scaling_x", "shuffle_scaling_x"):
+                    v = art.get(key, {}).get(q)
+                    if v is not None:
+                        candidates.add(float(v))
+        # special claims first; blank them out so the plain pass skips them
+        work = bullet
+        for m in re.finditer(r"max wall ([\d.]+)× \(([a-z_]+)", work):
+            claim, q = float(m.group(1)), m.group(2)
+            ok = any(
+                _close(claim, max(a["scaling_x"].values()))
+                and max(a["scaling_x"], key=a["scaling_x"].get) == q
+                for a in arts
+                if a.get("scaling_x")
+            )
+            if not ok:
+                failures.append(f"max-wall claim {claim}x ({q}) matches no artifact")
+        work = re.sub(r"max wall [\d.]+× \([a-z_]+", "", work)
+        for m in re.finditer(r"median wall ([\d.]+)×", work):
+            claim = float(m.group(1))
+            import statistics
+
+            ok = any(
+                _close(claim, statistics.median(a["scaling_x"].values()))
+                for a in arts
+                if a.get("scaling_x")
+            )
+            if not ok:
+                failures.append(f"median-wall claim {claim}x matches no artifact")
+        work = re.sub(r"median wall [\d.]+×", "", work)
+        for clause in re.split(r"(?:\.\s|,\s)", work):
+            if _HIST.search(clause):
+                continue
+            for m in _NUM.finditer(clause):
+                if clause[m.end():].lstrip().startswith("→"):
+                    continue  # pre-fix side of an A → B pair
+                claim = float(m.group(1) or m.group(2))
+                # "N× of linear" claims are ratios of the replica count
+                checked = {claim}
+                if clause[m.end():].lstrip("×x ").startswith("of linear"):
+                    checked |= {
+                        claim * float(a["replicas"])
+                        for a in arts
+                        if "replicas" in a
+                    }
+                if not any(
+                    _close(c, cand) for c in checked for cand in candidates
+                ):
+                    failures.append(
+                        f"claim {claim}x matches no committed artifact value "
+                        f"(bullet queries={sorted(mentioned)}, "
+                        f"clause={clause.strip()[:90]!r})"
+                    )
+    assert not failures, "\n".join(failures)
