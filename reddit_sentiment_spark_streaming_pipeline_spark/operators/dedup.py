@@ -1185,6 +1185,12 @@ def payload_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window width in WORDS for cross-document repeated-span detection.
 SPAN_NGRAM = 8
 
+# Broadcast gate for the span join-back's repeated-hash set (md5 strings,
+# ~60 B/row resident): 2M rows ≈ 120 MB — the most we'd ever want pinned
+# in every executor. Past it the join falls back to a shuffle-hash join
+# (see _span_frame).
+SPAN_REP_BROADCAST_MAX = 2_000_000
+
 # Shared CTE chain: corpus -> windows -> cross-doc repeated hashes ->
 # island-merged spans. Used by the span query and the removal-accounting
 # query so the two oracles cannot drift.
@@ -1252,7 +1258,10 @@ _SPAN_CTES = f"""corpus AS ({_CORPUS_SQL}),
     "boilerplate appearing in millions of docs — output is "
     "per-OCCURRENCE, not per-pair, which is why this scales where pair "
     "enumeration needs bucket caps); island merging is one doc_id-keyed "
-    "window pass. Three linear shuffles total, no caps needed.",
+    "window pass. Three linear shuffles total, no caps needed. The "
+    "join-back broadcast is gated on the measured repeated-hash count "
+    "(SPAN_REP_BROADCAST_MAX) with an explicit shuffle-hash fallback for "
+    "boilerplate-heavy corpora — see _span_frame.",
 )
 def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_frame(spark, sf_dir).orderBy("doc_id", "span_start")
@@ -1273,7 +1282,21 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small repeated-hash set. Re-running a narrow, embarrassingly
     parallel map stage is the cheapest of the three; the 10x rehearsal
     measures the whole query linear in shuffle (9.96x) with sub-linear wall
-    (3.1x)."""
+    (3.1x).
+
+    The join-back broadcast is GATED on the measured repeated-hash count
+    (mirroring _pair_docset_join's shape): `rep` is eagerly
+    localCheckpoint-ed — it is the small output of the aggregate, and the
+    materialization doubles as the lineage cut that stops the join-back
+    re-running the groupBy — and its count decides the join strategy. At
+    or under SPAN_REP_BROADCAST_MAX rows (~120 MB resident) the hash set
+    broadcasts, the explicit hint extending broadcast well past the 10 MB
+    auto threshold. On a boilerplate-heavy corpus where the repeated-hash
+    set exceeds the gate, the join degrades HONESTLY to a shuffle-hash
+    join: ONE additional hash-partitioned exchange of the token-scale
+    `win` frame on h — linear, sort-free, no driver/executor OOM risk —
+    i.e. a fourth linear shuffle, not the default sort-merge the silent
+    auto-threshold fallback would pick."""
     corpus = dedup_corpus(spark, sf_dir)
     base = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= SPAN_NGRAM
@@ -1293,7 +1316,11 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
         .filter(F.col("mn") != F.col("mx"))
         .select("h")
-    )
+    ).localCheckpoint()
+    if rep.count() <= SPAN_REP_BROADCAST_MAX:
+        rep = F.broadcast(rep)
+    else:  # boilerplate-heavy corpus: see the gate story in the docstring
+        rep = rep.hint("shuffle_hash")
     hits = win.join(rep, "h").select("doc_id", "pos")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     prev_cov = F.max(F.col("pos") + SPAN_NGRAM).over(

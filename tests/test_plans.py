@@ -379,3 +379,30 @@ def test_rp_simhash_has_no_joins_at_all(spark, sf_dir):
     plan = plan_of(spark, "embedding_rp_simhash_dups", sf_dir)
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_joinback_broadcast_is_gated(spark, sf_dir, monkeypatch):
+    # The repeated-hash join-back must broadcast the measured-small hash
+    # set (explicit hint, not the silent 10 MB auto threshold), and past
+    # the SPAN_REP_BROADCAST_MAX gate it must degrade to a shuffle-hash
+    # join — never the default sort-merge, which would SORT the
+    # token-scale window frame on h.
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import dedup as dd
+
+    df = dd._span_frame(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # force the over-gate path: every repeated-hash count exceeds a 0 gate
+    monkeypatch.setattr(dd, "SPAN_REP_BROADCAST_MAX", 0)
+    df = dd._span_frame(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
