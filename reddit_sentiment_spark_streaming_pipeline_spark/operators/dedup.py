@@ -763,8 +763,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify join's DESIGNED broadcast->shuffle-hash fallback crossing its
 # 50k-candidate-doc gate between the scales (2,710 -> 81,217 docs): a
 # one-time mode switch that starts shuffling the per-doc shingle-array
-# table, after which growth is linear again.
-_LAST_CC_ROUNDS: int | None = None
+# table, after which growth is linear again. (The r5 measurement used a
+# module-global round counter, since removed as write-only, not
+# concurrency-safe state; the round count is observable without it — each
+# eager iteration is exactly one convergence-check count() job in the
+# Spark UI / AppStatusStore job timeline.)
 
 @register(
     "dedup_clusters",

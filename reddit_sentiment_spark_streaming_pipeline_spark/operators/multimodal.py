@@ -816,6 +816,14 @@ def wav_dup_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_AUD_PLANTED} THEN concat('aud', cast({_AUD_POOL} as string)) "
         "ELSE cast(media_id as string) END"
     )
+    # The per-sample synthesis below is interpreted (higher-order-function
+    # lambdas get no codegen) and CPU-heavy, but its INPUT is two ints per
+    # clip — so fan it out to full cluster width first. Without this the
+    # stage inherits the parquet scan's partitioning (documents is 1-2
+    # files at rehearsal scale: a 2-wide stage on a 32-core box was the
+    # whole 10x-rehearsal wall). The shuffle moved is media_id+n_samples,
+    # KBs even at 10x.
+    dims = dims.repartition(spark.sparkContext.defaultParallelism, "media_id")
     # one digest yields 8 16-bit samples (4 hex chars each). The digest
     # chain is MATERIALIZED as its own column first: the per-sample
     # formatting lambda below textually repeats its value reference up to
@@ -958,19 +966,18 @@ def audio_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue  # too short: fingerprint would be all noise
                 s = samples[: nw * AUDIO_FP_WINDOW].astype(np.int64)
                 e = (s * s).reshape(nw, AUDIO_FP_WINDOW).sum(axis=1)
-                cls = []
-                for k in range(1, nw):
-                    if e[k] > 2 * e[k - 1]:
-                        cls.append("3")
-                    elif e[k] > e[k - 1]:
-                        cls.append("2")
-                    elif 2 * e[k] > e[k - 1]:
-                        cls.append("1")
-                    else:
-                        cls.append("0")
+                # vectorized transition alphabet (was a per-window Python
+                # loop — the rehearsal's one CPU hot spot): first matching
+                # condition wins, exactly the old elif chain
+                cur, prev = e[1:], e[:-1]
+                codes = np.select(
+                    [cur > 2 * prev, cur > prev, 2 * cur > prev],
+                    [3, 2, 1],
+                    default=0,
+                ).astype(np.uint8)
                 rows["media_id"].append(int(mid))
                 rows["n_windows"].append(nw)
-                rows["fp"].append("".join(cls))
+                rows["fp"].append((codes + ord("0")).tobytes().decode("ascii"))
         if rows["media_id"]:
             yield pd.DataFrame(rows)
 

@@ -763,7 +763,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit(f"{Q5_FROM} 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(f"{Q5_TO} 00:00:00").cast("timestamp"))
     )
-    c = load_table(spark, sf_dir, "customer")
+    # broadcast hints are always honored, so hint only the two join
+    # columns the query needs — broadcasting the full customer row would
+    # pin every column executor-resident and risks driver OOM at scale
+    # factors where the projected pair would still fit
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
@@ -815,8 +819,10 @@ Q18_QTY = 300
     doc="TPC-H Q18 shape: aggregate-filter-join-back — the fact table is "
     "FIRST reduced to qualifying order keys (groupBy + HAVING with "
     "map-side partial sums), and only that small survivor set joins "
-    "back to orders and the customer dim (both broadcast-eligible after "
-    "the reduction). The order matters at 100 TB: filtering AFTER a "
+    "back to orders and customer — unhinted, so AQE broadcasts the "
+    "survivor side from runtime stats instead of pinning the full "
+    "customer table executor-resident. The order matters at 100 TB: "
+    "filtering AFTER a "
     "full fact x orders join would shuffle every line item; aggregating "
     "first means the fact shuffles once on its own key and everything "
     "downstream is survivor-sized.",
@@ -830,9 +836,14 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > Q18_QTY)
     )
+    # deliberately NO broadcast hint on customer: after the aggregate
+    # reduction the SURVIVOR side is the small one, and AQE broadcasts it
+    # from runtime stats; forcing customer (the only unreduced wide table
+    # here) executor-resident would override the size threshold and risk
+    # OOM at larger scale factors
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             F.col("o_custkey").alias("custkey"),

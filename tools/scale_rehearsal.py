@@ -164,17 +164,26 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     big_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
-def time_queries(spark, specs, sf_dir: str) -> dict[str, dict]:
+def time_queries(spark, specs, sf_dir: str, reps: int = 2) -> dict[str, dict]:
+    """Per-query wall (min of `reps` runs) + shuffle-write bytes (first
+    run; deterministic). Min-of-reps exists because single-shot walls on
+    the shared box carried cold/warm ordering noise big enough to put
+    three big-run walls BELOW base in the r5 artifact — shuffle bytes
+    were always the primary metric, but the walls should be
+    self-consistent too."""
     out = {}
     for name in QUERIES:
-        spark.catalog.clearCache()
-        sb0 = shuffle_write_bytes(spark)
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = {
-            "sec": round(time.perf_counter() - t0, 3),
-            "shuffle_mb": round((shuffle_write_bytes(spark) - sb0) / 1e6, 3),
-        }
+        best, shuffle_mb = None, None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            sb0 = shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            sec = time.perf_counter() - t0
+            if shuffle_mb is None:
+                shuffle_mb = round((shuffle_write_bytes(spark) - sb0) / 1e6, 3)
+            best = sec if best is None else min(best, sec)
+        out[name] = {"sec": round(best, 3), "shuffle_mb": shuffle_mb}
     return out
 
 
@@ -197,9 +206,10 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     build_fixture(spark, sf_dir, out_dir)
 
-    # warm codegen on the small scale first (same reasoning as bench.py)
+    # warm codegen on the small scale first (same reasoning as bench.py);
+    # time_queries itself then takes min-of-reps walls at each scale
+    time_queries(spark, specs, sf_dir, reps=1)  # codegen warmup
     base = time_queries(spark, specs, sf_dir)
-    base = time_queries(spark, specs, sf_dir)  # second run = warm floor
     big = time_queries(spark, specs, out_dir)
 
     print(json.dumps({
