@@ -242,10 +242,21 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
                         seen[p["batchId"]] = p["numInputRows"]
                     time.sleep(0.05)
                 q.processAllAvailable()
+                for p in q.recentProgress:
+                    seen[p["batchId"]] = p["numInputRows"]
             finally:
                 q.stop()
                 stop_evt.set()
                 server.close()
+            # a deadline hit means the drain did NOT complete — failing
+            # loudly beats silently reporting the truncated elapsed time
+            # as if it covered the full fixture
+            if sum(seen.values()) < n:
+                raise RuntimeError(
+                    f"socket replay rep {rep} truncated: drained "
+                    f"{sum(seen.values())}/{n} lines before the 300s "
+                    "deadline"
+                )
             return time.perf_counter() - t0
 
         return round(min(drain_once(r) for r in range(2)), 3)

@@ -35,6 +35,37 @@ def derby_url(db_path: str) -> str:
     return f"jdbc:derby:{db_path};create=true"
 
 
+def _pid_scratch_dir(kind: str, sf_dir: str) -> str:
+    """Fresh pid-keyed scratch directory for a round-trip sink.
+
+    The round-trip queries return frames that lazily READ the files they
+    just wrote, so the directory must outlive query construction — but a
+    FIXED shared path would let two concurrent processes on the same sf
+    (exactly the oracle-sweep + pytest overlap) rmtree or overwrite each
+    other's files between write and collect. Pid-keying isolates live
+    processes; stale siblings from dead processes are reaped by age
+    (same pattern as posts_batch_result_tables) so /tmp stays bounded at
+    ~one copy per live process instead of accumulating forever."""
+    import shutil
+    import time
+
+    parent = os.path.join(tempfile.gettempdir(), "spark_graft_roundtrips")
+    prefix = f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}_"
+    if os.path.isdir(parent):
+        cutoff = time.time() - 2 * 3600
+        for d in os.listdir(parent):
+            p = os.path.join(parent, d)
+            if d.startswith(prefix) and os.path.isdir(p):
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    out = os.path.join(parent, prefix + str(os.getpid()))
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
 def write_partitioned_parquet(df: DataFrame, path: str, ts_col: str = "ts",
                               mode: str = "append") -> None:
     """Append as parquet partitioned by event date (K1 at scale).
@@ -149,20 +180,10 @@ def show_console(df: DataFrame, n: int = 20, truncate: bool = False) -> None:
     "(reference reddit_producer.py:120-131, one JSON object per post).",
 )
 def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    # fixed per-sf path, NOT pid-keyed: the returned frame lazily reads
-    # these files, so they cannot be deleted here — a stable overwritten
-    # location bounds /tmp at one copy per format per scale factor
-    # instead of accumulating a copy per process
-    out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_roundtrips",
-        f"jsonl_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = _pid_scratch_dir("jsonl", sf_dir)
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(out)
     back = (
@@ -196,20 +217,10 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numerics, strings and timestamps alike.",
 )
 def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
     orders = load_table(spark, sf_dir, "orders")
-    # fixed per-sf path, NOT pid-keyed: the returned frame lazily reads
-    # these files, so they cannot be deleted here — a stable overwritten
-    # location bounds /tmp at one copy per format per scale factor
-    # instead of accumulating a copy per process
-    out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_roundtrips",
-        f"csv_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = _pid_scratch_dir("csv", sf_dir)
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     orders.write.mode("overwrite").option("header", True).option(
         "timestampFormat", ts_fmt
@@ -246,20 +257,10 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "including decimal-valued doubles and timestamps.",
 )
 def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    # fixed per-sf path, NOT pid-keyed: the returned frame lazily reads
-    # these files, so they cannot be deleted here — a stable overwritten
-    # location bounds /tmp at one copy per format per scale factor
-    # instead of accumulating a copy per process
-    out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_roundtrips",
-        f"orc_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = _pid_scratch_dir("orc", sf_dir)
     li.write.mode("overwrite").orc(out)
     back = spark.read.schema(li.schema).orc(out)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
