@@ -321,3 +321,117 @@ def test_audio_fingerprint_matches_contains_planted_pools(spark, sf_dir):
         hit = got[(got.n_windows == 8) & (got.fp == fp)]
         assert len(hit) == 1, f"pool {pool} group missing from output"
         assert int(hit.n_media.iloc[0]) >= pool_n[pool]
+
+
+def _reference_png(pixels, w, h, filters) -> bytes:
+    """Independent PNG writer for decoder tests: COMPRESSED deflate
+    stream via zlib.compress (the engine's builder emits only stored
+    blocks, so this exercises the decoder against the other class of
+    valid zlib stream), with reference-implementation filtering."""
+    import struct
+    import zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for r in range(h):
+        t = filters[r]
+        raw.append(t)
+        for x in range(w):
+            cur = pixels[r * w + x]
+            left = pixels[r * w + x - 1] if x > 0 else 0
+            up = pixels[(r - 1) * w + x] if r > 0 else 0
+            ul = pixels[(r - 1) * w + x - 1] if (r > 0 and x > 0) else 0
+            if t == 0:
+                v = cur
+            elif t == 1:
+                v = (cur - left) % 256
+            elif t == 2:
+                v = (cur - up) % 256
+            elif t == 3:
+                v = (cur - (left + up) // 2) % 256
+            else:
+                v = (cur - paeth(left, up, ul)) % 256
+            raw.append(v)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters_against_reference_writer():
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_png
+
+    w, h = 7, 5
+    pixels = [(13 * i + 101) % 256 for i in range(w * h)]
+    for filters in ([0, 1, 2, 3, 4], [4, 4, 4, 4, 4], [3, 0, 1, 2, 3]):
+        buf = _reference_png(pixels, w, h, filters)
+        dw, dh, px, dec_filters = decode_png(buf)
+        assert (dw, dh) == (w, h)
+        assert list(px) == pixels
+        assert dec_filters == filters
+
+
+def test_decode_png_rejects_corruption():
+    import pytest
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import decode_png
+
+    buf = bytearray(_reference_png([10, 20, 30, 40], 2, 2, [0, 1]))
+    # flip one byte inside the IDAT body: the chunk CRC must catch it
+    idat_at = bytes(buf).index(b"IDAT")
+    bad = bytearray(buf)
+    bad[idat_at + 6] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\x00garbage")
+
+
+def test_decode_image_dispatches_by_signature(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import (
+        decode_image,
+        pgm_media_table,
+        png_media_table,
+    )
+
+    import pytest
+
+    png_row = png_media_table(spark, sf_dir).limit(1).collect()[0]
+    w, h, px = decode_image(png_row.payload)
+    assert (w, h) == (png_row.w, png_row.h) and len(px) == w * h
+    pgm_row = pgm_media_table(spark, sf_dir).limit(1).collect()[0]
+    w, h, px = decode_image(pgm_row.payload)
+    assert (w, h) == (pgm_row.w, pgm_row.h) and len(px) == w * h
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 not actually jpeg")
+
+
+def test_png_payloads_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_path):
+    # the payload must survive a real parquet write/read as a binary
+    # column — the 100 TB storage path — not just in-memory rows
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.multimodal import (
+        decode_png,
+        png_media_table,
+    )
+
+    out = str(tmp_path / "png_media")
+    png_media_table(spark, sf_dir).limit(20).write.parquet(out)
+    for row in spark.read.parquet(out).collect():
+        w, h, px, filters = decode_png(row.payload)
+        assert (w, h) == (row.w, row.h)
+        assert len(px) == w * h
+        assert filters == [r % 5 for r in range(h)]
