@@ -164,6 +164,47 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     big_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+# Headline relational queries (VERDICT r5 item 7): the correctness bar
+# lives at sf0.01 and the bench at sf0.1; this set gets its own 10×
+# fact-replicated fixture so the star-join/agg plans have scale evidence
+# like the dedup/ANN suite. Facts (lineitem, orders) replicate with
+# SHIFTED order keys — 10× orders per customer / lines per supplier, the
+# realistic growth direction that keeps q18's HAVING-survivor rate and
+# every per-key aggregate linear (replicating rows under the SAME order
+# keys would instead multiply per-order quantities and flip q18's
+# selectivity superlinearly). Dims copy verbatim: at 100 TB the dims
+# grow far slower than the facts, and the broadcast-side sizes staying
+# fixed while facts grow 10× is exactly the property being rehearsed.
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q18_large_volume_orders", "supplier_running_revenue",
+]
+_RELATIONAL_COPY = ["customer", "supplier", "nation", "region", "part"]
+
+
+def build_relational_fixture(spark, sf_dir: str, out_dir: str) -> None:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    rep = spark.range(REPLICAS).select(F.col("id").alias("k"))
+    stride = o.agg((F.max("o_orderkey") + 1).alias("_stride"))
+
+    def shifted(df, key):
+        cols = [
+            (F.col(key) + F.col("k") * F.col("_stride")).alias(key)
+            if c == key else F.col(c)
+            for c in df.columns
+        ]
+        return df.crossJoin(F.broadcast(stride)).crossJoin(rep).select(*cols)
+
+    shifted(o, "o_orderkey").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet"))
+    shifted(li, "l_orderkey").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet"))
+    for t in _RELATIONAL_COPY:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
+            "overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
 def time_queries(spark, specs, sf_dir: str, reps: int = 2) -> dict[str, dict]:
     """Per-query wall (min of `reps` runs) + shuffle-write bytes (first
     run; deterministic). Min-of-reps exists because single-shot walls on
@@ -204,7 +245,12 @@ def main() -> None:
     specs = registry.load_all()
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    build_fixture(spark, sf_dir, out_dir)
+    need_docs = any(q not in RELATIONAL_QUERIES for q in QUERIES)
+    need_rel = any(q in RELATIONAL_QUERIES for q in QUERIES)
+    if need_docs:
+        build_fixture(spark, sf_dir, out_dir)
+    if need_rel:
+        build_relational_fixture(spark, sf_dir, out_dir)
 
     # warm codegen on the small scale first (same reasoning as bench.py);
     # time_queries itself then takes min-of-reps walls at each scale
@@ -212,8 +258,13 @@ def main() -> None:
     base = time_queries(spark, specs, sf_dir)
     big = time_queries(spark, specs, out_dir)
 
+    kind = (
+        "relational" if all(q in RELATIONAL_QUERIES for q in QUERIES)
+        else "dedup_ann" if not any(q in RELATIONAL_QUERIES for q in QUERIES)
+        else "mixed"
+    )
     print(json.dumps({
-        "rehearsal": f"dedup_ann_{REPLICAS}x",
+        "rehearsal": f"{kind}_{REPLICAS}x",
         "replicas": REPLICAS,
         "base": base,
         "big": big,

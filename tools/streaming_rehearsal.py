@@ -1,0 +1,211 @@
+"""Streaming state-scale rehearsal (VERDICT r5 item 8).
+
+The batch suite has 10x/30x shuffle evidence; this drives the STATEFUL
+streaming path — the flagship windowed-count replay over RocksDB state
+with changelog checkpointing — at base and 10x volume and records, for
+every micro-batch of the drain:
+
+- trigger execution time (per-batch cost must stay ~flat across the
+  drain: a monotonically growing trigger time means state commits are
+  degrading as state accumulates);
+- state rows total (must PLATEAU, not grow with the number of drained
+  batches: the 2h watermark finalizes old windows, so live state is
+  bounded by the event-time spread of in-flight data, not stream length);
+- RocksDB SST file size (the on-disk state footprint, same bound).
+
+The 10x fixture extends BOTH axes the way a production stream grows:
+replica k shifts event time by k*31 days (10x distinct windows — state
+KEYS scale, not just row counts) and shifts event_id past a measured
+stride. Chunks stay range-partitioned on ts (event-time replay order),
+one chunk per micro-batch via maxFilesPerTrigger=1, so the big run
+drains 10x the volume through 10x the batches at ~equal per-batch size —
+the honest "same stream, running 10x longer" shape.
+
+Pass criteria: last-batch trigger time within noise of the early
+batches at both scales, and peak state rows / SST bytes at 10x bounded
+by the per-batch window population (~flat vs base), never by total
+stream length.
+
+Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
+           [--replicas N] [--chunks-per-replica N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from reddit_sentiment_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table  # noqa: E402
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import (  # noqa: E402
+    start_windowed_query,
+)
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import (  # noqa: E402
+    read_replay_stream,
+    write_replay_chunks,
+)
+
+REPLICAS = 10
+CHUNKS_PER_REPLICA = 1  # base gets 10 chunks; big gets 10 * REPLICAS
+
+
+def build_big_events(spark, sf_dir: str, out_dir: str, n_chunks: int) -> int:
+    """events x REPLICAS: replica k shifts ts by k*31 days (past the base
+    fixture's ~30-day spread, so replicas never share a window) and
+    event_id by k*stride. Distributed end-to-end like write_replay_chunks."""
+    ev = load_table(spark, sf_dir, "events")
+    rep = spark.range(REPLICAS).select(F.col("id").alias("k"))
+    stride = ev.agg((F.max("event_id") + 1).alias("_stride"))
+    big = ev.crossJoin(F.broadcast(stride)).crossJoin(rep).select(
+        (F.col("event_id") + F.col("k") * F.col("_stride")).alias("event_id"),
+        (F.col("ts") + F.expr("make_dt_interval(k * 31, 0, 0, 0)")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    n = big.count()
+    (
+        big.repartitionByRange(n_chunks, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import (
+        _order_files_by_name,
+    )
+
+    _order_files_by_name(out_dir, ".parquet")
+    return n
+
+
+def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
+    # recentProgress retention is a STATIC conf (default 100 updates; the
+    # big drain exceeds it) — a listener sees every progress event instead
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    progresses: list[dict] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if p.name == name:
+                progresses.append(json.loads(p.json))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Capture()
+    spark.streams.addListener(listener)
+    t0 = time.perf_counter()
+    q = start_windowed_query(
+        read_replay_stream(spark, replay_dir), name, state_partitions=8
+    )
+    try:
+        q.processAllAvailable()
+        total = time.perf_counter() - t0
+        batches = []
+        for p in progresses:
+            if p["numInputRows"] == 0 and not p["stateOperators"]:
+                continue
+            so = p["stateOperators"][0] if p["stateOperators"] else {}
+            cm = so.get("customMetrics", {})
+            batches.append({
+                "batch": p["batchId"],
+                "rows": p["numInputRows"],
+                "trigger_ms": p["durationMs"].get("triggerExecution"),
+                "state_rows": so.get("numRowsTotal"),
+                "rocksdb_sst_bytes": cm.get("rocksdbSstFileSize"),
+                "rocksdb_mem_bytes": cm.get("rocksdbTotalMemoryUsage"),
+            })
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    rows = [b for b in batches if b["rows"] > 0]
+    timed = [b for b in rows if b["trigger_ms"] is not None]
+    half = len(timed) // 2
+    return {
+        "total_sec": round(total, 3),
+        "n_batches": len(rows),
+        "rows_drained": sum(b["rows"] for b in rows),
+        "peak_state_rows": max((b["state_rows"] or 0) for b in rows),
+        "last_state_rows": rows[-1]["state_rows"] if rows else None,
+        "peak_sst_mb": round(
+            max((b["rocksdb_sst_bytes"] or 0) for b in rows) / 1e6, 3
+        ),
+        # drift of per-batch cost across the drain: mean of the second
+        # half over mean of the first half (flat ≈ 1.0); growth here is
+        # the state-commit degradation this rehearsal exists to catch
+        "late_vs_early_trigger_x": (
+            round(
+                (sum(b["trigger_ms"] for b in timed[half:]) / max(1, len(timed[half:])))
+                / max(1.0, sum(b["trigger_ms"] for b in timed[:half]) / max(1, len(timed[:half]))),
+                3,
+            )
+            if len(timed) >= 4 else None
+        ),
+        "batches": batches,
+    }
+
+
+def main() -> None:
+    global REPLICAS
+    args = list(sys.argv[1:])
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        REPLICAS = int(args[i + 1])
+        del args[i : i + 2]
+    chunks = 10
+    if "--chunks" in args:
+        i = args.index("--chunks")
+        chunks = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    work = args[1] if len(args) > 1 else "/tmp/streaming_rehearsal"
+    spark = get_spark("streaming-rehearsal")
+
+    shutil.rmtree(work, ignore_errors=True)
+    base_dir = os.path.join(work, "base_chunks")
+    big_dir = os.path.join(work, "big_chunks")
+    n_base = write_replay_chunks(spark, sf_dir, base_dir, n_chunks=chunks)
+    n_big = build_big_events(spark, sf_dir, big_dir, n_chunks=chunks * REPLICAS)
+
+    # warm lap (codegen + state-store provider init), then the measured laps
+    drain(spark, base_dir, "rehearsal_warm", chunks)
+    base = drain(spark, base_dir, "rehearsal_base", chunks)
+    big = drain(spark, big_dir, "rehearsal_big", chunks * REPLICAS)
+
+    assert base["rows_drained"] == n_base, (base["rows_drained"], n_base)
+    assert big["rows_drained"] == n_big, (big["rows_drained"], n_big)
+    out = {
+        "rehearsal": f"streaming_state_{REPLICAS}x",
+        "replicas": REPLICAS,
+        "watermark": "2 hours",
+        "state_partitions": 8,
+        "base": base,
+        "big": big,
+        "state_rows_scaling_x": (
+            round(big["peak_state_rows"] / base["peak_state_rows"], 2)
+            if base["peak_state_rows"] else None
+        ),
+        "sst_scaling_x": (
+            round(big["peak_sst_mb"] / base["peak_sst_mb"], 2)
+            if base["peak_sst_mb"] else None
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
