@@ -115,9 +115,25 @@ def _artifacts() -> list[dict]:
                 art = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(art, dict) and "scaling_x" in art:
+        if isinstance(art, dict) and ("scaling_x" in art or "base" in art):
             out.append(art)
     return out
+
+
+def _scalar_candidates(art: dict) -> set[float]:
+    """Checkable numbers from artifacts without per-query scaling maps
+    (e.g. the streaming-state rehearsal): top-level scalars plus the
+    base/big summary scalars."""
+    vals: set[float] = set()
+    for k, v in art.items():
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            vals.add(float(v))
+        if k in ("base", "big") and isinstance(v, dict):
+            vals |= {
+                float(x) for x in v.values()
+                if isinstance(x, (int, float)) and not isinstance(x, bool)
+            }
+    return vals
 
 
 def _close(claim: float, actual: float | None) -> bool:
@@ -142,6 +158,8 @@ def test_rehearsal_claims_match_committed_artifacts():
             float(a["replicas"]) for a in arts if "replicas" in a
         }
         for art in arts:
+            if "scaling_x" not in art:
+                candidates |= _scalar_candidates(art)
             for q in mentioned:
                 for key in ("scaling_x", "shuffle_scaling_x"):
                     v = art.get(key, {}).get(q)

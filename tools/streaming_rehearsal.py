@@ -126,8 +126,8 @@ def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
                 "rows": p["numInputRows"],
                 "trigger_ms": p["durationMs"].get("triggerExecution"),
                 "state_rows": so.get("numRowsTotal"),
+                "state_mem_bytes": so.get("memoryUsedBytes"),
                 "rocksdb_sst_bytes": cm.get("rocksdbSstFileSize"),
-                "rocksdb_mem_bytes": cm.get("rocksdbTotalMemoryUsage"),
             })
     finally:
         q.stop()
@@ -141,6 +141,9 @@ def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
         "rows_drained": sum(b["rows"] for b in rows),
         "peak_state_rows": max((b["state_rows"] or 0) for b in rows),
         "last_state_rows": rows[-1]["state_rows"] if rows else None,
+        "peak_state_mem_mb": round(
+            max((b["state_mem_bytes"] or 0) for b in rows) / 1e6, 3
+        ),
         "peak_sst_mb": round(
             max((b["rocksdb_sst_bytes"] or 0) for b in rows) / 1e6, 3
         ),
@@ -171,6 +174,11 @@ def main() -> None:
         i = args.index("--chunks")
         chunks = int(args[i + 1])
         del args[i : i + 2]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     work = args[1] if len(args) > 1 else "/tmp/streaming_rehearsal"
     spark = get_spark("streaming-rehearsal")
@@ -199,12 +207,22 @@ def main() -> None:
             round(big["peak_state_rows"] / base["peak_state_rows"], 2)
             if base["peak_state_rows"] else None
         ),
+        "state_mem_scaling_x": (
+            round(big["peak_state_mem_mb"] / base["peak_state_mem_mb"], 2)
+            if base["peak_state_mem_mb"] else None
+        ),
         "sst_scaling_x": (
             round(big["peak_sst_mb"] / base["peak_sst_mb"], 2)
             if base["peak_sst_mb"] else None
         ),
     }
-    print(json.dumps(out))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+    summary = {k: v for k, v in out.items() if k not in ("base", "big")}
+    summary["base"] = {k: v for k, v in out["base"].items() if k != "batches"}
+    summary["big"] = {k: v for k, v in out["big"].items() if k != "batches"}
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
