@@ -46,8 +46,10 @@ def test_fingerprint_is_order_sensitive(spark, tmp_path):
     assert fp[1] != fp[2]  # same bag of words, different order → different
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_rejects_unsupported_container():
+    # decode_image is a real dispatcher now (PNG/PGM, r6); containers
+    # whose codecs this environment doesn't ship fail loudly
+    with pytest.raises(ValueError):
         mm.decode_image(b"bytes")
 
 
