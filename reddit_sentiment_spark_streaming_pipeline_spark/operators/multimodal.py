@@ -210,10 +210,12 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- real decode path: PGM
 
-# The container has no compressed-image codecs (PNG/JPEG stay behind the
-# decode_image NotImplementedError hook), but an UNCOMPRESSED format needs
-# none: binary PGM (P5) is an ASCII header + a raw uint8 raster, decodable
-# with numpy alone. pgm_media_table builds VALID P5 payloads engine-side
+# The container ships no image codec libraries, but none are needed for
+# the formats here: binary PGM (P5) is an ASCII header + a raw uint8
+# raster, decodable with numpy alone — and PNG (see the png section at
+# the end of this module) needs only stdlib zlib. JPEG and other
+# DCT-family codecs remain genuinely out (decode_image raises ValueError
+# for them). pgm_media_table builds VALID P5 payloads engine-side
 # (header + md5-derived pixel bytes, all deterministic), and
 # pgm_decode_stats parses those real bytes back in an Arrow-batched
 # mapInPandas — an actual binary decode round-trip, value-checked against
