@@ -406,3 +406,13 @@ def test_span_joinback_broadcast_is_gated(spark, sf_dir, monkeypatch):
     plan = buf.getvalue()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q5_customer_scan_prunes_to_join_columns(spark, sf_dir):
+    # the customer broadcast must carry only the two join columns — a
+    # full-row broadcast pins every column executor-resident and is the
+    # r6 advice fix being pinned here
+    plan = plan_of(spark, "q5_local_supplier_volume", sf_dir)
+    assert "struct<c_custkey:bigint,c_nationkey:int>" in plan
+    assert "c_name" not in plan and "c_acctbal" not in plan
+    assert "BroadcastHashJoin" in plan
