@@ -194,6 +194,18 @@ def main() -> None:
     base = drain(spark, base_dir, "rehearsal_base", chunks)
     big = drain(spark, big_dir, "rehearsal_big", chunks * REPLICAS)
 
+    # dedup-gate scenario: base over the sf documents, big over the 10x
+    # cipher-replicated documents from the batch-rehearsal fixture
+    gate_base = drain_gate(spark, sf_dir, work, chunks, "gate_base")
+    big_docs_dir = os.path.join(work, "big_docs")
+    import tools.scale_rehearsal as _sr
+
+    _sr.REPLICAS = REPLICAS
+    _sr.build_fixture(spark, sf_dir, big_docs_dir)
+    gate_big = drain_gate(
+        spark, big_docs_dir, work, chunks * REPLICAS, "gate_big"
+    )
+
     assert base["rows_drained"] == n_base, (base["rows_drained"], n_base)
     assert big["rows_drained"] == n_big, (big["rows_drained"], n_big)
     out = {
@@ -215,14 +227,121 @@ def main() -> None:
             round(big["peak_sst_mb"] / base["peak_sst_mb"], 2)
             if base["peak_sst_mb"] else None
         ),
+        "gate_base": gate_base,
+        "gate_big": gate_big,
+        "gate_store_scaling_x": (
+            round(
+                gate_big["store_parquet_mb"] / gate_base["store_parquet_mb"], 2
+            )
+            if gate_base["store_parquet_mb"] else None
+        ),
     }
     if out_path:
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
-    summary = {k: v for k, v in out.items() if k not in ("base", "big")}
-    summary["base"] = {k: v for k, v in out["base"].items() if k != "batches"}
-    summary["big"] = {k: v for k, v in out["big"].items() if k != "batches"}
+    summary = {k: v for k, v in out.items()
+               if k not in ("base", "big", "gate_base", "gate_big")}
+    for k in ("base", "big", "gate_base", "gate_big"):
+        summary[k] = {kk: vv for kk, vv in out[k].items() if kk != "batches"}
     print(json.dumps(summary))
+
+
+# ---------------------------------------------------------------- gate
+
+def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
+               name: str) -> dict:
+    """Drain the incremental dedup gate over n_chunks micro-batches and
+    record the per-batch trigger curve + store growth. Unlike the
+    windowed agg (watermark-bounded state), the gate's state is the
+    DURABLE fingerprint store and each batch anti-joins against the
+    whole store — the curve here is expected to show the per-batch cost
+    of that store re-scan as history deepens, which is the honest thing
+    to publish about this design."""
+    import glob as _glob
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream,
+        read_gate_stats,
+        start_dedup_gate,
+        write_doc_chunks,
+    )
+
+    chunk_dir = os.path.join(work, f"{name}_chunks")
+    out_root = os.path.join(work, f"{name}_out")
+    n_rows = write_doc_chunks(spark, docs_sf_dir, chunk_dir, n_chunks=n_chunks)
+
+    progresses: list[dict] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if p.name == "dedup_gate":
+                progresses.append(json.loads(p.json))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Capture()
+    spark.streams.addListener(listener)
+    t0 = time.perf_counter()
+    q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+        total = time.perf_counter() - t0
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    batches = [
+        {
+            "batch": p["batchId"],
+            "rows": p["numInputRows"],
+            "trigger_ms": p["durationMs"].get("triggerExecution"),
+        }
+        for p in progresses
+        if p["numInputRows"] > 0
+    ]
+    stats = {
+        r["batch_id"]: r
+        for r in read_gate_stats(spark, out_root)
+        .toPandas()
+        .to_dict("records")
+    }
+    for b in batches:
+        s = stats.get(b["batch"])
+        if s:
+            b["admitted"] = int(s["n_admitted"])
+            b["rejected"] = int(s["n_rejected"])
+    store_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(out_root, "fingerprint_store", "*.parquet"))
+    )
+    timed = [b for b in batches if b["trigger_ms"] is not None]
+    half = len(timed) // 2
+    return {
+        "total_sec": round(total, 3),
+        "n_batches": len(batches),
+        "rows_drained": sum(b["rows"] for b in batches),
+        "rows_expected": n_rows,
+        "admitted_total": sum(b.get("admitted", 0) for b in batches),
+        "store_parquet_mb": round(store_bytes / 1e6, 3),
+        "late_vs_early_trigger_x": (
+            round(
+                (sum(b["trigger_ms"] for b in timed[half:]) / max(1, len(timed[half:])))
+                / max(1.0, sum(b["trigger_ms"] for b in timed[:half]) / max(1, len(timed[:half]))),
+                3,
+            )
+            if len(timed) >= 4 else None
+        ),
+        "batches": batches,
+    }
 
 
 if __name__ == "__main__":
