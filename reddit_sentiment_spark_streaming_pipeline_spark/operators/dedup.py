@@ -868,11 +868,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         labels = one_round(labels)
     labels = labels.localCheckpoint()
-    global _LAST_CC_ROUNDS
-    _LAST_CC_ROUNDS = 3  # the lazily-chained warm-up rounds above
     for _ in range(10):
         nxt = one_round(labels).localCheckpoint()
-        _LAST_CC_ROUNDS += 1
         n_changed = (
             nxt.join(labels.withColumnRenamed("lab", "prev"), "doc_id")
             .filter(F.col("lab") != F.col("prev"))
