@@ -43,24 +43,33 @@ def _pid_scratch_dir(kind: str, sf_dir: str) -> str:
     FIXED shared path would let two concurrent processes on the same sf
     (exactly the oracle-sweep + pytest overlap) rmtree or overwrite each
     other's files between write and collect. Pid-keying isolates live
-    processes; stale siblings from dead processes are reaped by age
-    (same pattern as posts_batch_result_tables) so /tmp stays bounded at
-    ~one copy per live process instead of accumulating forever."""
+    processes; a sibling dir is reaped only when its embedded pid is no
+    longer alive — mtime age alone would delete a dir a LIVE long sweep
+    (>2h is realistic for the full-registry sweep) still lazily reads.
+    A dir orphaned onto a reused pid just waits out that process: the
+    next owner of the pid rmtrees it at creation below, so /tmp stays
+    bounded at ~one copy per live process either way."""
     import shutil
-    import time
 
     parent = os.path.join(tempfile.gettempdir(), "spark_graft_roundtrips")
     prefix = f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}_"
     if os.path.isdir(parent):
-        cutoff = time.time() - 2 * 3600
         for d in os.listdir(parent):
             p = os.path.join(parent, d)
-            if d.startswith(prefix) and os.path.isdir(p):
-                try:
-                    if os.path.getmtime(p) < cutoff:
-                        shutil.rmtree(p, ignore_errors=True)
-                except OSError:
-                    pass
+            if not (d.startswith(prefix) and os.path.isdir(p)):
+                continue
+            try:
+                owner = int(d[len(prefix):])
+            except ValueError:
+                continue
+            if owner == os.getpid():
+                continue
+            try:
+                os.kill(owner, 0)  # signal 0: existence probe only
+            except ProcessLookupError:
+                shutil.rmtree(p, ignore_errors=True)
+            except PermissionError:
+                pass  # alive, other uid
     out = os.path.join(parent, prefix + str(os.getpid()))
     shutil.rmtree(out, ignore_errors=True)
     return out

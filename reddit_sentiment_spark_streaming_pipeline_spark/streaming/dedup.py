@@ -106,31 +106,44 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     "first batch".
     """
     spark = batch_df.sparkSession
+    # persist the fingerprint projection ONCE: the three actions below
+    # (batch count, admitted count, store append) would otherwise each
+    # re-scan the streaming source — 3× the input read per micro-batch
+    # (and a 3×-inflated numInputRows in query progress)
     fps = batch_df.select(
         "doc_id", "source", F.md5("text").alias("fingerprint")
-    )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    firsts = (
-        fps.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    n_batch = fps.count()
-    store = (
-        spark.read.parquet(store_dir).select("fingerprint")
-        if _store_path_exists(spark, store_dir)
-        else None
-    )
-    admitted = (
-        firsts if store is None
-        else firsts.join(store, "fingerprint", "left_anti")
-    )
-    n_admitted = admitted.count()
-    (
-        admitted.select("fingerprint", "doc_id", "source")
-        .write.mode("append")
-        .parquet(store_dir)
-    )
+    ).persist()
+    try:
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        firsts = (
+            fps.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        n_batch = fps.count()
+        store = (
+            spark.read.parquet(store_dir).select("fingerprint")
+            if _store_path_exists(spark, store_dir)
+            else None
+        )
+        # persist the anti-join survivors too: count + append would
+        # otherwise EACH re-scan the whole durable store, and that scan
+        # deepens with history — it is the gate's dominant per-batch cost
+        admitted = (
+            firsts if store is None
+            else firsts.join(store, "fingerprint", "left_anti")
+        ).persist()
+        try:
+            n_admitted = admitted.count()
+            (
+                admitted.select("fingerprint", "doc_id", "source")
+                .write.mode("append")
+                .parquet(store_dir)
+            )
+        finally:
+            admitted.unpersist()
+    finally:
+        fps.unpersist()
     # one stats row per batch, idempotent under replay: the batch owns its
     # batch_id=N partition and overwrites it (batch_id comes back as the
     # partition column on read)

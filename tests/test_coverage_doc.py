@@ -57,6 +57,8 @@ def test_every_backticked_query_name_is_registered():
         "decode_image", "decode_png", "decode_pgm", "decode_wav",
         # observed-metric names (CollectMetrics), not registry queries
         "lsh_bucket_cap",
+        # streaming-gate internals + rehearsal-artifact field names
+        "gate_batch", "rows_drained", "rows_expected",
     }
     unknown = {n for n in lookalike - set(reg) if n not in whitelist}
     assert not unknown, f"COVERAGE.md references unregistered names: {sorted(unknown)}"
@@ -101,7 +103,9 @@ _HIST = re.compile(
     r"first run|intermediate|pre-\w+)\b",
     re.I,
 )
-_NUM = re.compile(r"(?<![\d.\-~=])(\d+(?:\.\d+)?)×|(?<![\d.\-~=])(\d+\.\d+)x\b")
+_NUM = re.compile(
+    r"(?<![\d.\-~=≤≥<>])(\d+(?:\.\d+)?)×|(?<![\d.\-~=≤≥<>])(\d+\.\d+)x\b"
+)
 
 
 def _artifacts() -> list[dict]:
@@ -121,18 +125,22 @@ def _artifacts() -> list[dict]:
 
 
 def _scalar_candidates(art: dict) -> set[float]:
-    """Checkable numbers from artifacts without per-query scaling maps
-    (e.g. the streaming-state rehearsal): top-level scalars plus the
-    base/big summary scalars."""
-    vals: set[float] = set()
-    for k, v in art.items():
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
-            vals.add(float(v))
-        if k in ("base", "big") and isinstance(v, dict):
-            vals |= {
-                float(x) for x in v.values()
-                if isinstance(x, (int, float)) and not isinstance(x, bool)
-            }
+    """Checkable RATIO numbers from artifacts without per-query scaling
+    maps (e.g. the streaming-state rehearsal): only ratio-shaped fields
+    (keys ending in `_x` / containing `scaling`) qualify — admitting every
+    numeric scalar (state_partitions, n_batches, total_sec) would let a
+    wrong N× claim coincidentally match a count and slip the guard."""
+    def ratio_keys(d: dict) -> set[float]:
+        return {
+            float(v) for k, v in d.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            and (k.endswith("_x") or "scaling" in k)
+        }
+
+    vals = ratio_keys(art)
+    for k in ("base", "big", "gate_base", "gate_big"):
+        if isinstance(art.get(k), dict):
+            vals |= ratio_keys(art[k])
     return vals
 
 

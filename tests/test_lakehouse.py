@@ -127,3 +127,30 @@ def test_snapshot_novelty_zero_for_resubmits(spark, sf_dir):
     assert pdf.avg_novelty.between(0, 1).all()
     # tailed docs exist, so at least one source shows positive novelty
     assert (pdf.avg_novelty > 0).any()
+
+
+def test_scratch_reaper_spares_live_pids_reaps_dead_ones(tmp_path, monkeypatch):
+    import os
+    import tempfile
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.sinks import _pid_scratch_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    parent = tmp_path / "spark_graft_roundtrips"
+    parent.mkdir()
+    # a LIVE sibling (this process's parent pid) with an ancient mtime:
+    # age alone must NOT reap it — a >2h sweep still lazily reads its files
+    live = parent / f"jsonl_sf0.01_{os.getppid()}"
+    live.mkdir()
+    old = 1.0  # epoch — older than any age cutoff
+    os.utime(live, (old, old))
+    # a DEAD sibling: max pid + 1 can't be a running process
+    with open("/proc/sys/kernel/pid_max") as f:
+        dead_pid = int(f.read().strip()) + 1
+    dead = parent / f"jsonl_sf0.01_{dead_pid}"
+    dead.mkdir()
+
+    out = _pid_scratch_dir("jsonl", "/root/testdata/sf0.01")
+    assert live.is_dir(), "live sibling was reaped"
+    assert not dead.is_dir(), "dead sibling survived"
+    assert out.endswith(f"jsonl_sf0.01_{os.getpid()}")

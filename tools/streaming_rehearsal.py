@@ -27,7 +27,7 @@ by the per-batch window population (~flat vs base), never by total
 stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
-           [--replicas N] [--chunks-per-replica N]
+           [--replicas N] [--chunks N] [--out PATH]
 """
 
 from __future__ import annotations
@@ -54,7 +54,6 @@ from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import (  
 )
 
 REPLICAS = 10
-CHUNKS_PER_REPLICA = 1  # base gets 10 chunks; big gets 10 * REPLICAS
 
 
 def build_big_events(spark, sf_dir: str, out_dir: str, n_chunks: int) -> int:
@@ -84,12 +83,11 @@ def build_big_events(spark, sf_dir: str, out_dir: str, n_chunks: int) -> int:
     return n
 
 
-def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
-    # recentProgress retention is a STATIC conf (default 100 updates; the
-    # big drain exceeds it) — a listener sees every progress event instead
+def make_progress_listener(query_name: str, sink: list):
+    """StreamingQueryListener appending each progress dict for query_name
+    to sink. recentProgress retention is a STATIC conf (default 100
+    updates; the big drain exceeds it) — a listener sees every event."""
     from pyspark.sql.streaming import StreamingQueryListener
-
-    progresses: list[dict] = []
 
     class _Capture(StreamingQueryListener):
         def onQueryStarted(self, event):
@@ -97,8 +95,8 @@ def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
 
         def onQueryProgress(self, event):
             p = event.progress
-            if p.name == name:
-                progresses.append(json.loads(p.json))
+            if p.name == query_name:
+                sink.append(json.loads(p.json))
 
         def onQueryIdle(self, event):
             pass
@@ -106,7 +104,51 @@ def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
         def onQueryTerminated(self, event):
             pass
 
-    listener = _Capture()
+    return _Capture()
+
+
+def settle_progress(progresses: list, expected_rows: int | None,
+                    deadline_sec: float = 30.0) -> None:
+    """Progress events arrive on the listener-bus thread AFTER
+    processAllAvailable() returns data-processed; wait for delivery.
+    With expected_rows, poll until the captured input rows cover it and
+    fail LOUDLY on timeout (a truncated curve must never be committed);
+    without, poll until the buffer stops growing for one interval."""
+    t_end = time.monotonic() + deadline_sec
+    seen = -1
+    while time.monotonic() < t_end:
+        rows = sum(p["numInputRows"] for p in progresses)
+        if expected_rows is not None:
+            if rows >= expected_rows:
+                return
+        elif len(progresses) == seen:
+            return
+        seen = len(progresses)
+        time.sleep(0.25)
+    if expected_rows is not None:
+        raise RuntimeError(
+            f"listener delivered {sum(p['numInputRows'] for p in progresses)}"
+            f"/{expected_rows} rows of progress events within "
+            f"{deadline_sec}s — refusing to record a truncated curve"
+        )
+
+
+def trigger_drift(timed: list[dict]) -> float | None:
+    """Per-batch cost drift across the drain: mean trigger time of the
+    second half over the first half (flat ≈ 1.0); growth here is the
+    state-commit degradation the rehearsal exists to catch."""
+    if len(timed) < 4:
+        return None
+    half = len(timed) // 2
+    late = sum(b["trigger_ms"] for b in timed[half:]) / max(1, len(timed[half:]))
+    early = sum(b["trigger_ms"] for b in timed[:half]) / max(1, len(timed[:half]))
+    return round(late / max(1.0, early), 3)
+
+
+def drain(spark, replay_dir: str, name: str,
+          expected_rows: int | None) -> dict:
+    progresses: list[dict] = []
+    listener = make_progress_listener(name, progresses)
     spark.streams.addListener(listener)
     t0 = time.perf_counter()
     q = start_windowed_query(
@@ -115,6 +157,7 @@ def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
     try:
         q.processAllAvailable()
         total = time.perf_counter() - t0
+        settle_progress(progresses, expected_rows)
         batches = []
         for p in progresses:
             if p["numInputRows"] == 0 and not p["stateOperators"]:
@@ -134,30 +177,19 @@ def drain(spark, replay_dir: str, name: str, expected_batches: int) -> dict:
         spark.streams.removeListener(listener)
     rows = [b for b in batches if b["rows"] > 0]
     timed = [b for b in rows if b["trigger_ms"] is not None]
-    half = len(timed) // 2
     return {
         "total_sec": round(total, 3),
         "n_batches": len(rows),
         "rows_drained": sum(b["rows"] for b in rows),
-        "peak_state_rows": max((b["state_rows"] or 0) for b in rows),
+        "peak_state_rows": max(((b["state_rows"] or 0) for b in rows), default=0),
         "last_state_rows": rows[-1]["state_rows"] if rows else None,
         "peak_state_mem_mb": round(
-            max((b["state_mem_bytes"] or 0) for b in rows) / 1e6, 3
+            max(((b["state_mem_bytes"] or 0) for b in rows), default=0) / 1e6, 3
         ),
         "peak_sst_mb": round(
-            max((b["rocksdb_sst_bytes"] or 0) for b in rows) / 1e6, 3
+            max(((b["rocksdb_sst_bytes"] or 0) for b in rows), default=0) / 1e6, 3
         ),
-        # drift of per-batch cost across the drain: mean of the second
-        # half over mean of the first half (flat ≈ 1.0); growth here is
-        # the state-commit degradation this rehearsal exists to catch
-        "late_vs_early_trigger_x": (
-            round(
-                (sum(b["trigger_ms"] for b in timed[half:]) / max(1, len(timed[half:])))
-                / max(1.0, sum(b["trigger_ms"] for b in timed[:half]) / max(1, len(timed[:half]))),
-                3,
-            )
-            if len(timed) >= 4 else None
-        ),
+        "late_vs_early_trigger_x": trigger_drift(timed),
         "batches": batches,
     }
 
@@ -190,9 +222,9 @@ def main() -> None:
     n_big = build_big_events(spark, sf_dir, big_dir, n_chunks=chunks * REPLICAS)
 
     # warm lap (codegen + state-store provider init), then the measured laps
-    drain(spark, base_dir, "rehearsal_warm", chunks)
-    base = drain(spark, base_dir, "rehearsal_base", chunks)
-    big = drain(spark, big_dir, "rehearsal_big", chunks * REPLICAS)
+    drain(spark, base_dir, "rehearsal_warm", None)
+    base = drain(spark, base_dir, "rehearsal_base", n_base)
+    big = drain(spark, big_dir, "rehearsal_big", n_big)
 
     # dedup-gate scenario: base over the sf documents, big over the 10x
     # cipher-replicated documents from the batch-rehearsal fixture
@@ -259,8 +291,6 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
     to publish about this design."""
     import glob as _glob
 
-    from pyspark.sql.streaming import StreamingQueryListener
-
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
         read_doc_stream,
         read_gate_stats,
@@ -273,29 +303,14 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
     n_rows = write_doc_chunks(spark, docs_sf_dir, chunk_dir, n_chunks=n_chunks)
 
     progresses: list[dict] = []
-
-    class _Capture(StreamingQueryListener):
-        def onQueryStarted(self, event):
-            pass
-
-        def onQueryProgress(self, event):
-            p = event.progress
-            if p.name == "dedup_gate":
-                progresses.append(json.loads(p.json))
-
-        def onQueryIdle(self, event):
-            pass
-
-        def onQueryTerminated(self, event):
-            pass
-
-    listener = _Capture()
+    listener = make_progress_listener("dedup_gate", progresses)
     spark.streams.addListener(listener)
     t0 = time.perf_counter()
     q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
     try:
         q.processAllAvailable()
         total = time.perf_counter() - t0
+        settle_progress(progresses, n_rows)
     finally:
         q.stop()
         spark.streams.removeListener(listener)
@@ -324,7 +339,6 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
         for f in _glob.glob(os.path.join(out_root, "fingerprint_store", "*.parquet"))
     )
     timed = [b for b in batches if b["trigger_ms"] is not None]
-    half = len(timed) // 2
     return {
         "total_sec": round(total, 3),
         "n_batches": len(batches),
@@ -332,14 +346,7 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
         "rows_expected": n_rows,
         "admitted_total": sum(b.get("admitted", 0) for b in batches),
         "store_parquet_mb": round(store_bytes / 1e6, 3),
-        "late_vs_early_trigger_x": (
-            round(
-                (sum(b["trigger_ms"] for b in timed[half:]) / max(1, len(timed[half:])))
-                / max(1.0, sum(b["trigger_ms"] for b in timed[:half]) / max(1, len(timed[:half]))),
-                3,
-            )
-            if len(timed) >= 4 else None
-        ),
+        "late_vs_early_trigger_x": trigger_drift(timed),
         "batches": batches,
     }
 
