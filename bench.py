@@ -141,7 +141,11 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
     arrival-batched (rather than file-bounded) triggers — so a number
     within ~2x of streaming_replay says the socket edge adds no
     pathological cost. Serialization dump + TCP serve are setup (untimed);
-    the timed span is stream start → all lines aggregated.
+    the timed span is payload release → all lines aggregated. The server
+    holds the payload until the query's warm-up batch has committed:
+    releasing at t0 otherwise races the first offset snapshot, and the
+    lap goes bimodal on whether the rows ride the warm-up batch or
+    serialize behind it (measured 3.9 ↔ 12.9 s across identical laps).
     """
     import glob
     import shutil
@@ -204,6 +208,7 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
             server.listen(1)
             port = server.getsockname()[1]
             stop_evt = threading.Event()
+            go_evt = threading.Event()
 
             def serve() -> None:
                 try:
@@ -211,6 +216,8 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
                 except OSError:
                     return
                 with conn:
+                    if not go_evt.wait(timeout=300):
+                        return
                     try:
                         conn.sendall(payload)
                     except OSError:
@@ -218,7 +225,6 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
                     stop_evt.wait(timeout=300)
 
             threading.Thread(target=serve, daemon=True).start()
-            t0 = time.perf_counter()
             wire = read_wire_socket(spark, "127.0.0.1", port)
             parsed = (
                 wire.select(F.from_json("value", schema).alias("d"))
@@ -233,10 +239,16 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
             q = start_windowed_query(parsed, f"bench_socket_{rep}",
                                      state_partitions=4)
             try:
+                # hold the payload until the warm-up batch committed (the
+                # deterministic-lap contract in the docstring above)
+                deadline = time.monotonic() + 300
+                while not q.recentProgress and time.monotonic() < deadline:
+                    time.sleep(0.02)
+                t0 = time.perf_counter()
+                go_evt.set()
                 # the socket source has no end-of-stream: poll cumulative
                 # input rows across micro-batches until every line landed
                 seen: dict[int, int] = {}
-                deadline = time.monotonic() + 300
                 while sum(seen.values()) < n and time.monotonic() < deadline:
                     for p in q.recentProgress:
                         seen[p["batchId"]] = p["numInputRows"]
