@@ -92,6 +92,25 @@ def _store_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def novel_against_store(firsts: DataFrame, store: DataFrame) -> DataFrame:
+    """Batch rows whose fingerprint is absent from the durable store.
+
+    Inverted anti-join: a direct ``firsts LEFT ANTI store`` cannot
+    broadcast its LEFT side, so once the store outgrows the
+    auto-broadcast threshold the plan degrades to a sort-merge join that
+    SHUFFLES THE WHOLE STORE every micro-batch — and the store deepens
+    with history, so per-batch cost would grow with stream lifetime.
+    Instead the store streams map-side against the broadcast batch
+    (left-semi, output bounded by batch size), and the anti join runs
+    tiny-vs-tiny. The store is scanned once and never shuffled,
+    whatever its size (plan-pinned in tests/test_plans.py).
+    """
+    seen = store.join(
+        F.broadcast(firsts.select("fingerprint")), "fingerprint", "left_semi"
+    )
+    return firsts.join(F.broadcast(seen), "fingerprint", "left_anti")
+
+
 def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                stats_dir: str) -> None:
     """Admit the batch's unseen fingerprints into the store; upsert stats.
@@ -126,12 +145,8 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
             if _store_path_exists(spark, store_dir)
             else None
         )
-        # persist the anti-join survivors too: count + append would
-        # otherwise EACH re-scan the whole durable store, and that scan
-        # deepens with history — it is the gate's dominant per-batch cost
         admitted = (
-            firsts if store is None
-            else firsts.join(store, "fingerprint", "left_anti")
+            firsts if store is None else novel_against_store(firsts, store)
         ).persist()
         try:
             n_admitted = admitted.count()

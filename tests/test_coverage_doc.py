@@ -59,6 +59,7 @@ def test_every_backticked_query_name_is_registered():
         "lsh_bucket_cap",
         # streaming-gate internals + rehearsal-artifact field names
         "gate_batch", "rows_drained", "rows_expected",
+        "novel_against_store",
     }
     unknown = {n for n in lookalike - set(reg) if n not in whitelist}
     assert not unknown, f"COVERAGE.md references unregistered names: {sorted(unknown)}"

@@ -416,3 +416,33 @@ def test_q5_customer_scan_prunes_to_join_columns(spark, sf_dir):
     assert "struct<c_custkey:bigint,c_nationkey:int>" in plan
     assert "c_name" not in plan and "c_acctbal" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_gate_store_never_shuffles_even_above_broadcast_threshold(spark, sf_dir):
+    # the streaming dedup gate's store anti-join must not degrade to a
+    # store-shuffling sort-merge join when the store outgrows the
+    # auto-broadcast threshold: the inverted formulation streams the
+    # store map-side against the broadcast batch
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import novel_against_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    firsts = docs.limit(50).select("doc_id", "source", F.md5("text").alias("fingerprint"))
+    store = docs.select(F.md5("text").alias("fingerprint"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            novel_against_store(firsts, store).explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan

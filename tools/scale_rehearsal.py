@@ -179,6 +179,37 @@ RELATIONAL_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q18_large_volume_orders", "supplier_running_revenue",
 ]
+
+# Events-family queries (funnel / event-time windows / time series): these
+# read only the events table and get a replicated fixture where replica k
+# shifts event_id AND user_id by k*stride (the funnel and z-score key
+# spaces must grow with the data — replicating rows under the SAME users
+# would multiply per-user event counts and change stage semantics instead)
+# and ts by k*31 days (past the base fixture's ~30-day spread, so windows
+# and resample buckets scale linearly and replicas never share a window).
+EVENTS_QUERIES = [
+    "conversion_funnel", "windowed_event_counts", "sliding_window_avg",
+    "session_windows", "value_zscore_outliers", "resample_gapfill",
+]
+
+
+def build_events_fixture(spark, sf_dir: str, out_dir: str) -> None:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    rep = spark.range(REPLICAS).select(F.col("id").alias("k"))
+    stride_e = ev.agg((F.max("event_id") + 1).alias("_se"))
+    stride_u = ev.agg((F.max("user_id") + 1).alias("_su"))
+    big = (
+        ev.crossJoin(F.broadcast(stride_e))
+        .crossJoin(F.broadcast(stride_u))
+        .crossJoin(rep)
+        .select(
+            (F.col("event_id") + F.col("k") * F.col("_se")).alias("event_id"),
+            (F.col("ts") + F.expr("make_dt_interval(k * 31, 0, 0, 0)")).alias("ts"),
+            (F.col("user_id") + F.col("k") * F.col("_su")).alias("user_id"),
+            "event_type", "value", "props",
+        )
+    )
+    big.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 _RELATIONAL_COPY = ["customer", "supplier", "nation", "region", "part"]
 
 
@@ -245,12 +276,18 @@ def main() -> None:
     specs = registry.load_all()
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    need_docs = any(q not in RELATIONAL_QUERIES for q in QUERIES)
+    need_docs = any(
+        q not in RELATIONAL_QUERIES and q not in EVENTS_QUERIES
+        for q in QUERIES
+    )
     need_rel = any(q in RELATIONAL_QUERIES for q in QUERIES)
+    need_events = any(q in EVENTS_QUERIES for q in QUERIES)
     if need_docs:
         build_fixture(spark, sf_dir, out_dir)
     if need_rel:
         build_relational_fixture(spark, sf_dir, out_dir)
+    if need_events:
+        build_events_fixture(spark, sf_dir, out_dir)
 
     # warm codegen on the small scale first (same reasoning as bench.py);
     # time_queries itself then takes min-of-reps walls at each scale
@@ -258,11 +295,13 @@ def main() -> None:
     base = time_queries(spark, specs, sf_dir)
     big = time_queries(spark, specs, out_dir)
 
-    kind = (
-        "relational" if all(q in RELATIONAL_QUERIES for q in QUERIES)
-        else "dedup_ann" if not any(q in RELATIONAL_QUERIES for q in QUERIES)
-        else "mixed"
-    )
+    kinds = {
+        "relational" if q in RELATIONAL_QUERIES
+        else "events" if q in EVENTS_QUERIES
+        else "dedup_ann"
+        for q in QUERIES
+    }
+    kind = kinds.pop() if len(kinds) == 1 else "mixed"
     print(json.dumps({
         "rehearsal": f"{kind}_{REPLICAS}x",
         "replicas": REPLICAS,
