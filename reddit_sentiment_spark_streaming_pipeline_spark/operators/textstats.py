@@ -43,14 +43,27 @@ _TOK_POS_SQL = r"""
     doc="Token counting: total / distinct / mean length per document",
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The group key (doc_id) is row-local: every token of a doc lives in
+    # the doc's own row, so the per-doc stats are computable array-side
+    # with ZERO shuffle. The earlier explode + groupBy(doc_id) shape was
+    # correct but paid two exchanges — and the count-distinct plan's
+    # second exchange emits one row per (doc × occupied partition), a
+    # partition-width constant factor the 10×/30× rehearsal measured at
+    # 14.8×/50× shuffle records (base runs AQE-coalesce to one partition,
+    # wide runs don't). Pure map stage now; sums accumulate as long so a
+    # 2 GB single-doc text can't overflow the length accumulator.
     docs = load_table(spark, sf_dir, "documents")
-    gen, keep = explode_clean(tokens("text"), "word")
-    tok = docs.select("doc_id", gen).filter(keep)
-    return tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("word").alias("n_distinct"),
-        F.round(F.avg(F.length("word")), 6).alias("avg_token_len"),
+    t = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate("toks", F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            / F.size("toks"),
+            6,
+        ).alias("avg_token_len"),
     )
+    return t.filter(F.col("n_tokens") > 0)
 
 
 # GPT-2-style pre-tokenizer regex (simplified to the portable subset of
@@ -295,9 +308,21 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "histogram; token stats come from the array expression, shuffle-free",
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The per-doc bigram histogram COULD be computed array-side with zero
+    # shuffle (the group key doc_id is row-local), but the needed
+    # array_sort + run-length aggregate are CodegenFallback higher-order
+    # functions — measured 9× slower in wall than the exchange shape at
+    # 10× data. The exchange shape's records are linear in the corpus
+    # (first exchange = distinct (doc, bigram) pairs; second ≤ first,
+    # one row per doc × occupied partition — a partition-width constant
+    # the 10×/30× rehearsal decomposed, not asymptotic growth), so the
+    # shuffles are kept and the JVM-codegen explode path stays hot.
+    # Improvement over the original shape: n_tokens / n_distinct are
+    # row-local array stats carried through the grouping keys as
+    # invariants, which deletes the separate tstats aggregate, its
+    # exchange, and the doc_id join the old plan paid for them.
     docs = load_table(spark, sf_dir, "documents")
     tokdf = docs.select("doc_id", tokens("text").alias("toks"))
-    # bigram histogram → per-doc totals (one shuffle on doc_id)
     bg = F.when(
         F.size("toks") >= 2,
         F.transform(
@@ -305,33 +330,30 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bgen, bkeep = explode_clean(bg, "g")
-    bgc = (
-        tokdf.select("doc_id", bgen).filter(bkeep)
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    agg = bgc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram_count")
-    )
-    # distinct/total token ratio straight off the token array — no shuffle
-    tstats = tokdf.select(
+    base = tokdf.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        bg.alias("bg"),
+    )
+    bgen, bkeep = explode_clean(F.col("bg"), "g")
+    per_doc = (
+        base.select("doc_id", "n_tokens", "n_distinct", bgen)
+        .filter(bkeep)
+        .groupBy("doc_id", "n_tokens", "n_distinct", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram_count"))
     )
     top_ratio = F.col("max_bigram_count") / F.col("n_bigrams")
     dist_ratio = F.col("n_distinct") / F.col("n_tokens")
-    return (
-        agg.join(tstats, "doc_id")
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "max_bigram_count",
-            F.round(top_ratio, 6).alias("top_bigram_ratio"),
-            F.round(dist_ratio, 6).alias("distinct_token_ratio"),
-            ((top_ratio > 0.05) | (dist_ratio < 0.3)).cast("int").alias("is_repetitive"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "max_bigram_count",
+        F.round(top_ratio, 6).alias("top_bigram_ratio"),
+        F.round(dist_ratio, 6).alias("distinct_token_ratio"),
+        ((top_ratio > 0.05) | (dist_ratio < 0.3)).cast("int").alias("is_repetitive"),
         # no orderBy: per-doc output scales with the corpus; don't global-sort it
     )
 

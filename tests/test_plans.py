@@ -446,3 +446,29 @@ def test_gate_store_never_shuffles_even_above_broadcast_threshold(spark, sf_dir)
     assert "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin LeftSemi" in plan, plan
     assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_token_stats_is_shuffle_free(spark, sf_dir):
+    """token_stats' group key (doc_id) is row-local — every token of a
+    doc lives in the doc's own text row — so the per-doc stats compute
+    array-side. The r6 text-family rehearsal measured the old explode +
+    groupBy(doc_id) count-distinct plan at 14.8×/50× shuffle records
+    (the second exchange emits one row per doc × occupied partition);
+    the array-native shape must stay a pure map stage: zero exchanges
+    at any corpus size."""
+    plan = plan_of(spark, "token_stats", sf_dir)
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_has_two_exchanges_and_no_join(spark, sf_dir):
+    """repetition_stats keeps the exchange shape (the zero-shuffle
+    array_sort + run-length alternative is CodegenFallback, measured 9×
+    slower in wall), but the row-local token stats ride the grouping
+    keys as invariants — the old separate tstats aggregate, its
+    exchange, and the doc_id join must stay gone: exactly two hash
+    exchanges (distinct (doc, bigram) pairs, then per-doc merge), no
+    join of any kind."""
+    plan = plan_of(spark, "repetition_stats", sf_dir)
+    assert plan.count("hashpartitioning") == 2, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
