@@ -178,6 +178,17 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
 RELATIONAL_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q18_large_volume_orders", "supplier_running_revenue",
+    # r6 join-matrix/analytic additions: Expand-based grouping sets and
+    # cube (one shuffle for all groupings — the Expand row blow-up is the
+    # thing to watch at scale), the pivot, the full window-fn vocabulary
+    # over o_custkey partitions (10× orders per customer = wider
+    # partitions, same key count), the fact×fact supplier rollup, and the
+    # decorrelated per-customer average (window over custkey, no
+    # self-join) — each a distinct physical shape the headline five
+    # don't exercise.
+    "grouping_sets_order_stats", "status_priority_cube",
+    "priority_status_pivot", "window_function_matrix",
+    "top_suppliers_revenue", "orders_above_customer_avg",
 ]
 
 # Events-family queries (funnel / event-time windows / time series): these
@@ -190,6 +201,21 @@ RELATIONAL_QUERIES = [
 EVENTS_QUERIES = [
     "conversion_funnel", "windowed_event_counts", "sliding_window_avg",
     "session_windows", "value_zscore_outliers", "resample_gapfill",
+    # r6 skew/temporal-join additions. salted_event_stats IS the skew
+    # story: event_type has ~6 keys, so the plain groupBy concentrates
+    # each key's volume on one reducer — the two-phase salted shape must
+    # show per-reducer work scaling by salt fan-out, not key count.
+    # value_percentiles is the documented exact-percentile contrast (full
+    # value shuffle to 6 reducers — linear but concentrated; the
+    # docstring's "swap for approx at 100 TB" trade made measurable).
+    # The as-of/range joins and SCD2 are sort-within-partition shapes the
+    # window family doesn't cover; user_id and ts both stride per replica
+    # so join key spaces grow with the data and replicas never
+    # cross-match.
+    "salted_event_stats", "value_percentiles", "value_mad_by_type",
+    "value_time_correlation", "asof_purchase_click",
+    "asof_nearest_signup_view", "range_join_error_context",
+    "user_purchase_scd2", "retention_cohort_matrix",
 ]
 
 
@@ -288,6 +314,16 @@ def main() -> None:
         build_relational_fixture(spark, sf_dir, out_dir)
     if need_events:
         build_events_fixture(spark, sf_dir, out_dir)
+    # Queries that go through register_views (spark.sql surface) load
+    # EVERY fixture table; copy any table the builders above didn't
+    # write verbatim — those are exactly the non-scaling sides, and a
+    # missing-parquet failure here would abort the sweep.
+    for name in os.listdir(sf_dir):
+        if name.endswith(".parquet") and not os.path.exists(
+            os.path.join(out_dir, name)
+        ):
+            spark.read.parquet(os.path.join(sf_dir, name)).write.mode(
+                "overwrite").parquet(os.path.join(out_dir, name))
 
     # warm codegen on the small scale first (same reasoning as bench.py);
     # time_queries itself then takes min-of-reps walls at each scale
