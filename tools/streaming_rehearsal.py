@@ -194,6 +194,69 @@ def drain(spark, replay_dir: str, name: str,
     }
 
 
+def drain_stateful(spark, replay_dir: str, name: str,
+                   expected_rows: int | None) -> dict:
+    """Drain the applyInPandasWithState running-totals path (T5, the
+    custom Arrow-batched stateful operator). Its state is O(distinct
+    event_type), ~6 keys BY CONSTRUCTION — the claims under test are
+    that state rows stay at key count (never stream length) at 10x
+    volume, and that per-batch trigger time stays flat across the drain
+    (the python state round-trip is per live key per batch, so deepening
+    history must not deepen per-batch cost)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stateful import (
+        start_running_totals,
+    )
+
+    progresses: list[dict] = []
+    listener = make_progress_listener(name, progresses)
+    spark.streams.addListener(listener)
+    t0 = time.perf_counter()
+    q = start_running_totals(read_replay_stream(spark, replay_dir), name)
+    try:
+        q.processAllAvailable()
+        total = time.perf_counter() - t0
+        settle_progress(progresses, expected_rows)
+        batches = []
+        for p in progresses:
+            if p["numInputRows"] == 0 and not p["stateOperators"]:
+                continue
+            so = p["stateOperators"][0] if p["stateOperators"] else {}
+            cm = so.get("customMetrics", {})
+            batches.append({
+                "batch": p["batchId"],
+                "rows": p["numInputRows"],
+                "trigger_ms": p["durationMs"].get("triggerExecution"),
+                "state_rows": so.get("numRowsTotal"),
+                "state_mem_bytes": so.get("memoryUsedBytes"),
+                "rocksdb_sst_bytes": cm.get("rocksdbSstFileSize"),
+            })
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    rows = [b for b in batches if b["rows"] > 0]
+    timed = [b for b in rows if b["trigger_ms"] is not None]
+    return {
+        "total_sec": round(total, 3),
+        "n_batches": len(rows),
+        "rows_drained": sum(b["rows"] for b in rows),
+        "peak_state_rows": max(((b["state_rows"] or 0) for b in rows), default=0),
+        "last_state_rows": rows[-1]["state_rows"] if rows else None,
+        # RocksDB memoryUsedBytes counts memtable + block-cache bytes,
+        # which accrete with COMMIT COUNT until flush/compaction (bounded
+        # by the 64 MB write buffer, not by stream length) — live rows and
+        # SST footprint are the state-size evidence, mem is reported for
+        # completeness only.
+        "peak_state_mem_mb": round(
+            max(((b["state_mem_bytes"] or 0) for b in rows), default=0) / 1e6, 3
+        ),
+        "peak_sst_mb": round(
+            max(((b["rocksdb_sst_bytes"] or 0) for b in rows), default=0) / 1e6, 3
+        ),
+        "late_vs_early_trigger_x": trigger_drift(timed),
+        "batches": batches,
+    }
+
+
 def main() -> None:
     global REPLICAS
     args = list(sys.argv[1:])
@@ -211,6 +274,14 @@ def main() -> None:
         i = args.index("--out")
         out_path = args[i + 1]
         del args[i : i + 2]
+    # --scenario stateful: ONLY the applyInPandasWithState drain, written
+    # as its own artifact — the windowed/gate artifact (and the COVERAGE
+    # numbers citing it) stays byte-stable.
+    scenario = "all"
+    if "--scenario" in args:
+        i = args.index("--scenario")
+        scenario = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     work = args[1] if len(args) > 1 else "/tmp/streaming_rehearsal"
     spark = get_spark("streaming-rehearsal")
@@ -220,6 +291,35 @@ def main() -> None:
     big_dir = os.path.join(work, "big_chunks")
     n_base = write_replay_chunks(spark, sf_dir, base_dir, n_chunks=chunks)
     n_big = build_big_events(spark, sf_dir, big_dir, n_chunks=chunks * REPLICAS)
+
+    if scenario == "stateful":
+        drain_stateful(spark, base_dir, "stateful_warm", None)
+        st_base = drain_stateful(spark, base_dir, "stateful_base", n_base)
+        st_big = drain_stateful(spark, big_dir, "stateful_big", n_big)
+        assert st_base["rows_drained"] == n_base, (st_base["rows_drained"], n_base)
+        assert st_big["rows_drained"] == n_big, (st_big["rows_drained"], n_big)
+        out = {
+            "rehearsal": f"streaming_stateful_{REPLICAS}x",
+            "replicas": REPLICAS,
+            "base": st_base,
+            "big": st_big,
+            "state_rows_scaling_x": (
+                round(st_big["peak_state_rows"] / st_base["peak_state_rows"], 2)
+                if st_base["peak_state_rows"] else None
+            ),
+            "state_mem_scaling_x": (
+                round(st_big["peak_state_mem_mb"] / st_base["peak_state_mem_mb"], 2)
+                if st_base["peak_state_mem_mb"] else None
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        summary = {k: v for k, v in out.items() if k not in ("base", "big")}
+        for k in ("base", "big"):
+            summary[k] = {kk: vv for kk, vv in out[k].items() if kk != "batches"}
+        print(json.dumps(summary))
+        return
 
     # warm lap (codegen + state-store provider init), then the measured laps
     drain(spark, base_dir, "rehearsal_warm", None)
