@@ -216,7 +216,9 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
                 except OSError:
                     return
                 with conn:
-                    if not go_evt.wait(timeout=300):
+                    # covers the warm-up's own 300s budget plus slack —
+                    # a timeout here would silently drop the payload
+                    if not go_evt.wait(timeout=360):
                         return
                     try:
                         conn.sendall(payload)
@@ -240,10 +242,15 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
                                      state_partitions=4)
             try:
                 # hold the payload until the warm-up batch committed (the
-                # deterministic-lap contract in the docstring above)
-                deadline = time.monotonic() + 300
-                while not q.recentProgress and time.monotonic() < deadline:
+                # deterministic-lap contract in the docstring above).
+                # The warm-up gets its OWN deadline: sharing one budget
+                # with the drain loop would let a slow warm-up eat the
+                # drain's 300s and raise a spurious "truncated" error on
+                # a healthy stream.
+                warm_deadline = time.monotonic() + 300
+                while not q.recentProgress and time.monotonic() < warm_deadline:
                     time.sleep(0.02)
+                deadline = time.monotonic() + 300
                 t0 = time.perf_counter()
                 go_evt.set()
                 # the socket source has no end-of-stream: poll cumulative

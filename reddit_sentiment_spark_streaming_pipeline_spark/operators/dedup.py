@@ -1296,7 +1296,17 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     join: ONE additional hash-partitioned exchange of the token-scale
     `win` frame on h — linear, sort-free, no driver/executor OOM risk —
     i.e. a fourth linear shuffle, not the default sort-merge the silent
-    auto-threshold fallback would pick."""
+    auto-threshold fallback would pick.
+
+    KNOWN TRADE of the measured gate: CONSTRUCTING this frame executes
+    the corpus→windows→aggregate pipeline (the localCheckpoint + count),
+    so a plan-only operation (df.explain(), tools/dump_plans.py) over
+    the span queries pays one real aggregate run, and constructing both
+    span queries in a session runs it twice. Memoizing the checkpointed
+    `rep` per (session, sf_dir) would fix that but make bench.py's
+    min-of-reps DISHONEST (rep 2 would reuse rep 1's materialization and
+    under-report the query's real cost), so the per-construction run is
+    kept — the same trade _pair_docset_join already makes."""
     corpus = dedup_corpus(spark, sf_dir)
     base = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= SPAN_NGRAM

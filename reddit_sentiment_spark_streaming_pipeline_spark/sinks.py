@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,7 +57,22 @@ def _pid_scratch_dir(kind: str, sf_dir: str) -> str:
     if os.path.isdir(parent):
         for d in os.listdir(parent):
             p = os.path.join(parent, d)
-            if not (d.startswith(prefix) and os.path.isdir(p)):
+            if not os.path.isdir(p):
+                continue
+            if d == prefix.rstrip("_"):
+                # legacy fixed-path dir from the pre-pid-keyed scheme
+                # ("<kind>_<sf>" with no pid suffix, left behind by an
+                # older checkout): no owner pid to probe, so reap on
+                # age — a live legacy writer rewrites its dir per run,
+                # so >2h-stale means abandoned, not in use
+                try:
+                    stale = time.time() - os.path.getmtime(p) > 2 * 3600
+                except OSError:
+                    continue
+                if stale:
+                    shutil.rmtree(p, ignore_errors=True)
+                continue
+            if not d.startswith(prefix):
                 continue
             try:
                 owner = int(d[len(prefix):])

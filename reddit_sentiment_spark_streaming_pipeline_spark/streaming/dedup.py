@@ -92,7 +92,14 @@ def _store_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
-def novel_against_store(firsts: DataFrame, store: DataFrame) -> DataFrame:
+# Most batch fingerprints we'd ever pin executor-resident: md5 hex +
+# join-row overhead ≈ 80 B/row, 2M rows ≈ 160 MB — same sizing logic as
+# the span join-back's SPAN_REP_BROADCAST_MAX (operators/dedup.py).
+GATE_BATCH_BROADCAST_MAX = 2_000_000
+
+
+def novel_against_store(firsts: DataFrame, store: DataFrame,
+                        batch_rows: int | None = None) -> DataFrame:
     """Batch rows whose fingerprint is absent from the durable store.
 
     Inverted anti-join: a direct ``firsts LEFT ANTI store`` cannot
@@ -104,7 +111,20 @@ def novel_against_store(firsts: DataFrame, store: DataFrame) -> DataFrame:
     (left-semi, output bounded by batch size), and the anti join runs
     tiny-vs-tiny. The store is scanned once and never shuffled,
     whatever its size (plan-pinned in tests/test_plans.py).
+
+    The inversion pins the BATCH in every executor, so it is gated on
+    the measured batch size (``batch_rows``, the count gate_batch has
+    already paid for): a pathological batch (a backfill replay that
+    delivers the whole history in one trigger) above
+    GATE_BATCH_BROADCAST_MAX falls back to a sort-free shuffle-hash
+    anti join — the store shuffles once for THAT batch (linear,
+    slow-but-correct) instead of the broadcast OOM-ing the driver.
+    ``batch_rows=None`` (tests, plan dumps) keeps the broadcast shape.
     """
+    if batch_rows is not None and batch_rows > GATE_BATCH_BROADCAST_MAX:
+        return firsts.join(
+            store.hint("shuffle_hash"), "fingerprint", "left_anti"
+        )
     seen = store.join(
         F.broadcast(firsts.select("fingerprint")), "fingerprint", "left_semi"
     )
@@ -146,7 +166,8 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
             else None
         )
         admitted = (
-            firsts if store is None else novel_against_store(firsts, store)
+            firsts if store is None
+            else novel_against_store(firsts, store, batch_rows=n_batch)
         ).persist()
         try:
             n_admitted = admitted.count()

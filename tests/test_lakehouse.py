@@ -150,7 +150,20 @@ def test_scratch_reaper_spares_live_pids_reaps_dead_ones(tmp_path, monkeypatch):
     dead = parent / f"jsonl_sf0.01_{dead_pid}"
     dead.mkdir()
 
+    # legacy fixed-path dirs from the pre-pid-keyed scheme: no owner pid
+    # to probe, so age decides — stale (>2h) is reaped, fresh survives
+    # (a live old-code writer would have written recently)
+    legacy_stale = parent / "jsonl_sf0.01"
+    legacy_stale.mkdir()
+    os.utime(legacy_stale, (old, old))
+    legacy_fresh = parent / "csv_sf0.01"
+    legacy_fresh.mkdir()
+
     out = _pid_scratch_dir("jsonl", "/root/testdata/sf0.01")
     assert live.is_dir(), "live sibling was reaped"
     assert not dead.is_dir(), "dead sibling survived"
+    assert not legacy_stale.is_dir(), "stale legacy dir survived"
     assert out.endswith(f"jsonl_sf0.01_{os.getpid()}")
+    # the fresh legacy dir is for another kind; also check same-kind fresh
+    _pid_scratch_dir("csv", "/root/testdata/sf0.01")
+    assert legacy_fresh.is_dir(), "fresh legacy dir was reaped"

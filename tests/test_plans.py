@@ -448,6 +448,37 @@ def test_gate_store_never_shuffles_even_above_broadcast_threshold(spark, sf_dir)
     assert "BroadcastHashJoin LeftAnti" in plan, plan
 
 
+def test_gate_pathological_batch_falls_back_to_shuffle_hash(spark, sf_dir):
+    # a batch above GATE_BATCH_BROADCAST_MAX must NOT be broadcast (the
+    # inversion pins the batch executor-resident): the gated fallback is
+    # a sort-free shuffle-hash anti join — store shuffles once for that
+    # batch, no sort, no broadcast of either corpus-scale side
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import novel_against_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    firsts = docs.select("doc_id", "source", F.md5("text").alias("fingerprint"))
+    store = docs.select(F.md5("text").alias("fingerprint"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            novel_against_store(
+                firsts, store, batch_rows=3_000_000
+            ).explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin LeftAnti" in plan, plan
+
+
 def test_token_stats_is_shuffle_free(spark, sf_dir):
     """token_stats' group key (doc_id) is row-local — every token of a
     doc lives in the doc's own text row — so the per-doc stats compute

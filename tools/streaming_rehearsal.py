@@ -146,14 +146,21 @@ def trigger_drift(timed: list[dict]) -> float | None:
 
 
 def drain(spark, replay_dir: str, name: str,
-          expected_rows: int | None) -> dict:
+          expected_rows: int | None, start_fn=None) -> dict:
+    """Drain a replay through a stateful streaming query, recording the
+    per-batch trigger/state curve. `start_fn(stream, name)` starts the
+    query under test; default is the flagship windowed agg. One body for
+    every scenario — a metric added or a batch-filter fix lands in all
+    artifacts at once instead of drifting between near-copies."""
     progresses: list[dict] = []
     listener = make_progress_listener(name, progresses)
     spark.streams.addListener(listener)
     t0 = time.perf_counter()
-    q = start_windowed_query(
-        read_replay_stream(spark, replay_dir), name, state_partitions=8
-    )
+    if start_fn is None:
+        start_fn = lambda stream, n: start_windowed_query(  # noqa: E731
+            stream, n, state_partitions=8
+        )
+    q = start_fn(read_replay_stream(spark, replay_dir), name)
     try:
         q.processAllAvailable()
         total = time.perf_counter() - t0
@@ -203,58 +210,17 @@ def drain_stateful(spark, replay_dir: str, name: str,
     volume, and that per-batch trigger time stays flat across the drain
     (the python state round-trip is per live key per batch, so deepening
     history must not deepen per-batch cost)."""
+    # NOTE on the one growing reading in the committed artifact: RocksDB
+    # memoryUsedBytes counts memtable + block-cache bytes, which accrete
+    # with COMMIT COUNT until flush/compaction (bounded by the 64 MB
+    # write buffer, not by stream length) — live rows and SST footprint
+    # are the state-size evidence, mem is reported for completeness only.
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stateful import (
         start_running_totals,
     )
 
-    progresses: list[dict] = []
-    listener = make_progress_listener(name, progresses)
-    spark.streams.addListener(listener)
-    t0 = time.perf_counter()
-    q = start_running_totals(read_replay_stream(spark, replay_dir), name)
-    try:
-        q.processAllAvailable()
-        total = time.perf_counter() - t0
-        settle_progress(progresses, expected_rows)
-        batches = []
-        for p in progresses:
-            if p["numInputRows"] == 0 and not p["stateOperators"]:
-                continue
-            so = p["stateOperators"][0] if p["stateOperators"] else {}
-            cm = so.get("customMetrics", {})
-            batches.append({
-                "batch": p["batchId"],
-                "rows": p["numInputRows"],
-                "trigger_ms": p["durationMs"].get("triggerExecution"),
-                "state_rows": so.get("numRowsTotal"),
-                "state_mem_bytes": so.get("memoryUsedBytes"),
-                "rocksdb_sst_bytes": cm.get("rocksdbSstFileSize"),
-            })
-    finally:
-        q.stop()
-        spark.streams.removeListener(listener)
-    rows = [b for b in batches if b["rows"] > 0]
-    timed = [b for b in rows if b["trigger_ms"] is not None]
-    return {
-        "total_sec": round(total, 3),
-        "n_batches": len(rows),
-        "rows_drained": sum(b["rows"] for b in rows),
-        "peak_state_rows": max(((b["state_rows"] or 0) for b in rows), default=0),
-        "last_state_rows": rows[-1]["state_rows"] if rows else None,
-        # RocksDB memoryUsedBytes counts memtable + block-cache bytes,
-        # which accrete with COMMIT COUNT until flush/compaction (bounded
-        # by the 64 MB write buffer, not by stream length) — live rows and
-        # SST footprint are the state-size evidence, mem is reported for
-        # completeness only.
-        "peak_state_mem_mb": round(
-            max(((b["state_mem_bytes"] or 0) for b in rows), default=0) / 1e6, 3
-        ),
-        "peak_sst_mb": round(
-            max(((b["rocksdb_sst_bytes"] or 0) for b in rows), default=0) / 1e6, 3
-        ),
-        "late_vs_early_trigger_x": trigger_drift(timed),
-        "batches": batches,
-    }
+    return drain(spark, replay_dir, name, expected_rows,
+                 start_fn=start_running_totals)
 
 
 def main() -> None:
