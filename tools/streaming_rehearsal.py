@@ -28,6 +28,11 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
+           [--scenario all|stateful]
+
+--scenario stateful runs ONLY the applyInPandasWithState drain and
+writes its own artifact (REHEARSAL_r06_stateful.json shape), keeping
+the windowed/gate artifact byte-stable.
 """
 
 from __future__ import annotations
