@@ -52,9 +52,14 @@ def test_no_stale_classifications():
 
 def test_sibling_targets_are_directly_measured():
     arts = artifact_queries()
+    # the sibling target is the detail's leading identifier; prose after
+    # it (caveats, secondary siblings) is allowed
     dangling = [
         (n, target)
-        for n, (cls, target) in CLASSIFIED.items()
+        for n, (cls, target) in (
+            (n, (cls, detail.split()[0].rstrip(",;")))
+            for n, (cls, detail) in CLASSIFIED.items()
+        )
         if cls == "sibling" and target not in arts
     ]
     assert not dangling, f"sibling targets without artifact rows: {dangling}"

@@ -59,8 +59,8 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "ngram_jaccard_pairs": ("sibling", "minhash_near_dups"),
     "containment_pairs": ("sibling", "minhash_near_dups"),
     "split_leakage_pairs": ("sibling", "minhash_near_dups"),
-    "dedup_recall_eval": ("sibling", "minhash_near_dups"),
-    "ann_recall_eval": ("sibling", "cosine_topk"),
+    "dedup_recall_eval": ("sibling", "minhash_near_dups (candidate path); the exact n-gram ground-truth side is a documented test-scale validator"),
+    "ann_recall_eval": ("sibling", "cosine_topk (and ann_lsh_topk, both measured); the exact side is the documented test-scale baseline"),
     "ivf_cluster_sizes": ("sibling", "ivf_ann_topk"),
     "label_centroid_norms": ("sibling", "kmeans_refined_clusters"),
     "tfidf_word_stats": ("sibling", "tfidf_topk"),
