@@ -246,10 +246,19 @@ def time_streaming_socket_replay(spark, sf_dir: str) -> float:
                 # The warm-up gets its OWN deadline: sharing one budget
                 # with the drain loop would let a slow warm-up eat the
                 # drain's 300s and raise a spurious "truncated" error on
-                # a healthy stream.
-                warm_deadline = time.monotonic() + 300
+                # a healthy stream. 60s is already ~20x the observed
+                # warm-up; a louder, shorter failure beats a silent
+                # multi-minute stall if Spark ever stops emitting the
+                # zero-data batch-0 progress event this poll relies on.
+                warm_deadline = time.monotonic() + 60
                 while not q.recentProgress and time.monotonic() < warm_deadline:
                     time.sleep(0.02)
+                if not q.recentProgress:
+                    print(
+                        f"WARN socket replay rep {rep}: no batch-0 progress "
+                        "event within 60s warm-up; proceeding anyway",
+                        file=sys.stderr,
+                    )
                 deadline = time.monotonic() + 300
                 t0 = time.perf_counter()
                 go_evt.set()

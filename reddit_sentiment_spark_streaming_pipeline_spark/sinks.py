@@ -80,12 +80,18 @@ def _pid_scratch_dir(kind: str, sf_dir: str) -> str:
                 continue
             if owner == os.getpid():
                 continue
+            # the parent lives in world-writable /tmp: a sibling dir with
+            # an out-of-range numeric suffix (no real pid is > 2^22-ish,
+            # but cap at C pid_t) would make os.kill raise OverflowError
+            # and crash every round-trip query in the process — skip it
+            if not (0 < owner < 2**31):
+                continue
             try:
                 os.kill(owner, 0)  # signal 0: existence probe only
             except ProcessLookupError:
                 shutil.rmtree(p, ignore_errors=True)
-            except PermissionError:
-                pass  # alive, other uid
+            except OSError:
+                pass  # alive-other-uid (EPERM) or any other probe failure
     out = os.path.join(parent, prefix + str(os.getpid()))
     shutil.rmtree(out, ignore_errors=True)
     return out

@@ -149,6 +149,11 @@ def test_scratch_reaper_spares_live_pids_reaps_dead_ones(tmp_path, monkeypatch):
         dead_pid = int(f.read().strip()) + 1
     dead = parent / f"jsonl_sf0.01_{dead_pid}"
     dead.mkdir()
+    # a HOSTILE sibling in the world-writable parent: a pid suffix beyond
+    # C pid_t would make a naive os.kill probe raise OverflowError and
+    # crash every round-trip query in the process — it must be skipped
+    hostile = parent / "jsonl_sf0.01_99999999999999999999"
+    hostile.mkdir()
 
     # legacy fixed-path dirs from the pre-pid-keyed scheme: no owner pid
     # to probe, so age decides — stale (>2h) is reaped, fresh survives
@@ -162,6 +167,7 @@ def test_scratch_reaper_spares_live_pids_reaps_dead_ones(tmp_path, monkeypatch):
     out = _pid_scratch_dir("jsonl", "/root/testdata/sf0.01")
     assert live.is_dir(), "live sibling was reaped"
     assert not dead.is_dir(), "dead sibling survived"
+    assert hostile.is_dir(), "oversized-pid dir should be skipped, not probed"
     assert not legacy_stale.is_dir(), "stale legacy dir survived"
     assert out.endswith(f"jsonl_sf0.01_{os.getpid()}")
     # the fresh legacy dir is for another kind; also check same-kind fresh

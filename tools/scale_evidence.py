@@ -121,7 +121,18 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
 
 
 def artifact_queries() -> set[str]:
-    """Names directly measured in any committed REHEARSAL_*.json."""
+    """REGISTERED query names directly measured in any committed
+    REHEARSAL_*.json.
+
+    The streaming/stateful artifacts reuse the ``base``/``big`` keys for
+    metric maps (total_sec, rows_drained, ...), so the harvest is
+    intersected with the live registry — otherwise those metric names
+    would be admitted as "directly measured queries", silently weakening
+    the sibling-integrity and shadowing guards in
+    tests/test_scale_evidence.py."""
+    from reddit_sentiment_spark_streaming_pipeline_spark import registry
+
+    registered = set(registry.load_all())
     names = set()
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "REHEARSAL_*.json"))):
         try:
@@ -135,7 +146,7 @@ def artifact_queries() -> set[str]:
                 names |= {
                     k for k, vv in v.items() if isinstance(vv, (dict, int, float))
                 }
-    return names
+    return names & registered
 
 
 def build_map() -> dict[str, tuple[str, str]]:
