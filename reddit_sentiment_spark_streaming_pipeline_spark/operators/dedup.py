@@ -352,17 +352,24 @@ def _pair_docset_join(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     # lineage cut (reliable checkpoint on a lossy cluster). NOTE: this
     # makes plan construction eager (it runs the candidate pipeline); the
     # persisted intermediates it leaves behind are tracked in
-    # _LIVE_PERSISTS — see release_verify_caches().
-    pairs = pairs.localCheckpoint()
+    # _LIVE_PERSISTS — see release_verify_caches(). Plan-only callers
+    # (tools/dump_plans.py) set SPARK_GRAFT_ASSUME_BROADCAST=1 to skip
+    # the materialization and the measured gate count below.
+    if not _assume_broadcast():
+        pairs = pairs.localCheckpoint()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     # ~50k docs × ~5 KB shingle arrays ≈ 250 MB: the most we'd ever want
-    # executor-resident per join side.
-    n_cand = cand_docs.count()
-    small = n_cand <= 50_000
+    # executor-resident per join side. Env override (rehearsal-only, see
+    # _env_gate) lets the scale sweep force the shuffle-hash regime and
+    # measure its linearity directly; the plan-dump hatch skips the
+    # measured count and assumes the default (broadcast) regime.
+    small = _assume_broadcast() or (
+        cand_docs.count() <= _env_gate("SPARK_GRAFT_PAIR_BROADCAST_MAX", 50_000)
+    )
     # persist: docsets feeds both join inputs below; recomputing it means
     # re-shingling the corpus twice. It cannot be unpersisted here (the
     # returned frame is lazy and still needs it), so it is tracked in
@@ -1191,6 +1198,40 @@ SPAN_NGRAM = 8
 # (see _span_frame).
 SPAN_REP_BROADCAST_MAX = 2_000_000
 
+
+def _env_gate(env_name: str, default: int) -> int:
+    """Measured-gate threshold with an env override.
+
+    The overrides exist for the scale rehearsals: setting the gate to 0
+    (e.g. SPARK_GRAFT_SPAN_REP_BROADCAST_MAX=0) forces the post-switch
+    shuffle-hash regime on the normal fixture, so its LINEARITY can be
+    measured directly instead of inferred from the plan-pinned fallback
+    shape. Unset (the default everywhere, incl. bench.py and the driver),
+    behavior is byte-identical to the hard-coded constant."""
+    import os
+
+    raw = os.environ.get(env_name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        return default
+
+
+def _assume_broadcast() -> bool:
+    """Plan-dump escape hatch (SPARK_GRAFT_ASSUME_BROADCAST=1): skip the
+    measured broadcast gates' eager localCheckpoint+count so plan-only
+    operations (df.explain(), tools/dump_plans.py) run in O(plan) time.
+    The dumped plan then shows the default (broadcast) regime with the
+    gate's input subtree inlined instead of read from a checkpoint.
+    NEVER set for bench.py or the correctness sweeps — the eager
+    materialization is part of the measured query cost and the honest
+    min-of-reps story (see _span_frame's docstring)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ASSUME_BROADCAST") == "1"
+
 # Shared CTE chain: corpus -> windows -> cross-doc repeated hashes ->
 # island-merged spans. Used by the span query and the removal-accounting
 # query so the two oracles cannot drift.
@@ -1306,7 +1347,10 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     `rep` per (session, sf_dir) would fix that but make bench.py's
     min-of-reps DISHONEST (rep 2 would reuse rep 1's materialization and
     under-report the query's real cost), so the per-construction run is
-    kept — the same trade _pair_docset_join already makes."""
+    kept — the same trade _pair_docset_join already makes. Plan-only
+    callers can set SPARK_GRAFT_ASSUME_BROADCAST=1 (see
+    _assume_broadcast) to skip the eager gate entirely; bench.py and the
+    correctness sweeps never set it."""
     corpus = dedup_corpus(spark, sf_dir)
     base = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= SPAN_NGRAM
@@ -1326,11 +1370,17 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
         .filter(F.col("mn") != F.col("mx"))
         .select("h")
-    ).localCheckpoint()
-    if rep.count() <= SPAN_REP_BROADCAST_MAX:
+    )
+    if _assume_broadcast():  # plan-dump escape hatch: O(plan), no count
         rep = F.broadcast(rep)
-    else:  # boilerplate-heavy corpus: see the gate story in the docstring
-        rep = rep.hint("shuffle_hash")
+    else:
+        rep = rep.localCheckpoint()
+        gate = _env_gate("SPARK_GRAFT_SPAN_REP_BROADCAST_MAX",
+                         SPAN_REP_BROADCAST_MAX)
+        if rep.count() <= gate:
+            rep = F.broadcast(rep)
+        else:  # boilerplate-heavy corpus: see the gate story above
+            rep = rep.hint("shuffle_hash")
     hits = win.join(rep, "h").select("doc_id", "pos")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     prev_cov = F.max(F.col("pos") + SPAN_NGRAM).over(

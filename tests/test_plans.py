@@ -407,6 +407,42 @@ def test_span_joinback_broadcast_is_gated(spark, sf_dir, monkeypatch):
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
+    # the rehearsal env override must force the same fallback without
+    # touching the module constant (how the scale sweep measures the
+    # post-switch regime's linearity)
+    monkeypatch.undo()
+    monkeypatch.setenv("SPARK_GRAFT_SPAN_REP_BROADCAST_MAX", "0")
+    df = dd._span_frame(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_span_assume_broadcast_hatch_is_plan_only(spark, sf_dir, monkeypatch):
+    # SPARK_GRAFT_ASSUME_BROADCAST=1 (the tools/dump_plans.py escape
+    # hatch) must construct the span frame WITHOUT executing the gate's
+    # aggregate: no localCheckpoint call, and the plan still shows the
+    # default broadcast regime.
+    from pyspark.sql import DataFrame
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import dedup as dd
+
+    monkeypatch.setenv("SPARK_GRAFT_ASSUME_BROADCAST", "1")
+
+    def _boom(self, *a, **kw):  # any eager materialization is a failure
+        raise AssertionError("localCheckpoint executed under the plan-only hatch")
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", _boom)
+    df = dd._span_frame(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
 
 def test_q5_customer_scan_prunes_to_join_columns(spark, sf_dir):
     # the customer broadcast must carry only the two join columns — a
