@@ -3,15 +3,19 @@ growing fingerprint store — the streaming twin of the batch
 `incremental_dedup_gate` (operators/curation.py).
 
 Each micro-batch of incoming documents computes md5 fingerprints,
-anti-joins the durable fingerprint store (parquet), appends only the
-newly-admitted fingerprints back to the store, and records one stats row
-per batch. Micro-batches execute sequentially, so the read-check-append
-cycle is race-free; and because the gate checks MEMBERSHIP (not counts),
-a replayed batch finds its own fingerprints already present and admits
-nothing — admission is idempotent under the retry semantics foreachBatch
-actually has. Stats are idempotent too: each batch overwrites its own
-`batch_id=N` partition, so a replay repairs rather than duplicates its
-row.
+anti-joins the durable fingerprint store (parquet), writes the
+newly-admitted fingerprints into the store under the batch's OWN
+`batch_id=N` partition, and records one stats row per batch.
+Micro-batches execute sequentially, so the read-check-append cycle is
+race-free. Replay (foreachBatch's actual retry semantics: a crash after
+the side effects but before the checkpoint commit re-runs the batch) is
+DETERMINISTICALLY idempotent: the anti-join reads only partitions
+`batch_id < N` — never the batch's own possibly-partial partition — so
+the replay recomputes the identical admitted set and mode("overwrite")
+on its own partition repairs any partial write. Stats follow the same
+per-partition overwrite, so a replayed batch's row keeps the TRUE
+admitted count (a membership-only gate would repair it to 0 — the
+store would stay right but the accounting would lie).
 
 At 100 TB the store is a fingerprint-only table: 16-byte keys, orders of
 magnitude smaller than the corpus. The per-batch anti-join shuffles only
@@ -36,6 +40,10 @@ from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import _order_files_by_name
 
 DOC_CHUNK_SCHEMA = "doc_id bigint, text string, source string"
+
+# Durable fingerprint store layout: data columns + the batch-owned
+# partition column (from the batch_id=N directory names).
+STORE_SCHEMA = "fingerprint string, doc_id bigint, source string, batch_id bigint"
 
 
 def write_doc_chunks(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -160,8 +168,16 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
             .drop("rn")
         )
         n_batch = fps.count()
+        # Explicit schema (no footer inference: a killed run can leave a
+        # partial part file in THIS batch's partition, and inference might
+        # sample exactly that file); batch_id < N prunes the batch's own
+        # partition out of the scan entirely, so a replay anti-joins the
+        # same store state the original run saw.
         store = (
-            spark.read.parquet(store_dir).select("fingerprint")
+            spark.read.schema(STORE_SCHEMA)
+            .parquet(store_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .select("fingerprint")
             if _store_path_exists(spark, store_dir)
             else None
         )
@@ -171,10 +187,13 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         ).persist()
         try:
             n_admitted = admitted.count()
+            # batch-owned partition + overwrite = deterministic replay
+            # idempotence (see module docstring); partition-column typing
+            # comes from the directory name, matching STORE_SCHEMA
             (
                 admitted.select("fingerprint", "doc_id", "source")
-                .write.mode("append")
-                .parquet(store_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
             )
         finally:
             admitted.unpersist()
@@ -196,14 +215,28 @@ def read_gate_stats(spark: SparkSession, out_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_root, "gate_stats"))
 
 
-def start_dedup_gate(docs_stream: DataFrame, out_root: str) -> StreamingQuery:
-    """foreachBatch gate with a durable checkpoint under the output root."""
+def start_dedup_gate(docs_stream: DataFrame, out_root: str,
+                     after_batch_hook=None) -> StreamingQuery:
+    """foreachBatch gate with a durable checkpoint under the output root.
+
+    ``after_batch_hook(batch_id)``, if given, runs after the batch's side
+    effects (store partition + stats row written) but BEFORE Structured
+    Streaming commits the batch to the checkpoint — a hook that raises
+    lands the crash in exactly the window where foreachBatch's replay
+    semantics bite. Used by the chaos scenario in
+    tools/streaming_rehearsal.py to prove kill/resume equivalence; never
+    set in production wiring.
+    """
     store_dir = os.path.join(out_root, "fingerprint_store")
     stats_dir = os.path.join(out_root, "gate_stats")
+
+    def _fn(df: DataFrame, bid: int) -> None:
+        gate_batch(df, bid, store_dir, stats_dir)
+        if after_batch_hook is not None:
+            after_batch_hook(bid)
+
     return (
-        docs_stream.writeStream.foreachBatch(
-            lambda df, bid: gate_batch(df, bid, store_dir, stats_dir)
-        )
+        docs_stream.writeStream.foreachBatch(_fn)
         .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
         .queryName("dedup_gate")
         .start()

@@ -74,6 +74,42 @@ def start_windowed_query(events: DataFrame, query_name: str = "windowed_counts",
             spark.conf.set(key, prev)
 
 
+def start_windowed_parquet_query(
+    events: DataFrame, out_root: str, query_name: str = "windowed_counts_pq",
+    state_partitions: int | None = None,
+) -> StreamingQuery:
+    """The windowed agg with a DURABLE parquet sink + checkpoint.
+
+    This is the exactly-once shape (T6): the FileStreamSink commits each
+    micro-batch's files atomically through its _spark_metadata log, so a
+    crash mid-batch leaves only orphan files that a batch read of the
+    sink directory ignores, and a restart from the checkpoint re-emits
+    exactly the missing batches. The memory-sink variant
+    (start_windowed_query) is for tests/benches; THIS is what a
+    deployment runs. Restart-resume equivalence is proven end-to-end by
+    the chaos scenario in tools/streaming_rehearsal.py (kill mid-drain,
+    resume, byte-equal results vs an uninterrupted run).
+    """
+    spark = events.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        return (
+            windowed_counts_stream(events)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(out_root, "windowed"))
+            .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+            .queryName(query_name)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, prev)
+
+
 # ------------------------------------------------- stream-stream join
 
 JOIN_LOOKBACK = "10 minutes"  # clicks buffered this long behind a purchase

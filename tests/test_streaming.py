@@ -331,7 +331,8 @@ def test_streaming_dedup_gate_matches_batch_semantics(spark, tmp_path):
     # resubmits (+1M ids, exact copies) must never be the admitted doc —
     # their originals replay in earlier batches
     assert store.filter((F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000)).count() == 0
-    # replaying a batch against the finished store admits nothing
+    # replaying a batch's CONTENT under a new batch id against the
+    # finished store admits nothing (cross-batch membership rejection)
     import glob
 
     first_chunk = sorted(glob.glob(f"{chunk_dir}/*.parquet"))[0]
@@ -340,6 +341,19 @@ def test_streaming_dedup_gate_matches_batch_semantics(spark, tmp_path):
     stats2 = spark.read.parquet(f"{out_root}/gate_stats").toPandas()
     assert stats2[stats2.batch_id == 99].n_admitted.iloc[0] == 0
     assert spark.read.parquet(f"{out_root}/fingerprint_store").count() == n_distinct
+
+    # replaying batch 0 under its OWN id (foreachBatch's real retry shape:
+    # crash after side effects, before checkpoint commit) must recompute
+    # the identical admitted set and keep the TRUE stats row — the
+    # batch-owned store partition is overwritten, never double-appended
+    # and never repaired to a lying 0
+    admitted_b0 = stats.set_index("batch_id").n_admitted.loc[0]
+    gate_batch(replay, 0, f"{out_root}/fingerprint_store", f"{out_root}/gate_stats")
+    stats3 = spark.read.parquet(f"{out_root}/gate_stats").toPandas()
+    assert stats3[stats3.batch_id == 0].n_admitted.iloc[0] == admitted_b0
+    store3 = spark.read.parquet(f"{out_root}/fingerprint_store")
+    assert store3.count() == n_distinct
+    assert store3.select("fingerprint").distinct().count() == n_distinct
 
 
 def test_streaming_dedup_gate_survives_restart(spark, tmp_path):

@@ -7,6 +7,11 @@ the queries themselves; comparison allows a tiny absolute tolerance to
 absorb residual representation noise.
 
 Usage:  python tools/check.py [sf_dir] [query ...]
+
+Env axes: CHECK_HOSTILE=1 uses a driver-like default session (no UTC pin,
+no tuned confs — combine with TZ=America/New_York); CHECK_ADVERSARIAL_CONF=1
+additionally sets spark.sql.shuffle.partitions=7 and disables AQE, catching
+any partition-count- or AQE-dependent result.
 """
 
 from __future__ import annotations
@@ -133,6 +138,13 @@ def main() -> int:
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("WARN")
+        if os.environ.get("CHECK_ADVERSARIAL_CONF"):
+            # beyond-the-driver adversarial axis: a prime partition count
+            # and no AQE, so any result that depends on partition layout
+            # or on AQE coalescing (keep-last/top-k tie-breaks, implicit
+            # ordering) surfaces as a value mismatch
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
     else:
         spark = get_spark("check")
     con = duck_con(sf_dir)

@@ -105,6 +105,47 @@ def shuffle_write_bytes(spark) -> int:
     return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
 
 
+# --skew zipf[:s] — Zipf key mode (VERDICT r6 item 6). None = uniform
+# replication (the default, preserving the base key distribution).
+SKEW_S: float | None = None
+_ZIPF_BUCKETS = 65536
+
+
+def _zipf_bucket_array(n_keys: int, s: float) -> list[int]:
+    """Quantized inverse-CDF lookup for Zipf(s) over ranks 0..n_keys-1:
+    entry b holds the rank whose CDF interval covers u=(b+0.5)/B. Driver-
+    side numpy over at most _ZIPF_BUCKETS entries; ranks whose probability
+    mass is below 1/B collapse into their neighbors — fine for a skew
+    fixture, whose point is the HEAD (top-rank share ~ (1-s)-power law),
+    not the deep tail."""
+    import numpy as np
+
+    n_keys = max(1, n_keys)
+    w = 1.0 / np.power(np.arange(1, n_keys + 1, dtype=np.float64), s)
+    cdf = np.cumsum(w) / w.sum()
+    u = (np.arange(_ZIPF_BUCKETS, dtype=np.float64) + 0.5) / _ZIPF_BUCKETS
+    return np.searchsorted(cdf, u).astype("int64").tolist()
+
+
+def _with_zipf_rank(df, n_keys: int, s: float, out_col: str, seed_col: str,
+                    salt: int = 42):
+    """Add `out_col` = Zipf(s)-distributed rank in [0, n_keys), drawn
+    deterministically from xxhash64(seed_col, salt) — distinct salts keep
+    two draws over the same seed column independent. The lookup array
+    rides in as a broadcast one-row frame (not a plan literal), so the
+    plan stays readable and the array ships once per executor."""
+    spark = df.sparkSession
+    zb = spark.createDataFrame(
+        [(_zipf_bucket_array(n_keys, s),)], "__zb array<bigint>"
+    )
+    bucket = F.pmod(F.xxhash64(seed_col, F.lit(salt)), F.lit(_ZIPF_BUCKETS))
+    return (
+        df.crossJoin(F.broadcast(zb))
+        .withColumn(out_col, F.element_at("__zb", (bucket + 1).cast("int")))
+        .drop("__zb")
+    )
+
+
 def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     # rotation k % 36 degenerates to the identity at k=36 (and collides
     # for any k1 ≡ k2 mod 36), silently reintroducing byte-identical
@@ -235,6 +276,31 @@ def build_events_fixture(spark, sf_dir: str, out_dir: str) -> None:
             "event_type", "value", "props",
         )
     )
+    if SKEW_S is not None:
+        # Zipf key mode: redraw user_id over a key domain that still grows
+        # with the data (REPLICAS x the base user count) but concentrates
+        # volume on the head ranks; event_type redraws over its existing
+        # values with the same law (one type ends up with ~half the rows).
+        # Draw seeds come from event_id, so the mapping is deterministic
+        # and replicas don't share head users (event_id is strided).
+        n_users = ev.select("user_id").distinct().count() * REPLICAS
+        types = sorted(
+            r[0] for r in ev.select("event_type").distinct().collect()
+        )
+        big = (
+            _with_zipf_rank(big, n_users, SKEW_S, "__u", "event_id")
+            .withColumn("user_id", F.col("__u") + 1)
+            .drop("__u")
+        )
+        type_arr = F.array(*[F.lit(t) for t in types])
+        big = (
+            _with_zipf_rank(big, len(types), SKEW_S, "__t", "event_id", salt=7)
+            .withColumn(
+                "event_type",
+                F.element_at(type_arr, (F.col("__t") + 1).cast("int")),
+            )
+            .drop("__t")
+        )
     big.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 _RELATIONAL_COPY = ["customer", "supplier", "nation", "region", "part"]
 
@@ -253,7 +319,21 @@ def build_relational_fixture(spark, sf_dir: str, out_dir: str) -> None:
         ]
         return df.crossJoin(F.broadcast(stride)).crossJoin(rep).select(*cols)
 
-    shifted(o, "o_orderkey").write.mode("overwrite").parquet(
+    big_o = shifted(o, "o_orderkey")
+    if SKEW_S is not None:
+        # Zipf key mode: redraw o_custkey over the customer key domain
+        # (TPC-H custkeys are dense 1..N, so rank+1 IS a valid custkey) —
+        # the head customer owns a power-law share of all orders, which
+        # is what skews window_function_matrix's o_custkey partitions.
+        n_cust = spark.read.parquet(
+            os.path.join(sf_dir, "customer.parquet")
+        ).agg(F.max("c_custkey")).collect()[0][0]
+        big_o = (
+            _with_zipf_rank(big_o, int(n_cust), SKEW_S, "__c", "o_orderkey")
+            .withColumn("o_custkey", F.col("__c") + 1)
+            .drop("__c")
+        )
+    big_o.write.mode("overwrite").parquet(
         os.path.join(out_dir, "orders.parquet"))
     shifted(li, "l_orderkey").write.mode("overwrite").parquet(
         os.path.join(out_dir, "lineitem.parquet"))
@@ -285,8 +365,18 @@ def time_queries(spark, specs, sf_dir: str, reps: int = 2) -> dict[str, dict]:
     return out
 
 
+def _forced_gates() -> dict[str, str]:
+    """Broadcast-gate env overrides in effect (operators/dedup.py
+    _env_gate) — recorded in the artifact so a forced-fallback rehearsal
+    can never be mistaken for the default regime."""
+    return {
+        k: v for k, v in os.environ.items()
+        if k.startswith("SPARK_GRAFT_") and k.endswith("_BROADCAST_MAX")
+    }
+
+
 def main() -> None:
-    global REPLICAS, QUERIES
+    global REPLICAS, QUERIES, SKEW_S
     args = list(sys.argv[1:])
     if "--replicas" in args:
         i = args.index("--replicas")
@@ -295,6 +385,13 @@ def main() -> None:
     if "--queries" in args:
         i = args.index("--queries")
         QUERIES = args[i + 1].split(",")
+        del args[i:i + 2]
+    if "--skew" in args:
+        i = args.index("--skew")
+        spec = args[i + 1]
+        if not spec.startswith("zipf"):
+            raise SystemExit(f"unknown --skew mode: {spec} (want zipf[:s])")
+        SKEW_S = float(spec.split(":", 1)[1]) if ":" in spec else 1.2
         del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     out_dir = args[1] if len(args) > 1 else "/tmp/scale_rehearsal_sf1"
@@ -308,27 +405,44 @@ def main() -> None:
     )
     need_rel = any(q in RELATIONAL_QUERIES for q in QUERIES)
     need_events = any(q in EVENTS_QUERIES for q in QUERIES)
-    if need_docs:
-        build_fixture(spark, sf_dir, out_dir)
-    if need_rel:
-        build_relational_fixture(spark, sf_dir, out_dir)
-    if need_events:
-        build_events_fixture(spark, sf_dir, out_dir)
-    # Queries that go through register_views (spark.sql surface) load
-    # EVERY fixture table; copy any table the builders above didn't
-    # write verbatim — those are exactly the non-scaling sides, and a
-    # missing-parquet failure here would abort the sweep.
-    for name in os.listdir(sf_dir):
-        if name.endswith(".parquet") and not os.path.exists(
-            os.path.join(out_dir, name)
-        ):
-            spark.read.parquet(os.path.join(sf_dir, name)).write.mode(
-                "overwrite").parquet(os.path.join(out_dir, name))
+
+    def build_all(dest: str) -> None:
+        if need_docs:
+            build_fixture(spark, sf_dir, dest)
+        if need_rel:
+            build_relational_fixture(spark, sf_dir, dest)
+        if need_events:
+            build_events_fixture(spark, sf_dir, dest)
+        # Queries that go through register_views (spark.sql surface) load
+        # EVERY fixture table; copy any table the builders above didn't
+        # write verbatim — those are exactly the non-scaling sides, and a
+        # missing-parquet failure here would abort the sweep.
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet") and not os.path.exists(
+                os.path.join(dest, name)
+            ):
+                spark.read.parquet(os.path.join(sf_dir, name)).write.mode(
+                    "overwrite").parquet(os.path.join(dest, name))
+
+    build_all(out_dir)
+    # Under --skew the BASE must be skew-shaped too (the scaling ratio is
+    # only meaningful between same-shaped distributions): build a 1x
+    # zipf-keyed copy of the base and time against it instead of sf_dir.
+    base_dir = sf_dir
+    if SKEW_S is not None:
+        base_dir = out_dir.rstrip("/") + "_base1x"
+        shutil.rmtree(base_dir, ignore_errors=True)
+        saved = REPLICAS
+        REPLICAS = 1
+        try:
+            build_all(base_dir)
+        finally:
+            REPLICAS = saved
 
     # warm codegen on the small scale first (same reasoning as bench.py);
     # time_queries itself then takes min-of-reps walls at each scale
-    time_queries(spark, specs, sf_dir, reps=1)  # codegen warmup
-    base = time_queries(spark, specs, sf_dir)
+    time_queries(spark, specs, base_dir, reps=1)  # codegen warmup
+    base = time_queries(spark, specs, base_dir)
     big = time_queries(spark, specs, out_dir)
 
     kinds = {
@@ -339,7 +453,11 @@ def main() -> None:
     }
     kind = kinds.pop() if len(kinds) == 1 else "mixed"
     print(json.dumps({
-        "rehearsal": f"{kind}_{REPLICAS}x",
+        "rehearsal": f"{kind}_{REPLICAS}x" + (
+            f"_zipf{SKEW_S}" if SKEW_S is not None else ""
+        ) + ("_forced_fallback" if _forced_gates() else ""),
+        **({"skew": {"law": "zipf", "s": SKEW_S}} if SKEW_S is not None else {}),
+        **({"forced_gates": _forced_gates()} if _forced_gates() else {}),
         "replicas": REPLICAS,
         "base": base,
         "big": big,

@@ -28,11 +28,23 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful]
+           [--scenario all|stateful|join|chaos] [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
 writes its own artifact (REHEARSAL_r06_stateful.json shape), keeping
 the windowed/gate artifact byte-stable.
+
+--scenario join drains the watermarked stream-stream interval join
+(purchase x click) at base and REPLICASx volume, recording live state
+rows per batch — state must track rate x lookback, not stream length.
+
+--scenario chaos proves kill/resume exactly-once at REPLICASx volume:
+the durable windowed agg is hard-stopped mid-drain and resumed from its
+checkpoint (sink row multiset must equal an uninterrupted control run),
+and the dedup gate gets a crash INJECTED after batch N's side effects
+but before its checkpoint commit (store membership + per-batch stats
+must equal the control). --kill-after-batch overrides the default kill
+point (one third of the drain).
 """
 
 from __future__ import annotations
@@ -253,15 +265,91 @@ def main() -> None:
         i = args.index("--scenario")
         scenario = args[i + 1]
         del args[i : i + 2]
+    kill_after = None
+    if "--kill-after-batch" in args:
+        i = args.index("--kill-after-batch")
+        kill_after = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     work = args[1] if len(args) > 1 else "/tmp/streaming_rehearsal"
     spark = get_spark("streaming-rehearsal")
 
     shutil.rmtree(work, ignore_errors=True)
+
+    if scenario == "chaos":
+        # kill/resume exactly-once at 10x volume: the durable windowed agg
+        # (FileStreamSink) and the dedup gate (foreachBatch side effects)
+        big_dir = os.path.join(work, "big_chunks")
+        n_big = build_big_events(spark, sf_dir, big_dir,
+                                 n_chunks=chunks * REPLICAS)
+        ka_w = kill_after if kill_after is not None else (chunks * REPLICAS) // 3
+        windowed = chaos_windowed(spark, big_dir, work, n_big, ka_w)
+
+        big_docs_dir = os.path.join(work, "big_docs")
+        import tools.scale_rehearsal as _sr
+
+        _sr.REPLICAS = REPLICAS
+        _sr.build_fixture(spark, sf_dir, big_docs_dir)
+        n_gate_chunks = chunks * REPLICAS
+        ka_g = kill_after if kill_after is not None else n_gate_chunks // 3
+        gate = chaos_gate(spark, big_docs_dir, work, n_gate_chunks, ka_g)
+
+        out = {
+            "rehearsal": f"streaming_chaos_{REPLICAS}x",
+            "replicas": REPLICAS,
+            "windowed": windowed,
+            "gate": gate,
+            "pass": (
+                windowed["sink_sym_diff_rows"] == 0
+                and windowed["chaos_input_rows"] == windowed["rows_expected"]
+                and gate["store_sym_diff"] == 0
+                and gate["stats_sym_diff_rows"] == 0
+                and gate["chaos_input_rows"] == gate["rows_expected"]
+                and gate["crashed_batch_replayed"]
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
     base_dir = os.path.join(work, "base_chunks")
     big_dir = os.path.join(work, "big_chunks")
     n_base = write_replay_chunks(spark, sf_dir, base_dir, n_chunks=chunks)
     n_big = build_big_events(spark, sf_dir, big_dir, n_chunks=chunks * REPLICAS)
+
+    if scenario == "join":
+        # the self-join scans the source once PER SIDE (purchases +
+        # clicks), so the stream's input accounting is 2x the fixture rows
+        drain_join(spark, base_dir, "join_warm", None)
+        j_base = drain_join(spark, base_dir, "join_base", 2 * n_base)
+        j_big = drain_join(spark, big_dir, "join_big", 2 * n_big)
+        assert j_base["rows_drained"] == 2 * n_base, (j_base["rows_drained"], n_base)
+        assert j_big["rows_drained"] == 2 * n_big, (j_big["rows_drained"], n_big)
+        out = {
+            "rehearsal": f"streaming_join_{REPLICAS}x",
+            "replicas": REPLICAS,
+            "lookback": "10 minutes",
+            "base": j_base,
+            "big": j_big,
+            "state_rows_scaling_x": (
+                round(j_big["peak_state_rows"] / j_base["peak_state_rows"], 2)
+                if j_base["peak_state_rows"] else None
+            ),
+            "state_mem_scaling_x": (
+                round(j_big["peak_state_mem_mb"] / j_base["peak_state_mem_mb"], 2)
+                if j_base["peak_state_mem_mb"] else None
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        summary = {k: v for k, v in out.items() if k not in ("base", "big")}
+        for k in ("base", "big"):
+            summary[k] = {kk: vv for kk, vv in out[k].items() if kk != "batches"}
+        print(json.dumps(summary))
+        return
 
     if scenario == "stateful":
         drain_stateful(spark, base_dir, "stateful_warm", None)
@@ -351,8 +439,42 @@ def main() -> None:
 
 # ---------------------------------------------------------------- gate
 
+def run_gate(spark, chunk_dir: str, out_root: str, n_rows: int | None,
+             after_batch_hook=None, allow_failure: bool = False):
+    """Start the gate over prebuilt chunks and drain; returns
+    (total_sec, progresses). With allow_failure, a StreamingQueryException
+    (the chaos hook's injected crash) is swallowed and the partial
+    progress curve returned — the caller restarts from the checkpoint."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream,
+        start_dedup_gate,
+    )
+
+    progresses: list[dict] = []
+    listener = make_progress_listener("dedup_gate", progresses)
+    spark.streams.addListener(listener)
+    t0 = time.perf_counter()
+    q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root,
+                         after_batch_hook=after_batch_hook)
+    try:
+        try:
+            q.processAllAvailable()
+            total = time.perf_counter() - t0
+            settle_progress(progresses, n_rows)
+        except StreamingQueryException:
+            if not allow_failure:
+                raise
+            total = time.perf_counter() - t0
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    return total, progresses
+
+
 def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
-               name: str) -> dict:
+               name: str, chunk_dir: str | None = None) -> dict:
     """Drain the incremental dedup gate over n_chunks micro-batches and
     record the per-batch trigger curve + store growth. Unlike the
     windowed agg (watermark-bounded state), the gate's state is the
@@ -363,28 +485,18 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
     import glob as _glob
 
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
-        read_doc_stream,
         read_gate_stats,
-        start_dedup_gate,
         write_doc_chunks,
     )
 
-    chunk_dir = os.path.join(work, f"{name}_chunks")
+    if chunk_dir is None:
+        chunk_dir = os.path.join(work, f"{name}_chunks")
+        n_rows = write_doc_chunks(spark, docs_sf_dir, chunk_dir,
+                                  n_chunks=n_chunks)
+    else:
+        n_rows = spark.read.parquet(chunk_dir).count()
     out_root = os.path.join(work, f"{name}_out")
-    n_rows = write_doc_chunks(spark, docs_sf_dir, chunk_dir, n_chunks=n_chunks)
-
-    progresses: list[dict] = []
-    listener = make_progress_listener("dedup_gate", progresses)
-    spark.streams.addListener(listener)
-    t0 = time.perf_counter()
-    q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
-    try:
-        q.processAllAvailable()
-        total = time.perf_counter() - t0
-        settle_progress(progresses, n_rows)
-    finally:
-        q.stop()
-        spark.streams.removeListener(listener)
+    total, progresses = run_gate(spark, chunk_dir, out_root, n_rows)
     batches = [
         {
             "batch": p["batchId"],
@@ -407,7 +519,10 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
             b["rejected"] = int(s["n_rejected"])
     store_bytes = sum(
         os.path.getsize(f)
-        for f in _glob.glob(os.path.join(out_root, "fingerprint_store", "*.parquet"))
+        for f in _glob.glob(
+            os.path.join(out_root, "fingerprint_store", "**", "*.parquet"),
+            recursive=True,
+        )
     )
     timed = [b for b in batches if b["trigger_ms"] is not None]
     return {
@@ -420,6 +535,199 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
         "late_vs_early_trigger_x": trigger_drift(timed),
         "batches": batches,
     }
+
+
+# ---------------------------------------------------------------- chaos
+
+def chaos_windowed(spark, replay_dir: str, work: str, n_expected: int,
+                   kill_after: int) -> dict:
+    """Kill/resume equivalence for the durable windowed agg (T6).
+
+    Control: one uninterrupted drain into a parquet FileStreamSink.
+    Chaos: same stream, hard-stopped as soon as batch `kill_after`'s
+    progress lands (the stop interrupts whatever batch is then
+    in-flight), restarted from the checkpoint, drained to completion.
+    Pass = the two sink directories hold the IDENTICAL row multiset
+    (exceptAll both ways empty) and the chaos run drained every input
+    row exactly once across its two query incarnations."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import (
+        start_windowed_parquet_query,
+    )
+
+    def full_drain(root: str, name: str, progresses: list) -> None:
+        listener = make_progress_listener(name, progresses)
+        spark.streams.addListener(listener)
+        q = start_windowed_parquet_query(
+            read_replay_stream(spark, replay_dir), root, name,
+            state_partitions=8,
+        )
+        try:
+            q.processAllAvailable()
+            settle_progress(progresses, None)
+        finally:
+            q.stop()
+            spark.streams.removeListener(listener)
+
+    ctrl_root = os.path.join(work, "chaos_windowed_ctrl")
+    ctrl_prog: list[dict] = []
+    full_drain(ctrl_root, "chaos_ctrl", ctrl_prog)
+
+    chaos_root = os.path.join(work, "chaos_windowed_kill")
+    kill_prog: list[dict] = []
+    listener = make_progress_listener("chaos_kill", kill_prog)
+    spark.streams.addListener(listener)
+    q = start_windowed_parquet_query(
+        read_replay_stream(spark, replay_dir), chaos_root, "chaos_kill",
+        state_partitions=8,
+    )
+    killed_at = None
+    try:
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= kill_after:
+                killed_at = p["batchId"]
+                break
+            time.sleep(0.02)
+    finally:
+        q.stop()  # hard stop: whatever batch is in flight dies here
+        spark.streams.removeListener(listener)
+    if killed_at is None:
+        raise RuntimeError(
+            f"chaos kill never reached batch {kill_after} within 600s"
+        )
+
+    resume_prog: list[dict] = []
+    full_drain(chaos_root, "chaos_resume", resume_prog)
+
+    ctrl = spark.read.parquet(os.path.join(ctrl_root, "windowed"))
+    chaos = spark.read.parquet(os.path.join(chaos_root, "windowed"))
+    n_ctrl, n_chaos = ctrl.count(), chaos.count()
+    sym_diff = ctrl.exceptAll(chaos).count() + chaos.exceptAll(ctrl).count()
+    rows_ctrl = sum(p["numInputRows"] for p in ctrl_prog)
+    # exactly-once INPUT accounting: a batch whose progress event fired in
+    # the killed incarnation but whose commit was lost is re-run (and
+    # re-counted) by the resume, so dedup on batchId, not a raw sum
+    seen: dict[int, int] = {}
+    for p in kill_prog + resume_prog:
+        seen[p["batchId"]] = p["numInputRows"]
+    rows_chaos = sum(seen.values())
+    return {
+        "rows_expected": n_expected,
+        "control_input_rows": rows_ctrl,
+        "chaos_input_rows": rows_chaos,
+        "killed_after_batch": killed_at,
+        "resume_batches": len([p for p in resume_prog if p["numInputRows"] > 0]),
+        "control_sink_rows": n_ctrl,
+        "chaos_sink_rows": n_chaos,
+        "sink_sym_diff_rows": sym_diff,
+    }
+
+
+def chaos_gate(spark, docs_dir: str, work: str, n_chunks: int,
+               kill_after: int) -> dict:
+    """Kill/resume equivalence for the dedup gate's DURABLE side effects.
+
+    The crash is injected deterministically in the worst window: after
+    batch `kill_after`'s store partition + stats row are written, before
+    the checkpoint commit — so the restart MUST replay that batch against
+    a store that already contains its own output. Pass = store fingerprint
+    membership, store row count, and the per-batch stats table are all
+    identical to an uninterrupted control drain."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_gate_stats,
+        write_doc_chunks,
+    )
+
+    chunk_dir = os.path.join(work, "chaosgate_chunks")
+    n_rows = write_doc_chunks(spark, docs_dir, chunk_dir, n_chunks=n_chunks)
+
+    ctrl_root = os.path.join(work, "chaosgate_ctrl_out")
+    t_ctrl, ctrl_prog = run_gate(spark, chunk_dir, ctrl_root, n_rows)
+
+    chaos_root = os.path.join(work, "chaosgate_kill_out")
+    crashed = []
+
+    def hook(bid: int) -> None:
+        if bid == kill_after and not crashed:
+            crashed.append(bid)
+            raise RuntimeError(
+                "chaos: injected crash after side effects, before commit"
+            )
+
+    t_kill, kill_prog = run_gate(
+        spark, chunk_dir, chaos_root, None,
+        after_batch_hook=hook, allow_failure=True,
+    )
+    if not crashed:
+        raise RuntimeError(f"injected crash never fired (batch {kill_after})")
+    # the resume only delivers the batches the kill run didn't commit, so
+    # settle on buffer-quiescence (None), not the full-corpus row count —
+    # exactly-once accounting happens below over kill+resume combined
+    t_resume, resume_prog = run_gate(spark, chunk_dir, chaos_root, None)
+
+    ctrl_store = spark.read.parquet(os.path.join(ctrl_root, "fingerprint_store"))
+    chaos_store = spark.read.parquet(os.path.join(chaos_root, "fingerprint_store"))
+    store_sym_diff = (
+        ctrl_store.select("fingerprint").exceptAll(
+            chaos_store.select("fingerprint")).count()
+        + chaos_store.select("fingerprint").exceptAll(
+            ctrl_store.select("fingerprint")).count()
+    )
+    ctrl_stats = read_gate_stats(spark, ctrl_root)
+    chaos_stats = read_gate_stats(spark, chaos_root)
+    stats_sym_diff = (
+        ctrl_stats.exceptAll(chaos_stats).count()
+        + chaos_stats.exceptAll(ctrl_stats).count()
+    )
+    seen: dict[int, int] = {}
+    for p in kill_prog + resume_prog:
+        seen[p["batchId"]] = p["numInputRows"]
+    # the crashed batch's side effects ran in the kill incarnation (the
+    # hook fires after gate_batch) but its progress event never does —
+    # replay evidence is that batch id re-appearing in the RESUME curve
+    resume_bids = {p["batchId"] for p in resume_prog}
+    replay_happened = kill_after in resume_bids
+    return {
+        "rows_expected": n_rows,
+        "control_input_rows": sum(p["numInputRows"] for p in ctrl_prog),
+        "chaos_input_rows": sum(seen.values()),
+        "injected_crash_batch": kill_after,
+        "crashed_batch_replayed": replay_happened,
+        "control_store_rows": ctrl_store.count(),
+        "chaos_store_rows": chaos_store.count(),
+        "store_sym_diff": store_sym_diff,
+        "stats_sym_diff_rows": stats_sym_diff,
+        "control_total_sec": round(t_ctrl, 3),
+        "chaos_total_sec": round(t_kill + t_resume, 3),
+    }
+
+
+# ----------------------------------------------------------------- join
+
+def drain_join(spark, replay_dir: str, name: str,
+               expected_rows: int | None) -> dict:
+    """Drain the watermarked stream-stream interval join (T2+, the op
+    with genuinely unbounded-LOOKING state). The claim under test: live
+    join state is bounded by rate x JOIN_LOOKBACK (both sides buffer
+    only until the other side's watermark passes the interval), so at
+    10x volume delivered as a LONGER stream (replicas extend event time)
+    peak state rows stay ~flat and per-batch trigger time does not grow
+    across the drain."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import (
+        purchase_click_join_stream,
+    )
+
+    def start_fn(stream, n):
+        return (
+            purchase_click_join_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(n)
+            .start()
+        )
+
+    return drain(spark, replay_dir, name, expected_rows, start_fn=start_fn)
 
 
 if __name__ == "__main__":
