@@ -59,7 +59,10 @@ def test_every_backticked_query_name_is_registered():
         "lsh_bucket_cap",
         # streaming-gate internals + rehearsal-artifact field names
         "gate_batch", "rows_drained", "rows_expected",
-        "novel_against_store",
+        "novel_against_store", "after_batch_hook", "forced_gates",
+        "start_windowed_parquet_query",
+        # fixture key columns named by the skew-rehearsal bullet
+        "event_type", "o_custkey",
     }
     unknown = {n for n in lookalike - set(reg) if n not in whitelist}
     assert not unknown, f"COVERAGE.md references unregistered names: {sorted(unknown)}"

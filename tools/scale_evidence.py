@@ -87,7 +87,6 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "merge_upsert_orders": ("sibling", "q18_large_volume_orders"),
     "sql_surface_order_priorities": ("sibling", "grouping_sets_order_stats"),
     # --- bounded_output -----------------------------------------------
-    "event_stats": ("bounded_output", "partials keyed by event_type (~6 groups); salted_event_stats measures the family flat"),
     "event_stats_approx": ("bounded_output", "HLL++ sketch partials per event_type"),
     "event_avg_value": ("bounded_output", "single global avg partial per partition"),
     "event_time_range": ("bounded_output", "global min/max partials"),
@@ -95,7 +94,6 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "avg_sentiment_by_lang": ("bounded_output", "partials keyed by lang (~5 groups)"),
     "top3_event_types": ("bounded_output", "per-type counts then top-3"),
     "doc_source_stats": ("bounded_output", "partials keyed by source"),
-    "key_skew_profile": ("bounded_output", "per-key count partials; output = key histogram"),
     "incremental_agg_merge": ("bounded_output", "partial-state merge rows, one per (partition, group)"),
     "value_percentiles_approx": ("bounded_output", "approx_percentile t-digest partials per event_type"),
     "mixture_weights": ("bounded_output", "label-count partials, one row per label"),
