@@ -148,6 +148,28 @@ def purchase_click_join_stream(events: DataFrame) -> DataFrame:
     ).select("user_id", "purchase_id", "p_ts", "c_ts", "click_value")
 
 
+def start_join_parquet_query(
+    events: DataFrame, out_root: str, query_name: str = "purchase_click_pq",
+) -> StreamingQuery:
+    """The stream-stream interval join with a DURABLE parquet sink +
+    checkpoint — the deployment shape. Inner-join matches emit as found
+    (no watermark wait on output), both sides' buffered state lives in
+    the checkpointed state store, and the FileStreamSink's metadata log
+    makes a crash-interrupted batch invisible to batch reads — so a
+    restart resumes both join buffers and re-emits exactly the missing
+    matches. Kill/resume equivalence proven by the chaos-join scenario
+    in tools/streaming_rehearsal.py."""
+    return (
+        purchase_click_join_stream(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_root, "joined"))
+        .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+
+
 # ------------------------------------------------ foreachBatch consumer
 
 

@@ -28,7 +28,8 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful|join|chaos] [--kill-after-batch N]
+           [--scenario all|stateful|join|chaos|chaos-join]
+           [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
 writes its own artifact (REHEARSAL_r06_stateful.json shape), keeping
@@ -45,6 +46,10 @@ and the dedup gate gets a crash INJECTED after batch N's side effects
 but before its checkpoint commit (store membership + per-batch stats
 must equal the control). --kill-after-batch overrides the default kill
 point (one third of the drain).
+
+--scenario chaos-join is the same kill/resume protocol pointed at the
+durable stream-stream interval join — a mid-drain kill tests recovery
+of BOTH sides' buffered join state from the checkpointed state store.
 """
 
 from __future__ import annotations
@@ -276,14 +281,58 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
 
+    if scenario == "chaos-join":
+        # kill/resume exactly-once for the stream-stream interval join:
+        # both sides' buffered state lives in the checkpointed state
+        # store, so a mid-drain kill tests join-buffer recovery — the
+        # deepest state-restore path the engine has
+        from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import (
+            start_join_parquet_query,
+        )
+
+        big_dir = os.path.join(work, "big_chunks")
+        n_big = build_big_events(spark, sf_dir, big_dir,
+                                 n_chunks=chunks * REPLICAS)
+        ka = kill_after if kill_after is not None else (chunks * REPLICAS) // 3
+        joined = chaos_durable(
+            spark, big_dir, work, 2 * n_big, ka,
+            lambda stream, root, name: start_join_parquet_query(stream, root, name),
+            "joined", "chaosjoin",
+        )
+        out = {
+            "rehearsal": f"streaming_chaos_join_{REPLICAS}x",
+            "replicas": REPLICAS,
+            "note": "rows_expected is 2x fixture rows: the self-join scans the source once per side",
+            "join": joined,
+            "pass": (
+                joined["sink_sym_diff_rows"] == 0
+                and joined["chaos_input_rows"] == joined["rows_expected"]
+                and joined["control_sink_rows"] > 0
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
     if scenario == "chaos":
         # kill/resume exactly-once at 10x volume: the durable windowed agg
         # (FileStreamSink) and the dedup gate (foreachBatch side effects)
+        from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import (
+            start_windowed_parquet_query,
+        )
+
         big_dir = os.path.join(work, "big_chunks")
         n_big = build_big_events(spark, sf_dir, big_dir,
                                  n_chunks=chunks * REPLICAS)
         ka_w = kill_after if kill_after is not None else (chunks * REPLICAS) // 3
-        windowed = chaos_windowed(spark, big_dir, work, n_big, ka_w)
+        windowed = chaos_durable(
+            spark, big_dir, work, n_big, ka_w,
+            lambda stream, root, name: start_windowed_parquet_query(
+                stream, root, name, state_partitions=8),
+            "windowed", "chaos_windowed",
+        )
 
         big_docs_dir = os.path.join(work, "big_docs")
         import tools.scale_rehearsal as _sr
@@ -539,9 +588,11 @@ def drain_gate(spark, docs_sf_dir: str, work: str, n_chunks: int,
 
 # ---------------------------------------------------------------- chaos
 
-def chaos_windowed(spark, replay_dir: str, work: str, n_expected: int,
-                   kill_after: int) -> dict:
-    """Kill/resume equivalence for the durable windowed agg (T6).
+def chaos_durable(spark, replay_dir: str, work: str, n_expected: int,
+                  kill_after: int, start_fn, sink_subdir: str,
+                  tag: str) -> dict:
+    """Kill/resume equivalence for a durable (FileStreamSink + checkpoint)
+    streaming query (T6).
 
     Control: one uninterrupted drain into a parquet FileStreamSink.
     Chaos: same stream, hard-stopped as soon as batch `kill_after`'s
@@ -549,18 +600,14 @@ def chaos_windowed(spark, replay_dir: str, work: str, n_expected: int,
     in-flight), restarted from the checkpoint, drained to completion.
     Pass = the two sink directories hold the IDENTICAL row multiset
     (exceptAll both ways empty) and the chaos run drained every input
-    row exactly once across its two query incarnations."""
-    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import (
-        start_windowed_parquet_query,
-    )
+    row exactly once across its two query incarnations.
+    `start_fn(stream, out_root, name)` starts the query under test;
+    `sink_subdir` is where it writes inside out_root."""
 
     def full_drain(root: str, name: str, progresses: list) -> None:
         listener = make_progress_listener(name, progresses)
         spark.streams.addListener(listener)
-        q = start_windowed_parquet_query(
-            read_replay_stream(spark, replay_dir), root, name,
-            state_partitions=8,
-        )
+        q = start_fn(read_replay_stream(spark, replay_dir), root, name)
         try:
             q.processAllAvailable()
             settle_progress(progresses, None)
@@ -568,18 +615,16 @@ def chaos_windowed(spark, replay_dir: str, work: str, n_expected: int,
             q.stop()
             spark.streams.removeListener(listener)
 
-    ctrl_root = os.path.join(work, "chaos_windowed_ctrl")
+    ctrl_root = os.path.join(work, f"{tag}_ctrl")
     ctrl_prog: list[dict] = []
-    full_drain(ctrl_root, "chaos_ctrl", ctrl_prog)
+    full_drain(ctrl_root, f"{tag}_ctrl", ctrl_prog)
 
-    chaos_root = os.path.join(work, "chaos_windowed_kill")
+    chaos_root = os.path.join(work, f"{tag}_kill")
     kill_prog: list[dict] = []
-    listener = make_progress_listener("chaos_kill", kill_prog)
+    listener = make_progress_listener(f"{tag}_kill", kill_prog)
     spark.streams.addListener(listener)
-    q = start_windowed_parquet_query(
-        read_replay_stream(spark, replay_dir), chaos_root, "chaos_kill",
-        state_partitions=8,
-    )
+    q = start_fn(read_replay_stream(spark, replay_dir), chaos_root,
+                 f"{tag}_kill")
     killed_at = None
     try:
         deadline = time.monotonic() + 600
@@ -598,10 +643,10 @@ def chaos_windowed(spark, replay_dir: str, work: str, n_expected: int,
         )
 
     resume_prog: list[dict] = []
-    full_drain(chaos_root, "chaos_resume", resume_prog)
+    full_drain(chaos_root, f"{tag}_resume", resume_prog)
 
-    ctrl = spark.read.parquet(os.path.join(ctrl_root, "windowed"))
-    chaos = spark.read.parquet(os.path.join(chaos_root, "windowed"))
+    ctrl = spark.read.parquet(os.path.join(ctrl_root, sink_subdir))
+    chaos = spark.read.parquet(os.path.join(chaos_root, sink_subdir))
     n_ctrl, n_chaos = ctrl.count(), chaos.count()
     sym_diff = ctrl.exceptAll(chaos).count() + chaos.exceptAll(ctrl).count()
     rows_ctrl = sum(p["numInputRows"] for p in ctrl_prog)
