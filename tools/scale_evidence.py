@@ -95,7 +95,6 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "top3_event_types": ("bounded_output", "per-type counts then top-3"),
     "doc_source_stats": ("bounded_output", "partials keyed by source"),
     "incremental_agg_merge": ("bounded_output", "partial-state merge rows, one per (partition, group)"),
-    "value_percentiles_approx": ("bounded_output", "approx_percentile t-digest partials per event_type"),
     "mixture_weights": ("bounded_output", "label-count partials, one row per label"),
     "media_metadata_stats": ("bounded_output", "metadata partials per media kind; payload never read"),
     "wire_quality_report": ("bounded_output", "malformed/ok counters per source"),
