@@ -215,6 +215,71 @@ def read_gate_stats(spark: SparkSession, out_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_root, "gate_stats"))
 
 
+def compact_store(spark: SparkSession, store_dir: str,
+                  upto_batch_id: int) -> int:
+    """Fold the batch-owned store partitions `batch_id < upto_batch_id`
+    into the single partition `batch_id = upto_batch_id - 1`.
+
+    The batch-owned layout trades replay determinism for one directory
+    per micro-batch; over a long stream lifetime the per-batch store scan
+    pays partition-listing and small-file overhead O(#batches). This is
+    the standard maintenance op that bounds it: fold history into one
+    partition whose label still satisfies `batch_id < N` for every batch
+    N that can still run.
+
+    SAFETY CONTRACT: `upto_batch_id` must be at most the last batch the
+    STREAM'S CHECKPOINT has committed (+1). Only the newest uncommitted
+    batch can ever replay; committed batches never re-run, so relabeling
+    their rows to `upto_batch_id - 1` can't leak them out of any future
+    batch's `batch_id < N` anti-join view. Compacting an UNcommitted
+    batch would relabel rows the replay still needs excluded — callers
+    run this between drains (stream stopped) or pass the committed
+    boundary read from the checkpoint's commits log.
+
+    Returns the number of rows in the consolidated partition. Idempotent:
+    re-running with the same bound rewrites the same consolidated
+    partition from itself.
+    """
+    dest = upto_batch_id - 1
+    if dest < 0:
+        return 0
+    store = (
+        spark.read.schema(STORE_SCHEMA)
+        .parquet(store_dir)
+        .filter(F.col("batch_id") < upto_batch_id)
+        .select("fingerprint", "doc_id", "source")
+    )
+    tmp = store_dir.rstrip("/") + f".compact_tmp_{dest}"
+    store.coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
+        .write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    # swap in through the store's OWN filesystem (Hadoop FS API, same
+    # rationale as _store_path_exists — os.listdir/os.rename only see the
+    # driver's local disk): delete every folded partition dir, then move
+    # the consolidated tmp into place
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(hconf)
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < upto_batch_id:
+            fs.delete(status.getPath(), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(
+            os.path.join(store_dir, f"batch_id={dest}")
+        ),
+    )
+    return n
+
+
 def start_dedup_gate(docs_stream: DataFrame, out_root: str,
                      after_batch_hook=None) -> StreamingQuery:
     """foreachBatch gate with a durable checkpoint under the output root.

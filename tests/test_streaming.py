@@ -356,6 +356,61 @@ def test_streaming_dedup_gate_matches_batch_semantics(spark, tmp_path):
     assert store3.select("fingerprint").distinct().count() == n_distinct
 
 
+def test_gate_store_compaction_preserves_admission(spark, tmp_path):
+    """compact_store folds the batch-owned partitions into one without
+    changing membership: row count, fingerprint set, and the cross-batch
+    rejection behavior of the next batch are identical before/after, and
+    the op is idempotent."""
+    import glob
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        compact_store,
+        gate_batch,
+        read_doc_stream,
+        start_dedup_gate,
+        write_doc_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "chunks")
+    out_root = str(tmp_path / "gate")
+    write_doc_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store_dir = f"{out_root}/fingerprint_store"
+    before = spark.read.parquet(store_dir)
+    n_before = before.count()
+    fps_before = {r[0] for r in before.select("fingerprint").collect()}
+
+    # all 4 batches committed (the drain finished) -> upto=4 is safe
+    n = compact_store(spark, store_dir, 4)
+    assert n == n_before
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(f"{store_dir}/batch_id=*")
+    )
+    assert parts == ["batch_id=3"], parts
+    after = spark.read.parquet(store_dir)
+    assert after.count() == n_before
+    assert {r[0] for r in after.select("fingerprint").collect()} == fps_before
+
+    # cross-batch rejection against the compacted store is intact
+    first_chunk = sorted(glob.glob(f"{chunk_dir}/*.parquet"))[0]
+    replay = spark.read.parquet(first_chunk)
+    gate_batch(replay, 4, store_dir, f"{out_root}/gate_stats")
+    stats = spark.read.parquet(f"{out_root}/gate_stats").toPandas()
+    assert stats[stats.batch_id == 4].n_admitted.iloc[0] == 0
+    assert spark.read.parquet(store_dir).count() == n_before
+
+    # idempotent: re-compacting with the same bound rewrites itself
+    # (batch 4's empty partition is newer than the bound and survives)
+    assert compact_store(spark, store_dir, 4) == n_before
+    assert spark.read.parquet(store_dir).count() == n_before
+
+
 def test_streaming_dedup_gate_survives_restart(spark, tmp_path):
     """Stop the gate mid-stream and restart on the same checkpoint: the
     second query resumes from the unprocessed chunks only, and the final
