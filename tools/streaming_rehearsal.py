@@ -281,6 +281,30 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
 
+    if scenario == "compaction":
+        # A/B the store-compaction maintenance op at replica volume
+        big_docs_dir = os.path.join(work, "big_docs")
+        import tools.scale_rehearsal as _sr
+
+        _sr.REPLICAS = REPLICAS
+        _sr.build_fixture(spark, sf_dir, big_docs_dir)
+        result = compaction_ab(spark, big_docs_dir, work, chunks * REPLICAS)
+        out = {
+            "rehearsal": f"gate_compaction_{REPLICAS}x",
+            "replicas": REPLICAS,
+            **result,
+            "pass": (
+                result["store_sym_diff"] == 0
+                and result["compacted"]["rows_drained"]
+                == result["compacted"]["rows_expected"]
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
     if scenario == "chaos-join":
         # kill/resume exactly-once for the stream-stream interval join:
         # both sides' buffered state lives in the checkpointed state
@@ -745,6 +769,87 @@ def chaos_gate(spark, docs_dir: str, work: str, n_chunks: int,
         "stats_sym_diff_rows": stats_sym_diff,
         "control_total_sec": round(t_ctrl, 3),
         "chaos_total_sec": round(t_kill + t_resume, 3),
+    }
+
+
+def compaction_ab(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
+    """A/B the gate-store compaction op across a two-phase drain.
+
+    Both variants stage the SAME chunk files: drain the first half,
+    stop; variant B then runs compact_store up to the committed
+    boundary; both resume with the second half moved in. Compared:
+    phase-2 mean per-batch trigger time (the listing/small-file overhead
+    compaction exists to bound) and final store membership (must be
+    IDENTICAL — compaction may never change admission)."""
+    import glob as _glob
+    import shutil as _sh
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        compact_store,
+        write_doc_chunks,
+    )
+
+    def run_variant(tag: str, compact_between: bool) -> dict:
+        chunk_dir = os.path.join(work, f"{tag}_chunks")
+        hold_dir = os.path.join(work, f"{tag}_held")
+        out_root = os.path.join(work, f"{tag}_out")
+        os.makedirs(hold_dir, exist_ok=True)
+        n_rows = write_doc_chunks(spark, docs_dir, chunk_dir,
+                                  n_chunks=n_chunks)
+        chunks = sorted(_glob.glob(os.path.join(chunk_dir, "*.parquet")))
+        half = len(chunks) // 2
+        held = []
+        for f in chunks[half:]:
+            dest = os.path.join(hold_dir, os.path.basename(f))
+            _sh.move(f, dest)
+            held.append((dest, f))
+
+        _, prog1 = run_gate(spark, chunk_dir, out_root, None)
+        n_committed = max(p["batchId"] for p in prog1) + 1
+        compacted_rows = None
+        if compact_between:
+            compacted_rows = compact_store(
+                spark, os.path.join(out_root, "fingerprint_store"),
+                n_committed,
+            )
+        for src, dest in held:
+            _sh.move(src, dest)
+        _, prog2 = run_gate(spark, chunk_dir, out_root, None)
+
+        t2 = [p["durationMs"].get("triggerExecution") for p in prog2
+              if p["numInputRows"] > 0]
+        store = spark.read.parquet(
+            os.path.join(out_root, "fingerprint_store"))
+        return {
+            "phase1_batches": len([p for p in prog1 if p["numInputRows"] > 0]),
+            "phase2_batches": len(t2),
+            "compacted_rows": compacted_rows,
+            "phase2_mean_trigger_ms": round(sum(t2) / max(1, len(t2)), 1),
+            "phase2_drift_x": trigger_drift(
+                [{"trigger_ms": v} for v in t2]),
+            "rows_drained": sum(
+                p["numInputRows"] for p in prog1 + prog2),
+            "rows_expected": n_rows,
+            "store_rows": store.count(),
+            "_store": store,
+        }
+
+    a = run_variant("compab_base", compact_between=False)
+    b = run_variant("compab_compacted", compact_between=True)
+    sym = (
+        a["_store"].select("fingerprint").exceptAll(
+            b["_store"].select("fingerprint")).count()
+        + b["_store"].select("fingerprint").exceptAll(
+            a["_store"].select("fingerprint")).count()
+    )
+    a.pop("_store"); b.pop("_store")
+    return {
+        "uncompacted": a,
+        "compacted": b,
+        "store_sym_diff": sym,
+        "phase2_trigger_ratio_compacted_vs_not": round(
+            b["phase2_mean_trigger_ms"] / a["phase2_mean_trigger_ms"], 3
+        ),
     }
 
 
