@@ -55,6 +55,7 @@ def test_every_backticked_query_name_is_registered():
         "streaming_replay", "streaming_socket_replay",
         # module-level decoder functions referenced by name
         "decode_image", "decode_png", "decode_pgm", "decode_wav",
+        "decode_jpeg",
         # observed-metric names (CollectMetrics), not registry queries
         "lsh_bucket_cap",
         # streaming-gate internals + rehearsal-artifact field names

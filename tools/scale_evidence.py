@@ -78,6 +78,7 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "wire_posts_vader": ("sibling", "doc_sentiment_vader"),
     "pgm_decode_stats": ("sibling", "image_dhash_matches"),
     "png_decode_stats": ("sibling", "image_dhash_matches"),
+    "jpeg_decode_stats": ("sibling", "image_dhash_matches"),
     "wav_decode_stats": ("sibling", "audio_fingerprint_matches"),
     "y4m_frame_stats": ("sibling", "dup_frame_groups"),
     "regional_customer_value": ("sibling", "q5_local_supplier_volume"),
