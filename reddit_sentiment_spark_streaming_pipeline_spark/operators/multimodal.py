@@ -6,10 +6,12 @@ standards-valid grayscale PNGs engine-side (stored-deflate IDAT,
 SQL-computed Adler-32, crc32 chunk checksums, all five scanline filters)
 and decodes them back with stdlib zlib + numpy unfiltering;
 `pgm_decode_stats` does the same for binary PGM (P5) with a header
-tokenizer + numpy; WAV and Y4M cover audio/video. `decode_image`
-dispatches on container signature to the PNG/PGM decoders and raises
-ValueError for containers (JPEG et al.) whose codecs this environment
-doesn't ship. `fake_decode_features` remains as the deterministic
+tokenizer + numpy; `jpeg_decode_stats` builds standards-valid baseline
+JFIF (SQL-built entropy segment) and decodes it with a general marker
+walk + canonical-Huffman rebuild + bit-level decode + IDCT; WAV and Y4M
+cover audio/video. `decode_image` dispatches on container signature to
+the PNG/JPEG/PGM decoders and raises a loud ValueError for any other
+container. `fake_decode_features` remains as the deterministic
 stand-in for the generic feature-extraction plumbing queries. Everything
 Spark-side is real and tested throughout: the binary column
 construction, the metadata schema, the mapInPandas batch iterator
@@ -1455,7 +1457,8 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   category-k symbol (8-k bits) plus its k amplitude bits is EXACTLY one
 #   byte: value 256 - 2^(k+1) + amplitude (k>=1), or 0xFE for category 0.
 #   AC table: the single EOB symbol at length 8 -> byte 0x00.
-#   Max entropy byte is 0xFD, so 0xFF stuffing never triggers and the
+#   Max entropy byte is 0xFE (code 11111110 for category 0; a category
+#   k>=1 byte maxes at 255 - 2^k), so 0xFF stuffing never triggers and the
 #   entropy segment is plain hex arithmetic — yet the file remains a
 #   fully standards-valid baseline JFIF that any JPEG decoder accepts
 #   (custom Huffman tables are ordinary; encoders optimize them all the
@@ -1636,9 +1639,15 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, "np.ndarray"]:
     if None in (w, h, comp_qt, entropy_start):
         raise ValueError("truncated JPEG (no SOS reached)")
 
-    dc_tbl = huff[(0, dc_id)]
-    ac_tbl = huff[(1, ac_id)]
-    q = qt[comp_qt]
+    try:
+        dc_tbl = huff[(0, dc_id)]
+        ac_tbl = huff[(1, ac_id)]
+    except KeyError as e:
+        raise ValueError(f"SOS references missing Huffman table {e}") from e
+    try:
+        q = qt[comp_qt]
+    except KeyError:
+        raise ValueError(f"SOF references missing quant table {comp_qt}")
 
     # --- bit reader with byte unstuffing; stops at any non-RST marker
     pos = entropy_start

@@ -236,31 +236,66 @@ def compact_store(spark: SparkSession, store_dir: str,
     run this between drains (stream stopped) or pass the committed
     boundary read from the checkpoint's commits log.
 
-    Returns the number of rows in the consolidated partition. Idempotent:
-    re-running with the same bound rewrites the same consolidated
-    partition from itself.
+    Returns the number of rows in the consolidated partition.
+
+    CRASH SAFETY (additive-first swap): at every instant, the union of
+    `batch_id < upto_batch_id` partitions is a superset of true
+    membership — duplicate rows across partitions are benign for the
+    gate's membership anti-join, but a missing fingerprint would
+    re-admit a duplicate document, so history is never deleted before
+    its consolidated copy is durably in place:
+
+      1. materialize the consolidated copy to a tmp dir (skipped on a
+         re-run that finds a complete tmp with _SUCCESS — rebuilding it
+         from a partially-swapped store would drop the rows whose only
+         surviving copy IS the tmp);
+      2. delete only `batch_id=dest`, rename tmp into its place, and
+         FAIL LOUDLY if the FS rename reports failure;
+      3. only then delete the remaining folded partitions.
+
+    A crash in window 1 leaves the store untouched; in window 2 the tmp
+    (complete, _SUCCESS-marked) survives and a re-run resumes from it;
+    in window 3 the store holds the full consolidated partition plus
+    benign leftover duplicates that the re-run's dropDuplicates folds
+    away. Idempotent: re-running with the same bound converges to the
+    same single consolidated partition.
     """
     dest = upto_batch_id - 1
     if dest < 0:
         return 0
-    store = (
-        spark.read.schema(STORE_SCHEMA)
-        .parquet(store_dir)
-        .filter(F.col("batch_id") < upto_batch_id)
-        .select("fingerprint", "doc_id", "source")
-    )
     tmp = store_dir.rstrip("/") + f".compact_tmp_{dest}"
-    store.coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
-        .write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    # swap in through the store's OWN filesystem (Hadoop FS API, same
-    # rationale as _store_path_exists — os.listdir/os.rename only see the
-    # driver's local disk): delete every folded partition dir, then move
-    # the consolidated tmp into place
+    # all FS ops go through the store's OWN filesystem (Hadoop FS API,
+    # same rationale as _store_path_exists — os.listdir/os.rename only
+    # see the driver's local disk)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(store_dir)
     fs = root.getFileSystem(hconf)
+    tmp_complete = fs.exists(hpath(os.path.join(tmp, "_SUCCESS")))
+    if not tmp_complete:
+        store = (
+            spark.read.schema(STORE_SCHEMA)
+            .parquet(store_dir)
+            .filter(F.col("batch_id") < upto_batch_id)
+            .select("fingerprint", "doc_id", "source")
+            # exact duplicates exist only when a prior run crashed after
+            # its rename (window 3): dest + leftover folded partitions
+            # hold copies of the same rows. Identical full rows, so
+            # keep-any is deterministic.
+            .dropDuplicates()
+        )
+        store.coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
+            .write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    dest_path = hpath(os.path.join(store_dir, f"batch_id={dest}"))
+    if fs.exists(dest_path):
+        fs.delete(dest_path, True)
+    if not fs.rename(hpath(tmp), dest_path):
+        raise IOError(
+            f"compact_store: rename {tmp} -> batch_id={dest} failed; "
+            "store history is intact in the tmp dir — re-run to resume"
+        )
     for status in fs.listStatus(root):
         name = status.getPath().getName()
         if not name.startswith("batch_id="):
@@ -269,14 +304,8 @@ def compact_store(spark: SparkSession, store_dir: str,
             bid = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if bid < upto_batch_id:
+        if bid < upto_batch_id and bid != dest:
             fs.delete(status.getPath(), True)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(tmp),
-        jvm.org.apache.hadoop.fs.Path(
-            os.path.join(store_dir, f"batch_id={dest}")
-        ),
-    )
     return n
 
 

@@ -101,7 +101,11 @@ def start_windowed_parquet_query(
             .writeStream.outputMode("append")
             .format("parquet")
             .option("path", os.path.join(out_root, "windowed"))
-            .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+            # checkpoint namespaced per query: the windowed and join
+            # "deployment shape" helpers may share one out_root, and two
+            # queries sharing a checkpoint dir silently corrupt each other
+            .option("checkpointLocation",
+                    os.path.join(out_root, "_checkpoint", query_name))
             .queryName(query_name)
             .start()
         )
@@ -164,7 +168,9 @@ def start_join_parquet_query(
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", os.path.join(out_root, "joined"))
-        .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+        # per-query checkpoint namespace (see start_windowed_parquet_query)
+        .option("checkpointLocation",
+                os.path.join(out_root, "_checkpoint", query_name))
         .queryName(query_name)
         .start()
     )

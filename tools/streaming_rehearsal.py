@@ -816,8 +816,9 @@ def compaction_ab(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
             _sh.move(src, dest)
         _, prog2 = run_gate(spark, chunk_dir, out_root, None)
 
-        t2 = [p["durationMs"].get("triggerExecution") for p in prog2
-              if p["numInputRows"] > 0]
+        t2 = [v for v in (p["durationMs"].get("triggerExecution")
+                          for p in prog2 if p["numInputRows"] > 0)
+              if v is not None]
         store = spark.read.parquet(
             os.path.join(out_root, "fingerprint_store"))
         return {
