@@ -411,6 +411,144 @@ def test_gate_store_compaction_preserves_admission(spark, tmp_path):
     assert spark.read.parquet(store_dir).count() == n_before
 
 
+def _drained_gate_store(spark, tmp_path):
+    """Drain the 4-chunk gate fixture; return (store_dir, chunk_dir,
+    out_root, fingerprint set)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream,
+        start_dedup_gate,
+        write_doc_chunks,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    out_root = str(tmp_path / "gate")
+    write_doc_chunks(spark, "/root/testdata/sf0.001", chunk_dir, n_chunks=4)
+    q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    store_dir = f"{out_root}/fingerprint_store"
+    fps = {r[0] for r in
+           spark.read.parquet(store_dir).select("fingerprint").collect()}
+    return store_dir, chunk_dir, out_root, fps
+
+
+def test_compact_store_crash_window_recovery(spark, tmp_path):
+    """The additive-first swap survives a crash at its two dangerous
+    points. Window A: consolidated tmp is complete and batch_id=dest is
+    already deleted — the dest rows' ONLY copy is the tmp; a re-run must
+    resume from the tmp (not rebuild from the now-partial store) and
+    restore full membership. Window B: the rename landed but the folded
+    history partitions were not yet deleted — a re-run must fold the
+    duplicate copies away and converge to one partition with the
+    original membership."""
+    import glob
+    import shutil
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import compact_store
+
+    store_dir, _, _, fps = _drained_gate_store(spark, tmp_path)
+    n_before = len(fps)
+    w_a = str(tmp_path / "store_window_a")
+    w_b = str(tmp_path / "store_window_b")
+    shutil.copytree(store_dir, w_a)
+    shutil.copytree(store_dir, w_b)
+
+    # --- window A: tmp written (with _SUCCESS), dest deleted, no rename
+    tmp = w_a.rstrip("/") + ".compact_tmp_3"
+    (
+        spark.read.parquet(w_a)
+        .select("fingerprint", "doc_id", "source")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    )
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    shutil.rmtree(os.path.join(w_a, "batch_id=3"))
+    # the partial store has lost batch 3's rows — only the tmp has them
+    assert spark.read.parquet(w_a).count() < n_before
+    assert compact_store(spark, w_a, 4) == n_before
+    after_a = spark.read.parquet(w_a)
+    assert {r[0] for r in after_a.select("fingerprint").collect()} == fps
+    parts = sorted(os.path.basename(p)
+                   for p in glob.glob(f"{w_a}/batch_id=*"))
+    assert parts == ["batch_id=3"], parts
+    assert not os.path.exists(tmp)
+
+    # --- window B: consolidated copy renamed into batch_id=3, folded
+    # partitions 0..2 still present (duplicate rows across partitions)
+    consolidated = (
+        spark.read.parquet(w_b)
+        .select("fingerprint", "doc_id", "source")
+    )
+    # two-step: batch_id=3 is part of the source scan, so materialize
+    # the consolidated copy outside the store before overwriting it
+    stage = str(tmp_path / "stage_b")
+    consolidated.coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.rmtree(os.path.join(w_b, "batch_id=3"))
+    shutil.copytree(stage, os.path.join(w_b, "batch_id=3"))
+    assert spark.read.parquet(w_b).count() > n_before  # dup copies live
+    assert compact_store(spark, w_b, 4) == n_before
+    after_b = spark.read.parquet(w_b)
+    assert after_b.count() == n_before
+    assert {r[0] for r in after_b.select("fingerprint").collect()} == fps
+    parts = sorted(os.path.basename(p)
+                   for p in glob.glob(f"{w_b}/batch_id=*"))
+    assert parts == ["batch_id=3"], parts
+
+
+def test_gate_replay_with_torn_part_file(spark, tmp_path):
+    """A killed run that leaves a literally corrupt part file in the
+    batch's OWN store partition must not poison the replay: gate_batch
+    reads only batch_id < N (explicit schema, no footer inference), so
+    the torn file is never scanned, and mode('overwrite') on the batch's
+    partition repairs it. Store membership and the batch's stats row
+    must equal a clean control run."""
+    import glob
+    import shutil
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import gate_batch
+
+    store_dir, chunk_dir, out_root, fps = _drained_gate_store(spark, tmp_path)
+    stats_dir = f"{out_root}/gate_stats"
+
+    # control: batch 4 (replay of chunk 0's content) runs cleanly
+    ctrl_store = str(tmp_path / "ctrl_store")
+    ctrl_stats = str(tmp_path / "ctrl_stats")
+    shutil.copytree(store_dir, ctrl_store)
+    shutil.copytree(stats_dir, ctrl_stats)
+    first_chunk = sorted(glob.glob(f"{chunk_dir}/*.parquet"))[0]
+    replay = spark.read.parquet(first_chunk)
+    gate_batch(replay, 4, ctrl_store, ctrl_stats)
+
+    # chaos: batch 4's first incarnation died mid-write, leaving a torn
+    # (truncated, non-parquet) part file in its own partition
+    torn_dir = os.path.join(store_dir, "batch_id=4")
+    os.makedirs(torn_dir)
+    with open(os.path.join(torn_dir,
+                           "part-00000-torn.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x13\x37 torn mid write")
+    gate_batch(replay, 4, store_dir, stats_dir)
+
+    got = spark.read.parquet(store_dir)
+    want = spark.read.parquet(ctrl_store)
+    assert got.count() == want.count()
+    assert (got.select("fingerprint", "doc_id", "source", "batch_id")
+            .exceptAll(want.select("fingerprint", "doc_id", "source",
+                                   "batch_id")).count() == 0)
+    assert (want.select("fingerprint", "doc_id", "source", "batch_id")
+            .exceptAll(got.select("fingerprint", "doc_id", "source",
+                                  "batch_id")).count() == 0)
+    s_got = spark.read.parquet(stats_dir).toPandas()
+    s_want = spark.read.parquet(ctrl_stats).toPandas()
+    row_got = s_got[s_got.batch_id == 4].iloc[0]
+    row_want = s_want[s_want.batch_id == 4].iloc[0]
+    assert row_got.n_admitted == row_want.n_admitted == 0
+    assert row_got.n_batch == row_want.n_batch
+    # the torn file is gone — overwrite repaired the partition
+    leftover = [p for p in os.listdir(torn_dir) if "torn" in p]
+    assert leftover == []
+
+
 def test_streaming_dedup_gate_survives_restart(spark, tmp_path):
     """Stop the gate mid-stream and restart on the same checkpoint: the
     second query resumes from the unprocessed chunks only, and the final
