@@ -864,7 +864,16 @@ def drain_join(spark, replay_dir: str, name: str,
     only until the other side's watermark passes the interval), so at
     10x volume delivered as a LONGER stream (replicas extend event time)
     peak state rows stay ~flat and per-batch trigger time does not grow
-    across the drain."""
+    across the drain.
+
+    NOTE on memoryUsedBytes (same caveat as drain_stateful): RocksDB
+    reports memtable + block-cache ALLOCATION, which accretes with
+    commit count in exact 1,048,584-byte arena blocks until
+    flush/compaction reclaims it — the committed r7 artifact carries a
+    `state_mem_attribution` object deriving this from its own batch
+    curve (quantized steps, 128-instance base decomposition, post-flush
+    collapse to sub-MB). Live rows and SST bytes are the state-size
+    evidence."""
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.pipeline import (
         purchase_click_join_stream,
     )
