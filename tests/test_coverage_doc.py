@@ -78,6 +78,46 @@ def test_every_registered_query_is_documented():
     assert not missing, f"registered queries absent from COVERAGE.md: {missing}"
 
 
+def test_multimodal_docstring_matches_decode_image_dispatch():
+    """The r7 verdict caught the multimodal module docstring denying the
+    JPEG support decode_image had just gained (the function-level doc was
+    right, the module header was stale). Guard the dispatcher-scope
+    sentence against the ACTUAL dispatch branches: every decoder
+    decode_image calls must be named in the sentence, and the sentence
+    must not claim a format decode_image doesn't dispatch."""
+    import inspect
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import multimodal
+
+    src = inspect.getsource(multimodal.decode_image)
+    body = src.split('"""')[2]  # strip def line + function docstring
+    fmt_by_decoder = {
+        "decode_png": "PNG",
+        "decode_jpeg": "JPEG",
+        "decode_pgm": "PGM",
+        "decode_wav": "WAV",
+        "decode_y4m": "Y4M",
+    }
+    dispatched = {
+        f for d, f in fmt_by_decoder.items()
+        if re.search(rf"\b{d}\(", body)
+    }
+    assert dispatched, "decode_image dispatches no known decoder?"
+    m = re.search(r"`decode_image`\s+dispatches[^.]*\.", multimodal.__doc__)
+    assert m, "module docstring lost its decode_image dispatcher sentence"
+    sentence = m.group(0)
+    for f in dispatched:
+        assert f in sentence, (
+            f"decode_image dispatches {f} but the module docstring's "
+            f"dispatcher sentence does not mention it: {sentence!r}"
+        )
+    for f in set(fmt_by_decoder.values()) - dispatched:
+        assert f not in sentence, (
+            f"module docstring claims decode_image dispatches {f}, "
+            f"but it does not: {sentence!r}"
+        )
+
+
 # --- rehearsal-claim drift guard -------------------------------------------
 #
 # r4 and r5 both shipped changelog bullets whose "N×" rehearsal numbers
