@@ -14,7 +14,7 @@ _DOC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # non-query identifiers that legitimately appear in backticks: modules,
 # functions, files, config options
 _NOT_QUERIES = re.compile(
-    r"[./()]|::|^tests?$|^[A-Z_]+$|\s"
+    r"[./()]|::|^tests?$|^test_|^[A-Z_]+$|\s"
 )
 
 
