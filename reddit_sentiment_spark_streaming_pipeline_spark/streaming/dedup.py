@@ -227,6 +227,13 @@ def compact_store(spark: SparkSession, store_dir: str,
     partition whose label still satisfies `batch_id < N` for every batch
     N that can still run.
 
+    MEASURED PAYOFF (REHEARSAL_r08_compaction_payoff.json, synthetic
+    stores at fixed tiny data volume so only the partition count
+    varies): a wash at <=256 store partitions (0.96-1.00x), 1.42x
+    faster gate batches at 1024, 1.79x at 2048 — the crossover is
+    ~1000 partitions, so schedule this op every O(1000) micro-batches;
+    more often is pure overhead.
+
     SAFETY CONTRACT: `upto_batch_id` must be at most the last batch the
     STREAM'S CHECKPOINT has committed (+1). Only the newest uncommitted
     batch can ever replay; committed batches never re-run, so relabeling

@@ -166,7 +166,9 @@ def _artifacts() -> list[dict]:
                 art = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(art, dict) and ("scaling_x" in art or "base" in art):
+        if isinstance(art, dict) and (
+            "scaling_x" in art or "base" in art or "curve" in art
+        ):
             out.append(art)
     return out
 
@@ -188,6 +190,11 @@ def _scalar_candidates(art: dict) -> set[float]:
     for k in ("base", "big", "gate_base", "gate_big"):
         if isinstance(art.get(k), dict):
             vals |= ratio_keys(art[k])
+    # sweep artifacts (e.g. the compaction payoff) carry a `curve` list
+    # of per-point dicts with ratio fields like speedup_x
+    for entry in art.get("curve", []):
+        if isinstance(entry, dict):
+            vals |= ratio_keys(entry)
     return vals
 
 
