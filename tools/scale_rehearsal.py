@@ -9,11 +9,16 @@ nothing degenerates to a corpus-wide shuffle as data grows.
 
 Replicas are perturbed so the duplicate RATE stays realistic instead of
 exploding: replica k's text goes through a per-replica substitution
-cipher (the 36-char lowercase+digit class rotated by k, uppercase
-rotated separately), so replicas share zero 3-gram word shingles AND
-zero byte 4-grams with each other — word-LEVEL and byte-level dedup
-both see them as unrelated — while the synthetic dup construction
-inside each query (every 10th/7th doc) still scales linearly. (The
+cipher (an affine map a*x + b over the 36-char lowercase+digit ring —
+pure rotations for k <= 35, multipliers 5 and 7 beyond, 108 maps total;
+uppercase rotates separately), so replicas share zero 3-gram word
+shingles AND zero byte 4-grams with each other — word-LEVEL and
+byte-level dedup both see them as unrelated — while the synthetic dup
+construction inside each query (every 10th/7th doc) still scales
+linearly.  --verify-span-isolation counts cross-replica repeated 8-word
+windows in-artifact (the >36-replica affine families can agree on up to
+6 of 36 ring chars per map pair; the count proves that never becomes a
+shared window in practice). (The
 previous word-prefix perturbation diverged only at word granularity:
 byte 4-gram queries saw replicas as genuine near-dups, so
 payload_simhash_dups' pair output grew quadratically BY CONSTRUCTION —
@@ -146,17 +151,58 @@ def _with_zipf_rank(df, n_keys: int, s: float, out_col: str, seed_col: str,
     )
 
 
+_LO36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+_UP26 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _cipher_dst(k: int) -> str:
+    """Replacement alphabet for replica k: affine map a*x + b (mod 36)
+    over the lowercase+digit ring with a = (1, 5, 7)[k // 36] and
+    b = k % 36 (k in 1..35 reproduces the original pure rotations);
+    uppercase keeps its separate (k-1) % 25 + 1 rotation — the rare
+    same-uppercase-rotation pair touches only uppercase-heavy docs, a
+    negligible linear tail (the span fixture has no uppercase at all)."""
+    if k == 0:
+        return _LO36 + _UP26
+    a = (1, 5, 7)[k // 36]
+    b = k % 36
+    r26 = (k - 1) % 25 + 1
+    return (
+        "".join(_LO36[(a * i + b) % 36] for i in range(36))
+        + _UP26[r26:] + _UP26[:r26]
+    )
+
+
 def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
-    # rotation k % 36 degenerates to the identity at k=36 (and collides
-    # for any k1 ≡ k2 mod 36), silently reintroducing byte-identical
-    # replicas — the exact fixture artifact the cipher exists to kill
-    assert REPLICAS <= 36, (
-        f"--replicas {REPLICAS} > 36 would repeat cipher rotations; "
-        "widen the alphabet before raising the replica count"
+    # Replica cipher family: affine maps x -> a*x + b over the 36-char
+    # lowercase+digit ring, with multiplier a in (1, 5, 7) (units mod 36)
+    # chosen by k // 36 and offset b = k % 36.  Family a=1 (k = 1..35) is
+    # exactly the original rotation cipher, so every artifact recorded at
+    # <= 36 replicas is byte-identical under this extension.  Any two
+    # distinct maps are injective and agree on at most gcd(a1-a2, 36) <= 6
+    # of the 36 ring chars (a coset of a small subgroup; same-multiplier
+    # pairs agree NOWHERE, the Latin-square maximum — which is also why
+    # 36 rotations was a hard cap and >36 replicas need the multipliers).
+    # A cross-replica duplicate 8-word window therefore needs every char
+    # of 8 consecutive words inside a <=6-char coset — vanishingly rare,
+    # and --verify-span-isolation measures the actual count in-artifact.
+    # k = 108 would reuse (a, b) pairs, reintroducing byte-identical
+    # replicas — the exact fixture artifact the cipher exists to kill.
+    assert REPLICAS <= 108, (
+        f"--replicas {REPLICAS} > 108 would repeat cipher (a, b) pairs; "
+        "widen the multiplier family before raising the replica count"
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     rep = spark.range(REPLICAS).select(F.col("id").cast("int").alias("k"))
+    # Per-replica replacement alphabet, shipped as a tiny broadcast dim and
+    # applied via translate(text, <ring>, _dst) — Spark's StringTranslate
+    # accepts a non-foldable replacement column, so 100+ replicas don't
+    # need a 100-deep CASE chain (which would blow past the codegen method
+    # limit and fall back to interpreted projection for the whole build).
+    rep_dst = spark.createDataFrame(
+        [(k, _cipher_dst(k)) for k in range(REPLICAS)], "k int, _dst string"
+    )
 
     # Replica id stride = max(id)+1, joined in as a broadcast scalar: a
     # hard-coded stride would silently collide ids (duplicate doc_ids)
@@ -164,28 +210,10 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     doc_stride = docs.agg((F.max("doc_id") + 1).alias("_stride"))
     emb_stride = emb.agg((F.max("vec_id") + 1).alias("_stride"))
 
-    # Per-replica substitution cipher: rotation k over the 36-char
-    # lowercase+digit class is injective across k=1..35, so no two
-    # replicas (or replica vs original) share alphanumeric bytes.
-    # Uppercase rotates in its own 26-char class ((k-1)%25+1 — the rare
-    # k=1/k=26-style collision touches only uppercase-heavy docs, a
-    # negligible linear tail at <=30 replicas). Replica counts > 36 are
-    # rejected at the top of this function.
-    lo36 = "abcdefghijklmnopqrstuvwxyz0123456789"
-    up26 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    cipher = F.col("text")
-    for k in range(1, REPLICAS):
-        r36 = k % 36
-        r26 = (k - 1) % 25 + 1
-        cipher = F.when(
-            F.col("k") == k,
-            F.translate(
-                "text",
-                lo36 + up26,
-                lo36[r36:] + lo36[:r36] + up26[r26:] + up26[:r26],
-            ),
-        ).otherwise(cipher)
-    big_docs = docs.crossJoin(F.broadcast(doc_stride)).crossJoin(rep).select(
+    cipher = F.expr(f"translate(text, '{_LO36 + _UP26}', _dst)")
+    big_docs = docs.crossJoin(F.broadcast(doc_stride)).crossJoin(
+        F.broadcast(rep_dst)
+    ).select(
         (F.col("doc_id") + F.col("k") * F.col("_stride")).alias("doc_id"),
         cipher.alias("text"),
         "lang", "source", "n_chars",
@@ -365,6 +393,46 @@ def time_queries(spark, specs, sf_dir: str, reps: int = 2) -> dict[str, dict]:
     return out
 
 
+def _span_isolation(spark, sf_dir: str, out_dir: str) -> dict:
+    """Empirical check that the affine cipher family keeps replicas
+    span-disjoint: count 8-word windows shared across replica bands in
+    the big fixture's dedup corpus (the exact input repeated_ngram_spans
+    reads — cross-replica repeats would inflate its output super-linearly
+    and corrupt the scaling measurement).  Bands derive from the fixture's
+    doc_id layout: replica = (doc_id % 1_000_000) div base_stride — the
+    corpus's synthetic-dup branches offset doc_id by 1e6/2e6, far above
+    108 replicas * stride for every shipped sf."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (  # noqa: E501
+        SPAN_NGRAM, dedup_corpus,
+    )
+
+    stride = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg((F.max("doc_id") + 1).alias("s")).first()["s"]
+    )
+    corpus = dedup_corpus(spark, out_dir)
+    toks = corpus.select(
+        ((F.col("doc_id") % 1000000) / stride).cast("long").alias("band"),
+        F.split("text", " ").alias("w"),
+    )
+    win = toks.filter(F.size("w") >= SPAN_NGRAM).select(
+        "band",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - SPAN_NGRAM),
+                lambda i: F.array_join(F.slice("w", i + 1, SPAN_NGRAM), " "),
+            )
+        ).alias("g"),
+    )
+    cross = (
+        win.groupBy("g")
+        .agg(F.min("band").alias("lo"), F.max("band").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .count()
+    )
+    return {"cross_replica_repeated_windows": cross, "ngram": SPAN_NGRAM}
+
+
 def _forced_gates() -> dict[str, str]:
     """Broadcast-gate env overrides in effect (operators/dedup.py
     _env_gate) — recorded in the artifact so a forced-fallback rehearsal
@@ -386,6 +454,9 @@ def main() -> None:
         i = args.index("--queries")
         QUERIES = args[i + 1].split(",")
         del args[i:i + 2]
+    verify_isolation = "--verify-span-isolation" in args
+    if verify_isolation:
+        args.remove("--verify-span-isolation")
     if "--skew" in args:
         i = args.index("--skew")
         spec = args[i + 1]
@@ -425,6 +496,9 @@ def main() -> None:
                     "overwrite").parquet(os.path.join(dest, name))
 
     build_all(out_dir)
+    isolation = (
+        _span_isolation(spark, sf_dir, out_dir) if verify_isolation else None
+    )
     # Under --skew the BASE must be skew-shaped too (the scaling ratio is
     # only meaningful between same-shaped distributions): build a 1x
     # zipf-keyed copy of the base and time against it instead of sf_dir.
@@ -458,6 +532,7 @@ def main() -> None:
         ) + ("_forced_fallback" if _forced_gates() else ""),
         **({"skew": {"law": "zipf", "s": SKEW_S}} if SKEW_S is not None else {}),
         **({"forced_gates": _forced_gates()} if _forced_gates() else {}),
+        **({"span_isolation": isolation} if isolation is not None else {}),
         "replicas": REPLICAS,
         "base": base,
         "big": big,
