@@ -280,52 +280,258 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
     return base.unionByName(perturbed)
 
 
+# Banded sign-LSH geometry for embedding_near_dups. A single LSH table
+# with 2^LSH_BITS = 16 buckets (the probe layout ann_lsh_topk uses, where
+# candidates are bounded by the QUERY count) is quadratic when self-joined
+# for all-pairs discovery: candidates ~ N²/16 regardless of duplicate
+# rate — the 100-replica rehearsal measured 2.02e9 candidate pairs and a
+# 785x wall for 100x data before this layout. Banding alone is not
+# enough: ANY fixed band width leaves organic collisions Θ(N²/2^bits)
+# (measured: 2,152 → 5.9M candidates for 100x data at a fixed 16 bits).
+# So the band width ADAPTS to the corpus: every vector gets a 24-bit
+# band hash, and the bucket key masks it down to
+#   bits(N) = clamp(ceil(log2(2·N)), 8, 24)
+# where N is the corpus count computed IN-PLAN as a broadcast scalar
+# (the semantic_dedup_prune precedent — its K = max(8, N/256) works the
+# same way, and the DuckDB oracle evaluates the identical formula, so
+# the contract stays engine-exact at every scale). Expected bucket
+# occupancy is then ~1/2, so organic candidates stay ≈ N²/2^(bits+1)·B
+# ≈ 2·N — LINEAR until the 24-bit ceiling binds at N ≈ 2^23 vectors
+# (past that: more planes/bands, the geometry grows with log N —
+# production sizing, documented not shipped, since the shipped plane
+# pool must be finite). Recall for cosine ≥ 0.99 (angle ≤ 8.1°,
+# p(bit) = 1 - θ/π = 0.955): at the sf0.01 oracle gate bits = 11,
+# p(band) = 0.955^11 = 0.60, p(≥1 of 8 bands) = 99.6%; at bits = 21
+# (N ≈ 550k) still 97.8%, and the PLANTED dup pairs (cosine ≈ 0.999,
+# p(bit) = 0.986) miss all 8 bands w.p. < 1e-4 at every width.
+#
+# The sign bits are computed over INTEGER-quantized vectors (millis,
+# floor(x*1000)) with integer md5-derived plane coefficients — the same
+# trick embedding_rp_simhash_dups documents: an integer dot product has
+# no float summation-order divergence, so a borderline plane can never
+# put the two engines' copies of one vector in different buckets. The
+# verify stage still scores the exact double cosine (rounded to 6, the
+# established cross-engine contract). ceil(log2(2N)) is itself
+# engine-exact: log2 of a power of two is exact in IEEE double, and a
+# non-power can never land on an integer, so the two engines' ceil
+# always agrees.
+COS_BANDS = 8
+COS_BAND_BITS = 24   # provisioned plane pool per band; masked to bits(N)
+COS_MIN_BITS = 8
+MAX_COS_BUCKET = 64
+
+
+def _cos_coef(p: int, d: int) -> int:
+    """Deterministic integer plane coefficient in [-1000, 1000]."""
+    return int(hashlib.md5(f"cos{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+
+_COS_COEFS = [
+    [_cos_coef(p, d) for d in range(DIM)]
+    for p in range(COS_BANDS * COS_BAND_BITS)
+]
+
+_COS_VALUES = ", ".join(
+    f"({p}, {d}, {_COS_COEFS[p][d]})"
+    for p in range(COS_BANDS * COS_BAND_BITS)
+    for d in range(DIM)
+)
+
+
+def _cos_band_int(b: int) -> Column:
+    """Band b's 16-bit bucket id: packed sign bits of the integer plane
+    dots (zip_with + fold over the quantized `xq` column, JVM-side)."""
+    bits = []
+    for t in range(COS_BAND_BITS):
+        coefs = ", ".join(str(c) for c in _COS_COEFS[b * COS_BAND_BITS + t])
+        d = F.expr(
+            f"aggregate(zip_with(xq, array({coefs}), (x, c) -> x * c), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << t)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
 @register(
     "embedding_near_dups",
     oracle=f"""
     WITH base AS ({_DUP_CORPUS_SQL}),
     c AS (
-        SELECT vec_id, ce, {_bucket_sql('ce')} AS bucket,
-               sqrt(list_dot_product(ce, ce)) AS nrm
+        SELECT vec_id, ce, sqrt(list_dot_product(ce, ce)) AS nrm
         FROM base
     ),
-    pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.ce, b.ce) / (a.nrm * b.nrm), 6) AS cosine
-        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    longf AS (
+        SELECT vec_id, generate_subscripts(ce, 1) - 1 AS d,
+               CAST(floor(unnest(ce) * 1000) AS BIGINT) AS xq
+        FROM c
+    ),
+    nb AS (
+        SELECT least({COS_BAND_BITS}, greatest({COS_MIN_BITS},
+                     CAST(ceil(log2(count(*) * 2)) AS INT))) AS nbits
+        FROM c
+    ),
+    planes AS (SELECT * FROM (VALUES {_COS_VALUES}) AS t(p, d, cf)),
+    dots AS (
+        SELECT longf.vec_id, planes.p, sum(longf.xq * planes.cf) AS dp
+        FROM longf JOIN planes ON planes.d = longf.d
+        GROUP BY longf.vec_id, planes.p
+    ),
+    bands AS (
+        SELECT vec_id, p // {COS_BAND_BITS} AS band,
+               CAST(sum(CASE WHEN dp >= 0
+                             THEN 1 << (p % {COS_BAND_BITS}) ELSE 0 END)
+                    AS BIGINT)
+               & ((1 << (SELECT nbits FROM nb)) - 1) AS bkt
+        FROM dots GROUP BY vec_id, p // {COS_BAND_BITS}
+    ),
+    capped AS (
+        SELECT band, bkt,
+               unnest(list_slice(list_sort(list(vec_id)), 1,
+                                 {MAX_COS_BUCKET})) AS vec_id
+        FROM bands GROUP BY band, bkt
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT cand.vec_a, cand.vec_b,
+               round(list_dot_product(x.ce, y.ce) / (x.nrm * y.nrm), 6)
+                   AS cosine
+        FROM cand
+        JOIN c x ON x.vec_id = cand.vec_a
+        JOIN c y ON y.vec_id = cand.vec_b
     )
     SELECT vec_a, vec_b, cosine
-    FROM pairs
+    FROM scored
     WHERE cosine >= {COSINE_DUP_THRESHOLD}
     ORDER BY vec_a, vec_b
     """,
-    doc="Embedding-cosine near-dup detection: LSH-bucket candidate pairs "
-    "(equi-join on bucket, no quadratic pair enumeration) verified by "
-    "exact cosine ≥ 0.99 — the semantic-dedup path for a training corpus",
+    doc="Embedding-cosine near-dup detection, banded sign-LSH with "
+    "SCALE-ADAPTIVE band width: 8 bands of 24 provisioned integer "
+    "planes, bucket key masked to bits(N) = clamp(ceil(log2(2N)), 8, "
+    "24) with N computed in-plan (broadcast scalar; the oracle "
+    "evaluates the identical formula), so expected bucket occupancy "
+    "stays ~1/2 and organic candidate volume stays ≈ 2N — linear — at "
+    "every corpus size up to the 24-bit ceiling. Integer-quantized "
+    "dots kill the cross-engine float-sign hazard; per-(band, bucket) "
+    "row_number cap at 64 bounds duplicate floods; within-bucket pair "
+    "expansion + DISTINCT; exact double-cosine ≥ 0.99 verify, "
+    "broadcast-gated on the measured pair count with a shuffle-hash "
+    "fallback like every gated verify in dedup.py. Replaces the single "
+    "16-bucket self-join whose candidate volume was N²/16 by "
+    "construction (measured: 2.02e9 candidates, 785x wall at 100x "
+    "data; a FIXED 16-bit banding still grew 2,152 → 5.9M candidates — "
+    "adaptive width is what makes it linear).",
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # norms computed once per vector, not per candidate pair — pair scoring
-    # inside a bucket is the quadratic part, so it gets one dot, not three.
-    # Persisted: both self-join sides read this, and without the cache each
-    # side recomputes bucket hashing + norm over the full table (2.1× cost).
-    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+    from pyspark.sql.window import Window
 
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        _assume_broadcast,
+        _env_gate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms computed once per vector, not per candidate pair; quantized
+    # copy feeds the band hashing only. Persisted: the band stage and
+    # both verify join sides read this.
     c = track(spread(_dup_corpus(emb)).select(
         "vec_id",
         "ce",
-        bucket_col(F.col("ce")).alias("bucket"),
         F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
+        F.expr("transform(ce, x -> cast(floor(x * 1000) as bigint))").alias("xq"),
     ).persist())
+    # Scale-adaptive band width: the corpus count enters the plan as a
+    # 1-row broadcast scalar (no driver collect), and the 24-bit band
+    # hashes are masked down to bits(N) at the bucket key — see the
+    # geometry comment above COS_BANDS.
+    bits_df = c.agg(
+        F.least(
+            F.lit(COS_BAND_BITS),
+            F.greatest(
+                F.lit(COS_MIN_BITS),
+                F.ceil(F.log2(F.count(F.lit(1)) * 2)).cast("int"),
+            ),
+        ).alias("_bits")
+    )
+    # One row per (vector, band): ONE exchange on (band, bkt) feeds both
+    # the cap window and the bucket aggregation — the minhash LSH shape
+    # (dedup.py minhash_candidates_from_shingles), reused deliberately.
+    bl = c.crossJoin(F.broadcast(bits_df)).select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _cos_band_int(b).alias("bkt"))
+                for b in range(COS_BANDS)
+            ])
+        ).alias("e"),
+        "_bits",
+    ).select(
+        "vec_id",
+        F.col("e.band").alias("band"),
+        F.col("e.bkt").bitwiseAND(
+            F.expr("shiftleft(1, _bits)") - 1
+        ).alias("bkt"),
+    )
+    wb = Window.partitionBy("band", "bkt")
+    capped = (
+        bl.withColumn("full", F.count(F.lit(1)).over(wb))
+        .withColumn("rn", F.row_number().over(wb.orderBy("vec_id")))
+        .filter(F.col("rn") <= MAX_COS_BUCKET)
+    )
+    grp = (
+        capped.groupBy("band", "bkt")
+        .agg(
+            F.sort_array(F.collect_list("vec_id")).alias("ds"),
+            F.first("full").alias("full"),
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    full = F.col("full")
+    kept = F.least(full, F.lit(MAX_COS_BUCKET))
+    grp = grp.observe(
+        "cos_bucket_cap",
+        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
+        F.max(full).alias("max_bucket_vecs"),
+    ).select("ds")
+    pairs = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    # Verify join-back: pair list is small (∝ true near-dups, bounded by
+    # the bucket cap), so it is localCheckpoint-ed (lineage cut — without
+    # it each verify side re-runs the banding) and its measured count
+    # gates the broadcast, mirroring _pair_docset_join in dedup.py.
+    if not _assume_broadcast():
+        pairs = pairs.localCheckpoint()
+    small = _assume_broadcast() or (
+        pairs.count() <= _env_gate("SPARK_GRAFT_COS_PAIR_BROADCAST_MAX", 200_000)
+    )
+    hint = F.broadcast if small else (lambda d: d.hint("shuffle_hash"))
     a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"),
-                 "bucket", F.col("nrm").alias("na"))
+                 F.col("nrm").alias("na"))
     b = c.select(F.col("vec_id").alias("vec_b"), F.col("ce").alias("eb"),
-                 "bucket", F.col("nrm").alias("nb"))
+                 F.col("nrm").alias("nb"))
+    t1 = a.join(hint(pairs), "vec_a").select("vec_a", "vec_b", "ea", "na")
+    t2 = b.join(hint(t1), "vec_b")
     cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, ["bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        t2.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )

@@ -25,7 +25,13 @@ payload_simhash_dups' pair output grew quadratically BY CONSTRUCTION —
 the 18.2x/16.5x "super-linear shuffle" r4/r5 readings were the fixture,
 not the operator.) Word shapes and lengths are preserved, which is
 more realistic for token/quality queries than prefix-inflated words.
-Embeddings get deterministic per-replica jitter for the same reason.
+Embeddings get a deterministic per-replica signed-permutation ISOMETRY
+for the same reason (--emb-perturb isometry, the default): it preserves
+each replica's internal geometry exactly while decorrelating
+cross-replica copies to cosine ~0; the legacy additive jitter left
+cross-replica cosines above the 0.99 near-dup threshold (quadratic
+true-pair growth by fixture) and survives as --emb-perturb jitter, the
+duplicate-FLOOD stress mode for the banded-LSH bucket caps.
 Everything is generated and written by executors — no driver collect —
 so the same script is the rehearsal you'd run at sf100.
 
@@ -42,6 +48,7 @@ could hide super-linear knees that a 10× point misses.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -155,6 +162,43 @@ _LO36 = "abcdefghijklmnopqrstuvwxyz0123456789"
 _UP26 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
+# How replica k's embeddings are perturbed (--emb-perturb):
+#   isometry (default): per-replica SIGNED PERMUTATION of the dimensions
+#     — an orthogonal map, so norms and every within-replica dot product
+#     are preserved exactly (the replica's internal geometry, including
+#     the queries' planted near-dup pairs, is untouched) while
+#     cross-replica copies of the same base vector decorrelate to
+#     cosine ~ N(0, 1/sqrt(64)), far below every similarity threshold.
+#     This is the embedding analog of the text cipher: without it the
+#     old additive jitter (x + (k*31+i)%7 * 0.013) left cross-replica
+#     cosines ≈ 0.998 — ABOVE the 0.99 near-dup threshold — so the
+#     fixture itself manufactured ~quadratic true-pair growth
+#     (measured: 785x wall for 100x data on embedding_near_dups before
+#     the fix; any implementation must pay for output it is required to
+#     emit, so no operator shape can make that fixture scale linearly).
+#   jitter: the legacy additive perturbation, kept as the DUP-FLOOD
+#     stress mode — 100 replicas of one base vector all within 0.99
+#     cosine is exactly the pathological duplicate flood the banded
+#     LSH bucket cap exists to bound.
+EMB_PERTURB = "isometry"
+
+
+def _emb_isometry(k: int) -> tuple[list[int], list[int]]:
+    """Replica k's signed permutation: (perm, signs), md5-derived."""
+    if k == 0:
+        return list(range(64)), [1] * 64
+    perm = sorted(
+        range(64),
+        key=lambda d: hashlib.md5(f"emb{k}:{d}".encode()).hexdigest(),
+    )
+    sgn = [
+        1 if int(hashlib.md5(f"sgn{k}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1
+        for d in range(64)
+    ]
+    return perm, sgn
+
+
 def _cipher_dst(k: int) -> str:
     """Replacement alphabet for replica k: affine map a*x + b (mod 36)
     over the lowercase+digit ring with a = (1, 5, 7)[k // 36] and
@@ -218,15 +262,29 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
         cipher.alias("text"),
         "lang", "source", "n_chars",
     )
-    big_emb = emb.crossJoin(F.broadcast(emb_stride)).crossJoin(rep).select(
+    if EMB_PERTURB == "jitter":
+        emb_side = rep
+        pert = F.transform(
+            "embedding",
+            lambda x, i: x
+            + ((F.col("k") * 31 + i) % 7).cast("float") * F.lit(0.013),
+        )
+    else:
+        emb_side = spark.createDataFrame(
+            [(k, *_emb_isometry(k)) for k in range(REPLICAS)],
+            "k int, _perm array<int>, _sgn array<int>",
+        )
+        pert = F.expr(
+            "transform(embedding, (x, i) -> cast("
+            "element_at(embedding, element_at(_perm, i + 1) + 1)"
+            " * element_at(_sgn, i + 1) as float))"
+        )
+    big_emb = emb.crossJoin(F.broadcast(emb_stride)).crossJoin(
+        F.broadcast(emb_side)
+    ).select(
         (F.col("vec_id") + F.col("k") * F.col("_stride")).alias("vec_id"),
-        F.when(F.col("k") == 0, F.col("embedding")).otherwise(
-            F.transform(
-                "embedding",
-                lambda x, i: x
-                + ((F.col("k") * 31 + i) % 7).cast("float") * F.lit(0.013),
-            )
-        ).alias("embedding"),
+        F.when(F.col("k") == 0, F.col("embedding")).otherwise(pert)
+        .alias("embedding"),
         "label",
     )
     big_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
@@ -444,8 +502,14 @@ def _forced_gates() -> dict[str, str]:
 
 
 def main() -> None:
-    global REPLICAS, QUERIES, SKEW_S
+    global REPLICAS, QUERIES, SKEW_S, EMB_PERTURB
     args = list(sys.argv[1:])
+    if "--emb-perturb" in args:
+        i = args.index("--emb-perturb")
+        EMB_PERTURB = args[i + 1]
+        if EMB_PERTURB not in ("isometry", "jitter"):
+            raise SystemExit(f"unknown --emb-perturb mode: {EMB_PERTURB}")
+        del args[i:i + 2]
     if "--replicas" in args:
         i = args.index("--replicas")
         REPLICAS = int(args[i + 1])
@@ -533,6 +597,7 @@ def main() -> None:
         **({"skew": {"law": "zipf", "s": SKEW_S}} if SKEW_S is not None else {}),
         **({"forced_gates": _forced_gates()} if _forced_gates() else {}),
         **({"span_isolation": isolation} if isolation is not None else {}),
+        **({"emb_perturb": EMB_PERTURB} if EMB_PERTURB != "isometry" else {}),
         "replicas": REPLICAS,
         "base": base,
         "big": big,
