@@ -296,10 +296,22 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
 # same way, and the DuckDB oracle evaluates the identical formula, so
 # the contract stays engine-exact at every scale). Expected bucket
 # occupancy is then ~1/2, so organic candidates stay ≈ N²/2^(bits+1)·B
-# ≈ 2·N — LINEAR until the 24-bit ceiling binds at N ≈ 2^23 vectors
-# (past that: more planes/bands, the geometry grows with log N —
-# production sizing, documented not shipped, since the shipped plane
-# pool must be finite). Recall for cosine ≥ 0.99 (angle ≤ 8.1°,
+# ≈ 2·N — LINEAR until the 24-bit ceiling binds at N ≈ 2^23 vectors.
+# PAST THE CEILING (production sizing; the shipped plane pool must be
+# finite): raise COS_BAND_BITS to ceil(log2(2·N_max)) for the target
+# corpus — that is the ONLY knob. The plane pool regrows automatically
+# (_COS_COEFS derives COS_BANDS × COS_BAND_BITS hashed planes; each
+# plane's coefficients depend only on its global index p, so widening
+# the pool keeps every existing plane identical), cost grows with
+# log N: each extra bit is one more integer plane-dot per (vector,
+# band) and per-band recall drops by one 0.955 factor — at 30 bits
+# (N ≈ 5·10^8) p(≥1 of 8 bands) is still ≈ 89% for 0.99-cosine pairs
+# and ≥ 99.99% for the ≥ 0.999 planted class; hold recall instead by
+# adding bands (recall 1-(1-p_band)^B, candidates stay ≈ 2·N·B/8).
+# The oracle contract survives unchanged because the SQL is generated
+# from the same constants (_COS_VALUES / COS_BAND_BITS f-strings) and
+# bits(N) is clamped by the same least/greatest expression on both
+# engines. Recall for cosine ≥ 0.99 (angle ≤ 8.1°,
 # p(bit) = 1 - θ/π = 0.955): at the sf0.01 oracle gate bits = 11,
 # p(band) = 0.955^11 = 0.60, p(≥1 of 8 bands) = 99.6%; at bits = 21
 # (N ≈ 550k) still 97.8%, and the PLANTED dup pairs (cosine ≈ 0.999,
@@ -353,6 +365,99 @@ def _cos_band_int(b: int) -> Column:
     for x in bits[1:]:
         out = out + x
     return out
+
+
+def _cos_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup corpus with per-vector norm and the integer-quantized
+    copy — norms computed once per vector, not per candidate pair; the
+    quantized copy feeds the band hashing only. Persisted: the band
+    stage and both verify join sides read this."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return track(spread(_dup_corpus(emb)).select(
+        "vec_id",
+        "ce",
+        F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
+        F.expr("transform(ce, x -> cast(floor(x * 1000) as bigint))").alias("xq"),
+    ).persist())
+
+
+def _cos_buckets(c: DataFrame) -> DataFrame:
+    """(vec_id, band, bkt) with the scale-adaptive mask applied: the
+    corpus count enters the plan as a 1-row broadcast scalar (no driver
+    collect), and the 24-bit band hashes are masked down to bits(N) at
+    the bucket key — see the geometry comment above COS_BANDS."""
+    bits_df = c.agg(
+        F.least(
+            F.lit(COS_BAND_BITS),
+            F.greatest(
+                F.lit(COS_MIN_BITS),
+                F.ceil(F.log2(F.count(F.lit(1)) * 2)).cast("int"),
+            ),
+        ).alias("_bits")
+    )
+    return c.crossJoin(F.broadcast(bits_df)).select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _cos_band_int(b).alias("bkt"))
+                for b in range(COS_BANDS)
+            ])
+        ).alias("e"),
+        "_bits",
+    ).select(
+        "vec_id",
+        F.col("e.band").alias("band"),
+        F.col("e.bkt").bitwiseAND(
+            F.expr("shiftleft(1, _bits)") - 1
+        ).alias("bkt"),
+    )
+
+
+def _cos_candidate_pairs(c: DataFrame) -> DataFrame:
+    """Distinct within-bucket candidate pairs, bucket-capped at
+    MAX_COS_BUCKET with an `observe` counter for dropped pairs. One row
+    per (vector, band) feeds ONE exchange on (band, bkt) for both the
+    cap window and the bucket aggregation — the minhash LSH shape
+    (dedup.py minhash_candidates_from_shingles), reused deliberately."""
+    from pyspark.sql.window import Window
+
+    bl = _cos_buckets(c)
+    wb = Window.partitionBy("band", "bkt")
+    capped = (
+        bl.withColumn("full", F.count(F.lit(1)).over(wb))
+        .withColumn("rn", F.row_number().over(wb.orderBy("vec_id")))
+        .filter(F.col("rn") <= MAX_COS_BUCKET)
+    )
+    grp = (
+        capped.groupBy("band", "bkt")
+        .agg(
+            F.sort_array(F.collect_list("vec_id")).alias("ds"),
+            F.first("full").alias("full"),
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    full = F.col("full")
+    kept = F.least(full, F.lit(MAX_COS_BUCKET))
+    grp = grp.observe(
+        "cos_bucket_cap",
+        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
+        F.max(full).alias("max_bucket_vecs"),
+    ).select("ds")
+    return (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
 
 
 @register(
@@ -428,99 +533,28 @@ def _cos_band_int(b: int) -> Column:
     "data; a FIXED 16-bit banding still grew 2,152 → 5.9M candidates — "
     "adaptive width is what makes it linear).",
 )
-def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
 
-    from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
         _assume_broadcast,
         _env_gate,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # norms computed once per vector, not per candidate pair; quantized
-    # copy feeds the band hashing only. Persisted: the band stage and
-    # both verify join sides read this.
-    c = track(spread(_dup_corpus(emb)).select(
-        "vec_id",
-        "ce",
-        F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
-        F.expr("transform(ce, x -> cast(floor(x * 1000) as bigint))").alias("xq"),
-    ).persist())
-    # Scale-adaptive band width: the corpus count enters the plan as a
-    # 1-row broadcast scalar (no driver collect), and the 24-bit band
-    # hashes are masked down to bits(N) at the bucket key — see the
-    # geometry comment above COS_BANDS.
-    bits_df = c.agg(
-        F.least(
-            F.lit(COS_BAND_BITS),
-            F.greatest(
-                F.lit(COS_MIN_BITS),
-                F.ceil(F.log2(F.count(F.lit(1)) * 2)).cast("int"),
-            ),
-        ).alias("_bits")
-    )
-    # One row per (vector, band): ONE exchange on (band, bkt) feeds both
-    # the cap window and the bucket aggregation — the minhash LSH shape
-    # (dedup.py minhash_candidates_from_shingles), reused deliberately.
-    bl = c.crossJoin(F.broadcast(bits_df)).select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), _cos_band_int(b).alias("bkt"))
-                for b in range(COS_BANDS)
-            ])
-        ).alias("e"),
-        "_bits",
-    ).select(
-        "vec_id",
-        F.col("e.band").alias("band"),
-        F.col("e.bkt").bitwiseAND(
-            F.expr("shiftleft(1, _bits)") - 1
-        ).alias("bkt"),
-    )
-    wb = Window.partitionBy("band", "bkt")
-    capped = (
-        bl.withColumn("full", F.count(F.lit(1)).over(wb))
-        .withColumn("rn", F.row_number().over(wb.orderBy("vec_id")))
-        .filter(F.col("rn") <= MAX_COS_BUCKET)
-    )
-    grp = (
-        capped.groupBy("band", "bkt")
-        .agg(
-            F.sort_array(F.collect_list("vec_id")).alias("ds"),
-            F.first("full").alias("full"),
-        )
-        .filter(F.size("ds") >= 2)
-    )
-    full = F.col("full")
-    kept = F.least(full, F.lit(MAX_COS_BUCKET))
-    grp = grp.observe(
-        "cos_bucket_cap",
-        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
-        F.max(full).alias("max_bucket_vecs"),
-    ).select("ds")
-    pairs = (
-        grp.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> struct(x AS vec_a, y AS vec_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.vec_a", "p.vec_b")
-        .distinct()
-    )
+    c = _cos_corpus(spark, sf_dir)
+    pairs = _cos_candidate_pairs(c)
     # Verify join-back: pair list is small (∝ true near-dups, bounded by
     # the bucket cap), so it is localCheckpoint-ed (lineage cut — without
     # it each verify side re-runs the banding) and its measured count
     # gates the broadcast, mirroring _pair_docset_join in dedup.py.
+    # Gate default 50k, NOT the 200k a bare pair-id row count would
+    # suggest: the second join broadcasts t1, which carries the 64-dim
+    # double embedding (~600 B/row with array overhead) per pair — the
+    # payload that actually ships is what must stay executor-resident,
+    # and 50k × ~600 B ≈ 30 MB matches dedup.py's gated-verify sizing.
     if not _assume_broadcast():
         pairs = pairs.localCheckpoint()
     small = _assume_broadcast() or (
-        pairs.count() <= _env_gate("SPARK_GRAFT_COS_PAIR_BROADCAST_MAX", 200_000)
+        pairs.count() <= _env_gate("SPARK_GRAFT_COS_PAIR_BROADCAST_MAX", 50_000)
     )
     hint = F.broadcast if small else (lambda d: d.hint("shuffle_hash"))
     a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"),

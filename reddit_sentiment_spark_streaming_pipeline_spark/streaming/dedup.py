@@ -168,6 +168,11 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
             .drop("rn")
         )
         n_batch = fps.count()
+        # a crashed compaction's delete→rename window leaves the store
+        # missing one partition — reading it would silently re-admit
+        # those fingerprints, so fail loudly instead (one parent-dir
+        # listing; zero cost in any healthy state)
+        assert_store_not_mid_compaction(spark, store_dir)
         # Explicit schema (no footer inference: a killed run can leave a
         # partial part file in THIS batch's partition, and inference might
         # sample exactly that file); batch_id < N prunes the batch's own
@@ -215,6 +220,67 @@ def read_gate_stats(spark: SparkSession, out_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_root, "gate_stats"))
 
 
+def _store_fs(spark: SparkSession, store_dir: str):
+    """(fs, Path-class) for the store's own filesystem (see
+    _store_path_exists for why os.* is wrong here)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(store_dir).getFileSystem(hconf)
+    return fs, hpath
+
+
+def _compact_tmp_dirs(spark: SparkSession, store_dir: str) -> list[tuple[int, str, bool]]:
+    """All sibling ``<store>.compact_tmp_<d>`` dirs as (d, path, complete).
+
+    Complete means the parquet commit marker ``_SUCCESS`` exists — the
+    same token compact_store's own tmp-reuse keys on. The scan is one
+    listing of the store's parent directory on the store's filesystem
+    (zero entries in any healthy state)."""
+    fs, hpath = _store_fs(spark, store_dir)
+    base = store_dir.rstrip("/")
+    parent = hpath(base).getParent()
+    prefix = hpath(base).getName() + ".compact_tmp_"
+    out = []
+    if parent is None or not fs.exists(parent):
+        return out
+    for status in fs.listStatus(parent):
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        suffix = name[len(prefix):]
+        if not suffix.isdigit():
+            continue  # e.g. a crashed ".merge" scratch dir — rebuildable
+        path = status.getPath().toString()
+        complete = fs.exists(hpath(path + "/_SUCCESS"))
+        out.append((int(suffix), path, complete))
+    return out
+
+
+def assert_store_not_mid_compaction(spark: SparkSession, store_dir: str) -> None:
+    """Refuse to read a store that a crashed compaction left PARTIAL.
+
+    A compact_store crash between its delete(batch_id=dest) and rename
+    leaves the dest rows' only copy in a complete ``.compact_tmp_<dest>``
+    sibling. A gate that reads the store in that state silently
+    re-admits every document whose fingerprint lived in dest. This check
+    (one parent-dir listing, zero cost in any healthy state) turns that
+    silent corruption into a loud failure telling the operator to re-run
+    compact_store first. An incomplete tmp, or a complete tmp whose
+    batch partition still exists, means the prior run crashed BEFORE
+    deleting anything — the store is intact and the gate may proceed."""
+    fs, hpath = _store_fs(spark, store_dir)
+    for d, path, complete in _compact_tmp_dirs(spark, store_dir):
+        part = hpath(os.path.join(store_dir, f"batch_id={d}"))
+        if complete and not fs.exists(part):
+            raise IOError(
+                f"fingerprint store {store_dir} is mid-compaction: "
+                f"batch_id={d} was deleted and its only copy is {path}. "
+                f"Run compact_store(upto_batch_id>={d + 1}) to recover "
+                "before (re)starting the gate."
+            )
+
+
 def compact_store(spark: SparkSession, store_dir: str,
                   upto_batch_id: int) -> int:
     """Fold the batch-owned store partitions `batch_id < upto_batch_id`
@@ -245,27 +311,50 @@ def compact_store(spark: SparkSession, store_dir: str,
 
     Returns the number of rows in the consolidated partition.
 
-    CRASH SAFETY (additive-first swap): at every instant, the union of
-    `batch_id < upto_batch_id` partitions is a superset of true
-    membership — duplicate rows across partitions are benign for the
-    gate's membership anti-join, but a missing fingerprint would
-    re-admit a duplicate document, so history is never deleted before
-    its consolidated copy is durably in place:
+    CRASH SAFETY (additive-first swap): the invariant is that the union
+    of the `batch_id < upto_batch_id` partitions PLUS every complete
+    (`_SUCCESS`-marked) `.compact_tmp_*` sibling is a superset of true
+    membership at every instant — duplicate rows across those sources
+    are benign for the gate's membership anti-join (dropDuplicates folds
+    them), but a missing fingerprint would re-admit a duplicate
+    document, so no source is ever deleted before a consolidated copy
+    containing its rows is durably in place. NOTE the store partitions
+    ALONE do not carry the invariant through the delete→rename window
+    below: between step 2's delete and its rename, `batch_id=dest`'s
+    rows exist only in the tmp. Recovery therefore keys on the tmp
+    SIBLINGS, not on the exact bound being retried:
 
-      1. materialize the consolidated copy to a tmp dir (skipped on a
-         re-run that finds a complete tmp with _SUCCESS — rebuilding it
-         from a partially-swapped store would drop the rows whose only
-         surviving copy IS the tmp);
-      2. delete only `batch_id=dest`, rename tmp into its place, and
-         FAIL LOUDLY if the FS rename reports failure;
-      3. only then delete the remaining folded partitions.
+      0. every complete orphan tmp (a crashed compaction at ANY earlier
+         bound) is unioned into the rebuild as a source — so a crash at
+         bound A between delete and rename is healed by the next
+         scheduled compaction at bound B > A, not only by an exact
+         re-run at A. Incomplete tmps (no _SUCCESS) mean their run never
+         deleted anything; they are garbage and are removed. A complete
+         orphan at a bound BEYOND this call's (d >= upto_batch_id)
+         is refused loudly: folding its rows under a LOWER label would
+         discard the proof that those batches were committed — re-run
+         at the higher bound instead.
+      1. materialize the consolidated copy to a tmp dir (reused as-is
+         on a re-run that finds a complete tmp with _SUCCESS and no
+         orphans — rebuilding from a partially-swapped store would drop
+         the rows whose only surviving copy IS the tmp; when orphans
+         DO coexist with a complete tmp, both are sources and the
+         rebuild goes to a scratch `.merge` dir so neither is deleted
+         before the consolidated copy is durable);
+      2. delete only `batch_id=dest`, rename the build dir into its
+         place, and FAIL LOUDLY if the FS rename reports failure;
+      3. only then delete the remaining folded partitions and the
+         now-folded tmp siblings.
 
     A crash in window 1 leaves the store untouched; in window 2 the tmp
-    (complete, _SUCCESS-marked) survives and a re-run resumes from it;
-    in window 3 the store holds the full consolidated partition plus
-    benign leftover duplicates that the re-run's dropDuplicates folds
-    away. Idempotent: re-running with the same bound converges to the
-    same single consolidated partition.
+    (complete, _SUCCESS-marked) survives and ANY later run — same bound
+    or higher — folds it back in; in window 3 the store holds the full
+    consolidated partition plus benign leftover duplicates that the
+    re-run's dropDuplicates folds away. A gate restarted while the
+    store sits in window 2 refuses loudly instead of reading the
+    partial store (assert_store_not_mid_compaction, wired into
+    gate_batch). Idempotent: re-running with the same bound converges
+    to the same single consolidated partition.
     """
     dest = upto_batch_id - 1
     if dest < 0:
@@ -274,33 +363,61 @@ def compact_store(spark: SparkSession, store_dir: str,
     # all FS ops go through the store's OWN filesystem (Hadoop FS API,
     # same rationale as _store_path_exists — os.listdir/os.rename only
     # see the driver's local disk)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
+    fs, hpath = _store_fs(spark, store_dir)
     root = hpath(store_dir)
-    fs = root.getFileSystem(hconf)
+    orphans = []
+    for d, path, complete in _compact_tmp_dirs(spark, store_dir):
+        if d == dest:
+            continue
+        if not complete:
+            # its run crashed before deleting anything: store intact,
+            # the partial tmp is pure garbage
+            fs.delete(hpath(path), True)
+            continue
+        if d >= upto_batch_id:
+            raise IOError(
+                f"compact_store: found a complete interrupted compaction "
+                f"at a HIGHER bound ({path}); re-run with "
+                f"upto_batch_id={d + 1} (>= its bound) instead of "
+                f"{upto_batch_id} so its rows keep their committed label"
+            )
+        orphans.append(path)
     tmp_complete = fs.exists(hpath(os.path.join(tmp, "_SUCCESS")))
-    if not tmp_complete:
+    build = tmp
+    if not tmp_complete or orphans:
         store = (
             spark.read.schema(STORE_SCHEMA)
             .parquet(store_dir)
             .filter(F.col("batch_id") < upto_batch_id)
             .select("fingerprint", "doc_id", "source")
-            # exact duplicates exist only when a prior run crashed after
-            # its rename (window 3): dest + leftover folded partitions
-            # hold copies of the same rows. Identical full rows, so
-            # keep-any is deterministic.
-            .dropDuplicates()
         )
-        store.coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
-            .write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+        # every complete tmp sibling is a source: for a window-2 crash
+        # (its batch partition deleted) it holds the ONLY copy of those
+        # rows; otherwise its rows duplicate the store and the
+        # dropDuplicates below folds them. Same reasoning covers this
+        # bound's own complete tmp when orphans force a rebuild.
+        sources = [spark.read.parquet(p) for p in orphans]
+        if tmp_complete:
+            sources.append(spark.read.parquet(tmp))
+            # never delete-then-overwrite the complete tmp: until the
+            # merged copy is durable it may be the only copy of dest's
+            # rows, so the rebuild goes to a scratch sibling instead
+            build = tmp + ".merge"
+        for s in sources:
+            store = store.unionByName(s)
+        # exact duplicates exist only when a prior run crashed after
+        # its rename (window 3) or left tmp siblings: identical full
+        # rows, so keep-any is deterministic.
+        store.dropDuplicates() \
+            .coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
+            .write.mode("overwrite").parquet(build)
+    n = spark.read.parquet(build).count()
     dest_path = hpath(os.path.join(store_dir, f"batch_id={dest}"))
     if fs.exists(dest_path):
         fs.delete(dest_path, True)
-    if not fs.rename(hpath(tmp), dest_path):
+    if not fs.rename(hpath(build), dest_path):
         raise IOError(
-            f"compact_store: rename {tmp} -> batch_id={dest} failed; "
+            f"compact_store: rename {build} -> batch_id={dest} failed; "
             "store history is intact in the tmp dir — re-run to resume"
         )
     for status in fs.listStatus(root):
@@ -313,6 +430,11 @@ def compact_store(spark: SparkSession, store_dir: str,
             continue
         if bid < upto_batch_id and bid != dest:
             fs.delete(status.getPath(), True)
+    # the consolidated partition now contains every tmp sibling's rows
+    for path in orphans:
+        fs.delete(hpath(path), True)
+    if build != tmp:
+        fs.delete(hpath(tmp), True)
     return n
 
 

@@ -234,10 +234,24 @@ def process_batch(batch_df: DataFrame, batch_id: int, sinks: BatchSinks) -> None
 def start_pipeline(events: DataFrame, out_root: str,
                    retention_bytes: int | None = None) -> StreamingQuery:
     """Wire the consumer: one stream → persisted batch → multi-sink appends,
-    with a durable checkpoint under the output root."""
+    with a durable checkpoint under the output root.
+
+    The checkpoint is namespaced `_checkpoint/pipeline`, same scheme as
+    the windowed/join helpers' `_checkpoint/<query_name>`: with a shared
+    out_root the old bare `_checkpoint` dir CONTAINED the other queries'
+    namespaced checkpoints, and Structured Streaming treats unknown
+    entries inside its checkpoint dir as corruption (and two queries
+    must never share one). MIGRATION: an existing deployment resuming
+    on the old layout should move `_checkpoint`'s offsets/commits/
+    sources/metadata into `_checkpoint/pipeline` before restarting —
+    starting fresh instead replays the source into the append sinks
+    (duplicated output rows).
+    """
     sinks = BatchSinks(out_root, retention_bytes)
     return (
         events.writeStream.foreachBatch(lambda df, bid: process_batch(df, bid, sinks))
-        .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+        .option("checkpointLocation",
+                os.path.join(out_root, "_checkpoint", "pipeline"))
+        .queryName("pipeline")
         .start()
     )

@@ -496,6 +496,92 @@ def test_compact_store_crash_window_recovery(spark, tmp_path):
     assert parts == ["batch_id=3"], parts
 
 
+def test_compact_store_cross_bound_orphan_recovery(spark, tmp_path):
+    """A compaction crash in the delete→rename window is healed by the
+    NEXT scheduled compaction at a HIGHER bound, not only by an exact
+    same-bound retry: the orphaned complete tmp is unioned into the
+    rebuild, so no fingerprint is ever lost. A gate (re)started while
+    the store sits in that state refuses loudly instead of silently
+    re-admitting the missing partition's documents. A complete orphan
+    at a bound BEYOND the requested one is refused. And when a complete
+    tmp at the CURRENT bound coexists with orphans, both fold in."""
+    import glob
+    import shutil
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        compact_store,
+        gate_batch,
+    )
+
+    store_dir, chunk_dir, out_root, fps = _drained_gate_store(spark, tmp_path)
+    n_before = len(fps)
+
+    def crash_window2(store: str, dest: int) -> str:
+        """Simulate: tmp for `dest` written+_SUCCESS, batch_id=dest
+        deleted, rename never ran."""
+        tmp = store.rstrip("/") + f".compact_tmp_{dest}"
+        (
+            spark.read.parquet(os.path.join(store, f"batch_id={dest}"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        )
+        shutil.rmtree(os.path.join(store, f"batch_id={dest}"))
+        return tmp
+
+    # --- higher-bound recovery: crash at bound 3 (dest=2), recover at 4
+    w = str(tmp_path / "store_cross_bound")
+    shutil.copytree(store_dir, w)
+    crash_window2(w, 2)
+    assert spark.read.parquet(w).count() < n_before  # batch 2 rows lost
+
+    # a restarted gate must refuse this state, not re-admit silently
+    first_chunk = sorted(glob.glob(f"{chunk_dir}/*.parquet"))[0]
+    replay = spark.read.parquet(first_chunk)
+    import pytest as _pytest
+    with _pytest.raises(IOError, match="mid-compaction"):
+        gate_batch(replay, 4, w, str(tmp_path / "stats_refuse"))
+
+    assert compact_store(spark, w, 4) == n_before
+    after = spark.read.parquet(w)
+    assert {r[0] for r in after.select("fingerprint").collect()} == fps
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{w}/batch_id=*"))
+    assert parts == ["batch_id=3"], parts
+    assert glob.glob(w + ".compact_tmp_*") == []  # orphan folded + removed
+    # and the gate runs again
+    gate_batch(replay, 4, w, str(tmp_path / "stats_ok"))
+
+    # --- refusal: complete orphan at a bound beyond the requested one
+    w2 = str(tmp_path / "store_refuse_higher")
+    shutil.copytree(store_dir, w2)
+    hi_tmp = w2.rstrip("/") + ".compact_tmp_7"
+    spark.read.parquet(os.path.join(w2, "batch_id=0")).coalesce(1) \
+        .write.mode("overwrite").parquet(hi_tmp)
+    with _pytest.raises(IOError, match="HIGHER bound"):
+        compact_store(spark, w2, 4)
+
+    # --- merge path: complete tmp at the CURRENT dest (only copy of
+    # batch 3) coexists with a complete orphan (only copy of batch 1)
+    w3 = str(tmp_path / "store_merge")
+    shutil.copytree(store_dir, w3)
+    crash_window2(w3, 1)
+    crash_window2(w3, 3)
+    assert compact_store(spark, w3, 4) == n_before
+    after3 = spark.read.parquet(w3)
+    assert {r[0] for r in after3.select("fingerprint").collect()} == fps
+    assert glob.glob(w3 + ".compact_tmp_*") == []
+
+    # --- incomplete orphan (no _SUCCESS) is garbage: store intact,
+    # compaction just cleans it up
+    w4 = str(tmp_path / "store_garbage_tmp")
+    shutil.copytree(store_dir, w4)
+    g = w4.rstrip("/") + ".compact_tmp_1"
+    spark.read.parquet(os.path.join(w4, "batch_id=1")).coalesce(1) \
+        .write.mode("overwrite").parquet(g)
+    os.remove(os.path.join(g, "_SUCCESS"))
+    gate_batch(replay, 4, w4, str(tmp_path / "stats_garbage"))  # no raise
+    assert compact_store(spark, w4, 4) >= n_before
+    assert glob.glob(w4 + ".compact_tmp_*") == []
+
+
 def test_gate_replay_with_torn_part_file(spark, tmp_path):
     """A killed run that leaves a literally corrupt part file in the
     batch's OWN store partition must not poison the replay: gate_batch
