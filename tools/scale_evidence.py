@@ -171,7 +171,11 @@ def main() -> None:
         "Generated by `tools/scale_evidence.py`; consistency is enforced by",
         "`tests/test_scale_evidence.py` (every registered query classified,",
         "sibling targets directly measured, zero-shuffle claims re-validated",
-        "against live physical plans). Classes: **artifact** = measured in a",
+        "against live physical plans, and every artifact row PINNED to the",
+        "query fingerprint its artifact actually measured — embedded in the",
+        "artifact at run time, or reconstructed from its adding commit by",
+        "`tools/pin_scale_evidence.py` — so a plan rewrite fails the build",
+        "until its rehearsal is re-run). Classes: **artifact** = measured in a",
         "committed `REHEARSAL_*.json`; **zero_shuffle** = no Exchange in the",
         "physical plan; **sibling** = same physical shape as the named",
         "measured query; **bounded_output** = exchanges carry only partials/",

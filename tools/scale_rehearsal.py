@@ -451,6 +451,83 @@ def time_queries(spark, specs, sf_dir: str, reps: int = 2) -> dict[str, dict]:
     return out
 
 
+def _emb_deep(spark, specs, sf_dir: str) -> dict:
+    """Deep point for embedding_near_dups on the EXACT production code
+    path (operators/similarity.py internals, not a re-derivation): corpus
+    size, the in-plan adaptive band width bits(N), candidate-pair count,
+    bucket-cap pressure (dropped pairs + max bucket occupancy), and
+    recall on the PLANTED dup pairs (every 10th vector re-added at
+    cosine ≈ 0.999 by _dup_corpus) — pair-level (the exact (v, v+1e6)
+    pair surfaces in the output) and member-level (the planted copy is
+    linked to at least one verified near-dup partner, the property
+    cluster-style dedup actually consumes)."""
+    import math
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import release_tracked
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import (
+        COS_BAND_BITS,
+        COS_MIN_BITS,
+        MAX_COS_BUCKET,
+        _cos_buckets,
+        _cos_candidate_pairs,
+        _cos_corpus,
+    )
+
+    c = _cos_corpus(spark, sf_dir)
+    n = c.count()
+    bits = min(COS_BAND_BITS, max(COS_MIN_BITS, math.ceil(math.log2(2 * n))))
+    candidate_pairs = _cos_candidate_pairs(c).count()
+    cnt = F.col("cnt")
+    kept = F.least(cnt, F.lit(MAX_COS_BUCKET))
+    bucket_row = (
+        _cos_buckets(c).groupBy("band", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum((cnt * (cnt - 1) - kept * (kept - 1)) / 2).alias("dropped"),
+            F.max(cnt).alias("max_bucket"),
+        )
+        .first()
+    )
+    # one materialized run of the full query feeds both recall joins
+    out = (
+        specs["embedding_near_dups"].fn(spark, sf_dir)
+        .select("vec_a", "vec_b").localCheckpoint()
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    planted = emb.select("vec_id").filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + 1000000).alias("vec_b"),
+    ).persist()
+    n_planted = planted.count()
+    pair_hits = out.join(planted, ["vec_a", "vec_b"], "left_semi").count()
+    partners = (
+        out.select(F.col("vec_a").alias("v"))
+        .unionAll(out.select(F.col("vec_b").alias("v")))
+        .distinct()
+    )
+    member_hits = (
+        planted.select(F.col("vec_b").alias("v"))
+        .join(partners, "v", "left_semi")
+        .count()
+    )
+    planted.unpersist()
+    release_tracked()
+    spark.catalog.clearCache()
+    return {
+        "corpus_vectors": n,
+        "bits": bits,
+        "candidate_pairs": candidate_pairs,
+        "output_pairs": out.count(),
+        "cap_dropped_pairs": int(bucket_row["dropped"] or 0),
+        "max_bucket_occupancy": int(bucket_row["max_bucket"]),
+        "planted_pairs": n_planted,
+        "planted_pair_hits": pair_hits,
+        "planted_pair_recall": round(pair_hits / n_planted, 4) if n_planted else None,
+        "planted_member_hits": member_hits,
+        "planted_member_recall": round(member_hits / n_planted, 4) if n_planted else None,
+    }
+
+
 def _span_isolation(spark, sf_dir: str, out_dir: str) -> dict:
     """Empirical check that the affine cipher family keeps replicas
     span-disjoint: count 8-word windows shared across replica bands in
@@ -521,6 +598,9 @@ def main() -> None:
     verify_isolation = "--verify-span-isolation" in args
     if verify_isolation:
         args.remove("--verify-span-isolation")
+    emb_deep = "--emb-deep" in args
+    if emb_deep:
+        args.remove("--emb-deep")
     if "--skew" in args:
         i = args.index("--skew")
         spec = args[i + 1]
@@ -582,6 +662,12 @@ def main() -> None:
     time_queries(spark, specs, base_dir, reps=1)  # codegen warmup
     base = time_queries(spark, specs, base_dir)
     big = time_queries(spark, specs, out_dir)
+    emb_metrics = None
+    if emb_deep:
+        emb_metrics = {
+            "base": _emb_deep(spark, specs, base_dir),
+            "big": _emb_deep(spark, specs, out_dir),
+        }
 
     kinds = {
         "relational" if q in RELATIONAL_QUERIES
@@ -598,6 +684,17 @@ def main() -> None:
         **({"forced_gates": _forced_gates()} if _forced_gates() else {}),
         **({"span_isolation": isolation} if isolation is not None else {}),
         **({"emb_perturb": EMB_PERTURB} if EMB_PERTURB != "isometry" else {}),
+        **({"emb_deep": emb_metrics} if emb_metrics is not None else {}),
+        # run-time plan pins: which implementation this artifact measured
+        # (tools/pin_scale_evidence.py + tests/test_scale_evidence.py use
+        # these to fail the build when a plan rewrite orphans its evidence)
+        "fingerprints": {
+            q: {
+                "block_sha": registry.query_block_sha(specs[q]),
+                "sha256": registry.query_fingerprint(specs[q]),
+            }
+            for q in QUERIES
+        },
         "replicas": REPLICAS,
         "base": base,
         "big": big,
