@@ -416,22 +416,36 @@ def _cos_buckets(c: DataFrame) -> DataFrame:
 
 
 def _cos_candidate_pairs(c: DataFrame) -> DataFrame:
-    """Distinct within-bucket candidate pairs, bucket-capped at
-    MAX_COS_BUCKET with an `observe` counter for dropped pairs. One row
-    per (vector, band) feeds ONE exchange on (band, bkt) for both the
-    cap window and the bucket aggregation — the minhash LSH shape
-    (dedup.py minhash_candidates_from_shingles), reused deliberately."""
+    """Distinct within-bucket candidate pairs: full pairwise expansion
+    among the MAX_COS_BUCKET lowest vec_ids per bucket, plus one
+    EXEMPLAR-CHAIN pair (bucket minimum, member) for every overflow
+    member beyond the cap. One row per (vector, band) feeds ONE exchange
+    on (band, bkt) for the cap window, the exemplar window, and the
+    bucket aggregation — the minhash LSH shape (dedup.py
+    minhash_candidates_from_shingles), reused deliberately.
+
+    The exemplar chain is what keeps a duplicate FLOOD (thousands of
+    copies of one vector, all sharing a bucket) from silently swallowing
+    members: a pure cap drops every member past the 64th in ALL bands —
+    the r9 jitter-flood rehearsal measured planted copies vanishing from
+    the output entirely, because a planted copy's high vec_id sorts it
+    last everywhere. With chaining, every overflow member still costs
+    O(1) pairs (never O(bucket)²) but stays verified against the bucket
+    exemplar, so cluster-style dedup retains the whole flood component.
+    The `observe` counter now counts pairs the cap suppressed BEYOND the
+    chain (C(full,2) − C(kept,2) − overflow), the honest residual."""
     from pyspark.sql.window import Window
 
     bl = _cos_buckets(c)
     wb = Window.partitionBy("band", "bkt")
-    capped = (
+    ranked = (
         bl.withColumn("full", F.count(F.lit(1)).over(wb))
         .withColumn("rn", F.row_number().over(wb.orderBy("vec_id")))
-        .filter(F.col("rn") <= MAX_COS_BUCKET)
+        .withColumn("ex", F.min("vec_id").over(wb))
     )
     grp = (
-        capped.groupBy("band", "bkt")
+        ranked.filter(F.col("rn") <= MAX_COS_BUCKET)
+        .groupBy("band", "bkt")
         .agg(
             F.sort_array(F.collect_list("vec_id")).alias("ds"),
             F.first("full").alias("full"),
@@ -442,10 +456,13 @@ def _cos_candidate_pairs(c: DataFrame) -> DataFrame:
     kept = F.least(full, F.lit(MAX_COS_BUCKET))
     grp = grp.observe(
         "cos_bucket_cap",
-        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
+        F.sum(
+            (full * (full - 1) - kept * (kept - 1)) / 2 - (full - kept)
+        ).alias("dropped_pairs"),
+        F.sum(full - kept).alias("exemplar_pairs"),
         F.max(full).alias("max_bucket_vecs"),
     ).select("ds")
-    return (
+    pairwise = (
         grp.select(
             F.explode(
                 F.expr(
@@ -456,8 +473,11 @@ def _cos_candidate_pairs(c: DataFrame) -> DataFrame:
             ).alias("p")
         )
         .select("p.vec_a", "p.vec_b")
-        .distinct()
     )
+    chained = ranked.filter(F.col("rn") > MAX_COS_BUCKET).select(
+        F.col("ex").alias("vec_a"), F.col("vec_id").alias("vec_b")
+    )
+    return pairwise.unionByName(chained).distinct()
 
 
 @register(
@@ -492,16 +512,28 @@ def _cos_candidate_pairs(c: DataFrame) -> DataFrame:
                & ((1 << (SELECT nbits FROM nb)) - 1) AS bkt
         FROM dots GROUP BY vec_id, p // {COS_BAND_BITS}
     ),
-    capped AS (
-        SELECT band, bkt,
-               unnest(list_slice(list_sort(list(vec_id)), 1,
-                                 {MAX_COS_BUCKET})) AS vec_id
+    blists AS (
+        SELECT band, bkt, list_sort(list(vec_id)) AS ls
         FROM bands GROUP BY band, bkt
     ),
+    capped AS (
+        SELECT band, bkt,
+               unnest(list_slice(ls, 1, {MAX_COS_BUCKET})) AS vec_id
+        FROM blists
+    ),
+    chained AS (
+        SELECT ls[1] AS vec_a,
+               unnest(list_slice(ls, {MAX_COS_BUCKET} + 1, len(ls))) AS vec_b
+        FROM blists
+    ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM capped a JOIN capped b
-          ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+        SELECT DISTINCT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT vec_a, vec_b FROM chained
+        )
     ),
     scored AS (
         SELECT cand.vec_a, cand.vec_b,
@@ -524,10 +556,15 @@ def _cos_candidate_pairs(c: DataFrame) -> DataFrame:
     "stays ~1/2 and organic candidate volume stays ≈ 2N — linear — at "
     "every corpus size up to the 24-bit ceiling. Integer-quantized "
     "dots kill the cross-engine float-sign hazard; per-(band, bucket) "
-    "row_number cap at 64 bounds duplicate floods; within-bucket pair "
-    "expansion + DISTINCT; exact double-cosine ≥ 0.99 verify, "
-    "broadcast-gated on the measured pair count with a shuffle-hash "
-    "fallback like every gated verify in dedup.py. Replaces the single "
+    "row_number cap at 64 bounds duplicate floods, with EXEMPLAR "
+    "CHAINING for overflow members (one (bucket-min, member) pair each, "
+    "O(1) per member) so a flood never silently swallows its members; "
+    "within-bucket pair expansion + DISTINCT; exact double-cosine "
+    "≥ 0.99 verify, broadcast-gated on the measured pair count with a "
+    "spillable sort-merge fallback (pair volume past the gate is "
+    "unbounded, so the hash-relation-resident shuffle-hash shape the "
+    "bounded verifies in dedup.py use would OOM — measured in the r9 "
+    "flood rehearsal). Replaces the single "
     "16-bucket self-join whose candidate volume was N²/16 by "
     "construction (measured: 2.02e9 candidates, 785x wall at 100x "
     "data; a FIXED 16-bit banding still grew 2,152 → 5.9M candidates — "
@@ -556,7 +593,14 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = _assume_broadcast() or (
         pairs.count() <= _env_gate("SPARK_GRAFT_COS_PAIR_BROADCAST_MAX", 50_000)
     )
-    hint = F.broadcast if small else (lambda d: d.hint("shuffle_hash"))
+    # Fallback is SORT-MERGE, not shuffle-hash: past the gate the pair
+    # list is unbounded (∝ true duplicate volume — a flood corpus can
+    # make it huge), and a shuffle-hash join must hold an entire build
+    # partition's hash relation in execution memory. The r9 jitter-flood
+    # rehearsal OOM'd exactly there ("Can't acquire 268435456 bytes to
+    # build hash relation") with ~5M embedding-carrying rows across 32
+    # partitions; SMJ spills its sorted runs and survives the same input.
+    hint = F.broadcast if small else (lambda d: d.hint("merge"))
     a = c.select(F.col("vec_id").alias("vec_a"), F.col("ce").alias("ea"),
                  F.col("nrm").alias("na"))
     b = c.select(F.col("vec_id").alias("vec_b"), F.col("ce").alias("eb"),

@@ -435,3 +435,43 @@ def test_png_payloads_decodable_after_parquet_roundtrip(spark, sf_dir, tmp_path)
         assert (w, h) == (row.w, row.h)
         assert len(px) == w * h
         assert filters == [r % 5 for r in range(h)]
+
+
+def test_cos_bucket_cap_exemplar_chaining(spark):
+    """A duplicate flood (more same-bucket vectors than MAX_COS_BUCKET)
+    must not silently swallow overflow members: the lowest 64 vec_ids
+    expand pairwise, and every member past the cap gets exactly one
+    (bucket-min, member) exemplar pair — so the flood stays one
+    connected component at O(1) pairs per overflow member. The r9
+    jitter-flood rehearsal measured planted copies vanishing entirely
+    under the pure cap (high vec_ids sort last in every band), which is
+    the failure mode this pins down."""
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import (
+        MAX_COS_BUCKET,
+        _cos_candidate_pairs,
+    )
+
+    n = MAX_COS_BUCKET + 16  # 80 identical vectors -> one bucket per band
+    base = [float((i % 7) - 3) or 1.0 for i in range(64)]
+    c = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(x) for x in base]).alias("ce"),
+        )
+        .withColumn(
+            "xq", F.expr("transform(ce, x -> cast(floor(x * 1000) as bigint))")
+        )
+        .withColumn("nrm", F.lit(1.0))  # unused by the candidate stage
+    )
+    pairs = _cos_candidate_pairs(c).collect()
+    got = {(r.vec_a, r.vec_b) for r in pairs}
+    kept = set(range(MAX_COS_BUCKET))
+    expect = {(a, b) for a in kept for b in kept if a < b} | {
+        (0, m) for m in range(MAX_COS_BUCKET, n)
+    }
+    assert got == expect
+    # every flood member — capped or overflow — appears in some pair
+    assert {v for p in got for v in p} == set(range(n))
