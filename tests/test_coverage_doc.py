@@ -62,7 +62,8 @@ def test_every_backticked_query_name_is_registered():
         "gate_batch", "rows_drained", "rows_expected",
         "novel_against_store", "after_batch_hook", "forced_gates",
         "start_windowed_parquet_query", "start_join_parquet_query",
-        "compact_store", "state_mem_attribution", "state_mem_scaling_x",
+        "compact_store", "assert_store_not_mid_compaction",
+        "state_mem_attribution", "state_mem_scaling_x",
         "memoryUsedBytes",
         # fixture key columns named by the skew-rehearsal bullet
         "event_type", "o_custkey",
