@@ -50,9 +50,15 @@ HAMMING_THRESHOLD = 8
 # Cap on docs per LSH (band, hash) bucket before the quadratic pair
 # expansion. A pathological bucket (millions of byte-identical docs) would
 # otherwise expand O(n²) pairs on one reducer; capping keeps the per-bucket
-# cost at C(cap, 2) while exact dedup upstream is the principled fix for
-# byte-identical floods. The smallest `cap` doc_ids are kept (sorted slice),
-# so the choice is deterministic and identical in the DuckDB oracle.
+# PAIRWISE cost at C(cap, 2). Exact dedup upstream folds byte-identical
+# floods, but NEAR-identical floods (template spam with differing ids)
+# survive it and share buckets — so overflow members are not dropped:
+# each gets one (bucket-min, member) EXEMPLAR pair, O(1) per member,
+# keeping the flood one connected component (the r9 embedding flood
+# rehearsal measured the pure cap silently losing every member past the
+# 64th in all bands). The smallest `cap` doc_ids are kept for pairwise
+# expansion (sorted slice), and the chain head is the bucket minimum, so
+# both choices are deterministic and identical in the DuckDB oracle.
 MAX_LSH_BUCKET = 64
 
 # ---------------------------------------------------------------- corpus
@@ -203,15 +209,27 @@ _CAND_SQL = f"""
         sig AS (SELECT doc_id, {_SIG_COLS} FROM shv GROUP BY doc_id),
         bands AS (SELECT doc_id, {_BAND_COLS} FROM sig),
         bl AS ({_BANDS_LONG}),
-        blc AS (
-            SELECT bi, bh,
-                   unnest(list_slice(list_sort(list(doc_id)), 1, {MAX_LSH_BUCKET}))
-                       AS doc_id
+        bll AS (
+            SELECT bi, bh, list_sort(list(doc_id)) AS ls
             FROM bl GROUP BY bi, bh
         ),
+        blc AS (
+            SELECT bi, bh, unnest(list_slice(ls, 1, {MAX_LSH_BUCKET})) AS doc_id
+            FROM bll
+        ),
+        blx AS (
+            SELECT ls[1] AS doc_a,
+                   unnest(list_slice(ls, {MAX_LSH_BUCKET} + 1, len(ls))) AS doc_b
+            FROM bll
+        ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM blc a JOIN blc b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM blc a JOIN blc b
+                  ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+                UNION ALL
+                SELECT doc_a, doc_b FROM blx
+            )
         )
 """
 
@@ -255,17 +273,25 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     # the same (bi, bh) keys — the window reuses the exchange (no extra
     # shuffle), spills oversized buckets instead of holding them in an
     # aggregation buffer, and keeps the smallest `cap` doc_ids (identical
-    # to the oracle's sorted slice). The `lsh_bucket_cap` observed metric
-    # (CollectMetrics — no extra job) reports how many pairs were dropped,
-    # from the pre-cap bucket size carried along as `full`.
+    # to the oracle's sorted slice). Overflow members are NOT dropped:
+    # each gets one (bucket-min, member) EXEMPLAR pair — O(1) pairs per
+    # member from the same exchange — so a NEAR-identical flood (template
+    # spam with differing ids, which byte-exact dedup upstream cannot
+    # fold) stays one connected component instead of silently losing
+    # every member past the 64th in all bands; the r9 embedding flood
+    # rehearsal measured exactly that silent loss for the pure cap. The
+    # `lsh_bucket_cap` observed metric (CollectMetrics — no extra job)
+    # reports the pairs still suppressed beyond the chain and the chained
+    # count, from the pre-cap bucket size carried along as `full`.
     wb = Window.partitionBy("bi", "bh")
-    capped = (
+    ranked = (
         bl.withColumn("full", F.count(F.lit(1)).over(wb))
         .withColumn("rn", F.row_number().over(wb.orderBy("doc_id")))
-        .filter(F.col("rn") <= MAX_LSH_BUCKET)
+        .withColumn("ex", F.min("doc_id").over(wb))
     )
     grp = (
-        capped.groupBy("bi", "bh")
+        ranked.filter(F.col("rn") <= MAX_LSH_BUCKET)
+        .groupBy("bi", "bh")
         .agg(
             F.sort_array(F.collect_list("doc_id")).alias("ds"),
             F.first("full").alias("full"),
@@ -276,10 +302,13 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     kept = F.least(full, F.lit(MAX_LSH_BUCKET))
     grp = grp.observe(
         "lsh_bucket_cap",
-        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
+        F.sum(
+            (full * (full - 1) - kept * (kept - 1)) / 2 - (full - kept)
+        ).alias("dropped_pairs"),
+        F.sum(full - kept).alias("exemplar_pairs"),
         F.max(full).alias("max_bucket_docs"),
     ).select("ds")
-    return (
+    pairwise = (
         grp.select(
             F.explode(
                 F.expr(
@@ -290,8 +319,11 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    chained = ranked.filter(F.col("rn") > MAX_LSH_BUCKET).select(
+        F.col("ex").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return pairwise.unionByName(chained).distinct()
 
 
 @register(
@@ -680,19 +712,22 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
         ).alias("e"),
     ).select("d", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
     wb = Window.partitionBy("ci", "cv").orderBy("d.doc_id")
-    capped = (
+    ranked = (
         cl.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= MAX_LSH_BUCKET)
-        .drop("rn")
+        # bucket exemplar STRUCT (fingerprint travels with it, so chained
+        # pairs verify inline exactly like pairwise ones): first row of
+        # the same doc_id-ordered window — no extra shuffle
+        .withColumn("ex", F.first("d").over(wb))
     )
     grp = (
-        capped.groupBy("ci", "cv")
+        ranked.filter(F.col("rn") <= MAX_LSH_BUCKET)
+        .groupBy("ci", "cv")
         .agg(F.array_sort(F.collect_list("d")).alias("ds"))
         .filter(F.size("ds") >= 2)
         .select("ds")
     )
     ham = F.expr(hamming_expr("p.a.h", "p.b.h", "spark"))
-    return (
+    pairwise = (
         grp.select(
             F.explode(
                 F.expr(
@@ -707,6 +742,18 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
             F.col("p.b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
+    )
+    # exemplar chain for overflow members (see minhash_candidates_from_
+    # shingles): one (bucket-min, member) pair each, Hamming verified
+    # inline against the exemplar's travelling fingerprint
+    cham = F.expr(hamming_expr("ex.h", "d.h", "spark"))
+    chained = ranked.filter(F.col("rn") > MAX_LSH_BUCKET).select(
+        F.col("ex.doc_id").alias("doc_a"),
+        F.col("d.doc_id").alias("doc_b"),
+        cham.alias("hamming"),
+    )
+    return (
+        pairwise.unionByName(chained)
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .distinct()
         .orderBy("doc_a", "doc_b")
@@ -736,14 +783,26 @@ _CHUNKS_LONG = "\n            UNION ALL ".join(
     oracle=f"""
     WITH {_FP_SQL},
     cl AS ({_CHUNKS_LONG}),
+    cll AS (
+        SELECT ci, cv, list_sort(list(doc_id)) AS ls FROM cl GROUP BY ci, cv
+    ),
     clc AS (
-        SELECT ci, cv,
-               unnest(list_slice(list_sort(list(doc_id)), 1, {MAX_LSH_BUCKET})) AS doc_id
-        FROM cl GROUP BY ci, cv
+        SELECT ci, cv, unnest(list_slice(ls, 1, {MAX_LSH_BUCKET})) AS doc_id
+        FROM cll
+    ),
+    clx AS (
+        SELECT ls[1] AS doc_a,
+               unnest(list_slice(ls, {MAX_LSH_BUCKET} + 1, len(ls))) AS doc_b
+        FROM cll
     ),
     scand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM clc a JOIN clc b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM clc a JOIN clc b
+              ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT doc_a, doc_b FROM clx
+        )
     )
     SELECT s.doc_a, s.doc_b,
            {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming
@@ -1143,14 +1202,26 @@ def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (SELECT doc_id, {_SUM_COLS} FROM tfrel GROUP BY doc_id),
     fp AS (SELECT doc_id, {_CHUNK_COLS} FROM sums),
     cl AS ({_CHUNKS_LONG}),
+    cll AS (
+        SELECT ci, cv, list_sort(list(doc_id)) AS ls FROM cl GROUP BY ci, cv
+    ),
     clc AS (
-        SELECT ci, cv,
-               unnest(list_slice(list_sort(list(doc_id)), 1, {MAX_LSH_BUCKET})) AS doc_id
-        FROM cl GROUP BY ci, cv
+        SELECT ci, cv, unnest(list_slice(ls, 1, {MAX_LSH_BUCKET})) AS doc_id
+        FROM cll
+    ),
+    clx AS (
+        SELECT ls[1] AS doc_a,
+               unnest(list_slice(ls, {MAX_LSH_BUCKET} + 1, len(ls))) AS doc_b
+        FROM cll
     ),
     scand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM clc a JOIN clc b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM clc a JOIN clc b
+              ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT doc_a, doc_b FROM clx
+        )
     )
     SELECT s.doc_a, s.doc_b,
            {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming

@@ -1242,16 +1242,26 @@ _RP_VALUES = ", ".join(
         SELECT vec_id, ci.ci AS ci, (fpb >> (8 * (2 - ci.ci))) & 255 AS cv, fpb
         FROM fp, (SELECT unnest(generate_series(0, 2)) AS ci) ci
     ),
+    cll AS (
+        SELECT ci, cv, list_sort(list(vec_id)) AS ls FROM cl GROUP BY ci, cv
+    ),
     clc AS (
-        SELECT ci, cv,
-               unnest(list_slice(list_sort(list(vec_id)), 1, {RP_BUCKET_CAP}))
-                   AS vec_id
-        FROM cl GROUP BY ci, cv
+        SELECT ci, cv, unnest(list_slice(ls, 1, {RP_BUCKET_CAP})) AS vec_id
+        FROM cll
+    ),
+    clx AS (
+        SELECT ls[1] AS vec_a,
+               unnest(list_slice(ls, {RP_BUCKET_CAP} + 1, len(ls))) AS vec_b
+        FROM cll
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM clc a JOIN clc b
-          ON a.ci = b.ci AND a.cv = b.cv AND a.vec_id < b.vec_id
+        SELECT DISTINCT vec_a, vec_b FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM clc a JOIN clc b
+              ON a.ci = b.ci AND a.cv = b.cv AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT vec_a, vec_b FROM clx
+        )
     )
     SELECT c.vec_a, c.vec_b, bit_count(xor(fa.fpb, fb.fpb)) AS hamming
     FROM cand c
@@ -1310,13 +1320,14 @@ def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "ci", F.expr("(d.fpb >> (8 * (2 - ci))) & 255").alias("cv")
     )
     wb = Window.partitionBy("ci", "cv")
-    capped = (
+    ranked = (
         cl.withColumn("full", F.count(F.lit(1)).over(wb))
         .withColumn("rn", F.row_number().over(wb.orderBy("d.vec_id")))
-        .filter(F.col("rn") <= RP_BUCKET_CAP)
+        .withColumn("ex", F.first("d").over(wb.orderBy("d.vec_id")))
     )
     grp = (
-        capped.groupBy("ci", "cv")
+        ranked.filter(F.col("rn") <= RP_BUCKET_CAP)
+        .groupBy("ci", "cv")
         .agg(
             F.array_sort(F.collect_list("d")).alias("ds"),
             F.first("full").alias("full"),
@@ -1324,15 +1335,19 @@ def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ds") >= 2)
     )
     # same no-silent-caps discipline as the MinHash banding: report how
-    # many candidate pairs the bucket cap dropped, from the pre-cap size
+    # many candidate pairs the bucket cap suppressed beyond the exemplar
+    # chain, plus the chained-pair count, from the pre-cap size
     full = F.col("full")
     kept = F.least(full, F.lit(RP_BUCKET_CAP))
     grp = grp.observe(
         "rp_bucket_cap",
-        F.sum((full * (full - 1) - kept * (kept - 1)) / 2).alias("dropped_pairs"),
+        F.sum(
+            (full * (full - 1) - kept * (kept - 1)) / 2 - (full - kept)
+        ).alias("dropped_pairs"),
+        F.sum(full - kept).alias("exemplar_pairs"),
         F.max(full).alias("max_bucket_vecs"),
     ).select("ds")
-    return (
+    pairwise = (
         grp.select(
             F.explode(
                 F.expr(
@@ -1347,6 +1362,17 @@ def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.b.vec_id").alias("vec_b"),
             F.expr("bit_count(p.a.fpb ^ p.b.fpb)").alias("hamming"),
         )
+    )
+    # exemplar chain for overflow members, Hamming verified inline
+    # against the exemplar's travelling fingerprint (see the minhash
+    # banding in operators/dedup.py for the flood rationale)
+    chained = ranked.filter(F.col("rn") > RP_BUCKET_CAP).select(
+        F.col("ex.vec_id").alias("vec_a"),
+        F.col("d.vec_id").alias("vec_b"),
+        F.expr("bit_count(ex.fpb ^ d.fpb)").alias("hamming"),
+    )
+    return (
+        pairwise.unionByName(chained)
         .filter(F.col("hamming") <= RP_HAMMING)
         .distinct()
         .orderBy("vec_a", "vec_b")

@@ -59,8 +59,11 @@ def test_simhash_chunks_are_16bit(spark, sf_dir):
 def test_lsh_bucket_cap_bounds_pathological_buckets(spark):
     # 1,000 byte-identical docs: every doc lands in the same bucket in every
     # band. Uncapped that expands C(1000,2)=499,500 pairs on one reducer;
-    # the cap keeps the smallest MAX_LSH_BUCKET doc ids per bucket, so the
-    # candidate count is exactly C(cap, 2).
+    # the cap keeps the smallest MAX_LSH_BUCKET doc ids per bucket for
+    # PAIRWISE expansion, and every overflow member gets exactly one
+    # exemplar pair with the bucket minimum (doc 0) — so the flood stays
+    # one connected component at C(cap,2) + (n - cap) total pairs instead
+    # of silently losing 936 members (the pre-r9 behavior).
     n = 1000
     corpus = spark.range(n).select(
         F.col("id").cast("int").alias("doc_id"),
@@ -68,9 +71,14 @@ def test_lsh_bucket_cap_bounds_pathological_buckets(spark):
     )
     cand = dd.minhash_candidates(corpus)
     cap = dd.MAX_LSH_BUCKET
-    assert cand.count() == cap * (cap - 1) // 2
-    # every surviving pair is among the kept (smallest) doc ids
-    assert cand.agg(F.max("doc_b")).first()[0] < cap
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    kept = set(range(cap))
+    expect = {(a, b) for a in kept for b in kept if a < b} | {
+        (0, m) for m in range(cap, n)
+    }
+    assert got == expect
+    # every flood member — capped or overflow — appears in some pair
+    assert {d for p in got for d in p} == set(range(n))
 
 
 def test_lsh_cap_does_not_bind_on_normal_corpus(spark, sf_dir):
