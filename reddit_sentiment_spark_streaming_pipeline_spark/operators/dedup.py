@@ -1104,12 +1104,22 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 24)  AS block
         FROM corpus
     ),
-    ok_blocks AS (SELECT block FROM n GROUP BY block HAVING count(*) <= 64),
-    nb AS (SELECT n.* FROM n JOIN ok_blocks USING (block)),
+    r AS (
+        SELECT doc_id, head, block,
+               row_number() OVER w AS rn,
+               first_value(doc_id) OVER w AS exid,
+               first_value(head) OVER w AS exh
+        FROM n
+        WINDOW w AS (PARTITION BY block ORDER BY doc_id)
+    ),
+    nb AS (SELECT doc_id, head, block FROM r WHERE rn <= 64),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.head AS ha, b.head AS hb
         FROM nb a JOIN nb b ON a.block = b.block AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT exid AS doc_a, doc_id AS doc_b, exh AS ha, head AS hb
+        FROM r WHERE rn > 64
     )
     SELECT doc_a, doc_b,
            levenshtein(ha, hb) AS edit_distance,
@@ -1120,9 +1130,12 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
           / greatest(length(ha), length(hb)) >= 0.8
     """,
     doc="Edit-distance near-dup verification under prefix blocking: docs "
-    "sharing a normalized 24-char prefix block pair up (block join, "
-    "blocks over 64 docs dropped — boilerplate floods belong to exact "
-    "dedup upstream), then Levenshtein over the 128-char heads keeps "
+    "sharing a normalized 24-char prefix block pair up (block join; the "
+    "64 lowest doc_ids per block expand pairwise and every overflow "
+    "member chains to the block exemplar — one O(1) pair each, same "
+    "no-silent-drop discipline as the LSH bucket caps, where the old "
+    "shape dropped overflowing blocks entirely), then Levenshtein over "
+    "the 128-char heads keeps "
     "pairs at >= 0.8 similarity. The third candidate-verify family next "
     "to Jaccard (MinHash) and Hamming (SimHash): char-level distance "
     "catches small in-place edits that token shingles miss. Integer "
@@ -1133,27 +1146,42 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs on capped 128-char heads only.",
 )
 def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = dedup_corpus(spark, sf_dir)
+    return prefix_editdist_pairs(dedup_corpus(spark, sf_dir))
+
+
+def prefix_editdist_pairs(corpus: DataFrame) -> DataFrame:
     norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     n = corpus.select(
         "doc_id",
         F.substring(norm, 1, 128).alias("head"),
         F.substring(norm, 1, 24).alias("block"),
     )
-    # Cap via a block-partitioned window count instead of an aggregate +
+    # Cap via a block-partitioned window instead of an aggregate +
     # join-back: one shuffle on the block key, and the self-join below
-    # hashes on the same key, so Spark reuses the exchange for both sides.
+    # hashes on the same key, so Spark reuses the exchange for both
+    # sides. The 64 lowest doc_ids per block expand pairwise; overflow
+    # members chain to the block exemplar (first doc_id + its head ride
+    # the same window, so the chained Levenshtein verify needs no
+    # join-back) — the old shape dropped overflowing blocks ENTIRELY,
+    # the silent-flood-loss behavior the r9 embedding flood rehearsal
+    # measured for the analogous LSH caps.
     from pyspark.sql import Window
 
-    bn = F.count(F.lit(1)).over(Window.partitionBy("block"))
-    nb = n.withColumn("bn", bn).filter(F.col("bn") <= 64).drop("bn")
-    # Both self-join sides reference nb; without a materialization each
-    # side re-runs the corpus normalization + window (measured: 6 scans,
-    # no ReusedExchange once AQE turns the build side into a broadcast).
-    # The capped frame is ~|docs| rows of 152-char heads — tiny — so an
-    # eager localCheckpoint is the right lineage cut (same note as
-    # _pair_docset_join; reliable checkpoint() on a lossy cluster).
-    nb = nb.localCheckpoint()
+    w = Window.partitionBy("block").orderBy("doc_id")
+    ranked = (
+        n.withColumn("rn", F.row_number().over(w))
+        .withColumn("exid", F.first("doc_id").over(w))
+        .withColumn("exh", F.first("head").over(w))
+    )
+    # Both self-join sides reference the kept frame; without a
+    # materialization each side re-runs the corpus normalization +
+    # window (measured: 6 scans, no ReusedExchange once AQE turns the
+    # build side into a broadcast). The ranked frame is ~|docs| rows of
+    # 152-char heads — tiny — so an eager localCheckpoint is the right
+    # lineage cut (same note as _pair_docset_join; reliable
+    # checkpoint() on a lossy cluster).
+    ranked = ranked.localCheckpoint()
+    nb = ranked.filter(F.col("rn") <= 64).select("doc_id", "head", "block")
     a, b = nb.alias("a"), nb.alias("b")
     pairs = a.join(
         b,
@@ -1164,6 +1192,13 @@ def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.col("a.head").alias("ha"),
         F.col("b.head").alias("hb"),
+    ).unionByName(
+        ranked.filter(F.col("rn") > 64).select(
+            F.col("exid").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("exh").alias("ha"),
+            F.col("head").alias("hb"),
+        )
     )
     lev = F.levenshtein("ha", "hb")
     sim = F.lit(1.0) - lev * F.lit(1.0) / F.greatest(

@@ -208,3 +208,26 @@ def test_repeated_ngram_spans_cover_planted_exact_dups(spark, sf_dir):
         assert r.doc_id in merged.index, f"no span for exact-dup copy {r.doc_id}"
         assert merged.loc[r.doc_id, "span_start"] == 0
         assert merged.loc[r.doc_id, "span_end"] == r.n
+
+
+def test_prefix_block_overflow_chains_to_exemplar(spark):
+    """A prefix block larger than 64 docs used to be DROPPED entirely
+    (zero pairs for the whole flood); now the 64 lowest doc_ids expand
+    pairwise and every overflow member chains to the block exemplar, so
+    the flood stays one connected component — mirroring the LSH bucket
+    caps' exemplar chain."""
+    n = 70
+    corpus = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("the same normalized head text in every flood document").alias("text"),
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.prefix_editdist_pairs(corpus).collect()
+    }
+    kept = set(range(64))
+    expect = {(a, b) for a in kept for b in kept if a < b} | {
+        (0, m) for m in range(64, n)
+    }
+    assert got == expect
+    assert {d for p in got for d in p} == set(range(n))
