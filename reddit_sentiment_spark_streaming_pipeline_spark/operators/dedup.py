@@ -415,7 +415,18 @@ def _pair_docset_join(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .select("doc_id", "shs", F.size("shs").alias("sz"))
     ).persist()
     _LIVE_PERSISTS.append(docsets)
-    hint = F.broadcast if small else (lambda d: d.hint("shuffle_hash"))
+    # Fallback is SORT-MERGE, not shuffle-hash: past the gate the docset
+    # side is unbounded (∝ candidate docs) and its rows carry ~5 KB
+    # shingle arrays — the widest rows in the repo. A shuffle-hash join
+    # must hold an entire build partition's hash relation in execution
+    # memory, and the r9 embedding flood rehearsal OOM'd exactly that
+    # shape at ~5M × ~600 B rows ("Can't acquire ... to build hash
+    # relation"); at 5 KB/row the wall arrives 8× earlier. SMJ spills
+    # its sorted runs and survives any volume. The repo's narrow-row
+    # fallbacks (the span join's md5-only `rep`, the gate's
+    # fingerprint-only store anti join) keep their sort-free
+    # shuffle-hash shape — ~50 B build rows don't hit the wall.
+    hint = F.broadcast if small else (lambda d: d.hint("merge"))
     sa = hint(docsets.select(
         F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs"), F.col("sz").alias("a_sz")
     ))
@@ -826,10 +837,13 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rehearsal fixture: 4 rounds at BOTH scales and candidate pairs
 # exactly linear (1,681 -> 50,707 = 30.2x), so the rehearsal's mild
 # 1.29x shuffle residual is NOT rounds or candidate growth — it is the
-# verify join's DESIGNED broadcast->shuffle-hash fallback crossing its
+# verify join's DESIGNED broadcast->shuffled fallback crossing its
 # 50k-candidate-doc gate between the scales (2,710 -> 81,217 docs): a
 # one-time mode switch that starts shuffling the per-doc shingle-array
-# table, after which growth is linear again. (The r5 measurement used a
+# table, after which growth is linear again. (Measured on the r5-r8
+# shuffle-hash fallback; r9 switched the over-gate join algo to
+# spillable sort-merge — same exchanges, so the shuffle-byte linearity
+# those artifacts measured carries over; see _pair_docset_join.) (The r5 measurement used a
 # module-global round counter, since removed as write-only, not
 # concurrency-safe state; the round count is observable without it — each
 # eager iteration is exactly one convergence-check count() job in the

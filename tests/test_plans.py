@@ -539,3 +539,29 @@ def test_repetition_stats_has_two_exchanges_and_no_join(spark, sf_dir):
     assert plan.count("hashpartitioning") == 2, plan
     assert "rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_docset_verify_fallback_is_spillable_sort_merge(spark, sf_dir, monkeypatch):
+    # Past the 50k-candidate gate the docset verify join's build side is
+    # unbounded AND carries ~5 KB shingle-array rows — the widest rows in
+    # the repo. The fallback must be sort-merge (spills its sorted runs),
+    # never shuffle-hash, whose per-partition hash relation OOM'd the r9
+    # embedding flood rehearsal on 8x narrower rows. Default regime stays
+    # broadcast.
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import dedup as dd
+
+    df = dd.minhash_near_dups(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_BROADCAST_MAX", "0")
+    df = dd.minhash_near_dups(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" not in plan
