@@ -430,11 +430,18 @@ def compact_store(spark: SparkSession, store_dir: str,
             continue
         if bid < upto_batch_id and bid != dest:
             fs.delete(status.getPath(), True)
-    # the consolidated partition now contains every tmp sibling's rows
-    for path in orphans:
-        fs.delete(hpath(path), True)
+    # the consolidated partition now contains every tmp sibling's rows.
+    # ORDER MATTERS: the stale current-bound tmp goes FIRST. It is a
+    # subset of dest that a same-bound re-run would TRUST (complete tmp +
+    # no orphans → reuse path), so if a crash left it behind after the
+    # orphans were gone, the re-run would swap the subset over the merged
+    # dest and lose the orphan rows. Deleting it before the orphans keeps
+    # every intermediate state recoverable: whatever remains is either a
+    # superset source (orphans re-union on the next run) or dest itself.
     if build != tmp:
         fs.delete(hpath(tmp), True)
+    for path in orphans:
+        fs.delete(hpath(path), True)
     return n
 
 
