@@ -21,6 +21,7 @@ Design:
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -298,8 +299,8 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
 # occupancy is then ~1/2, so organic candidates stay ≈ N²/2^(bits+1)·B
 # ≈ 2·N — LINEAR until the 24-bit ceiling binds at N ≈ 2^23 vectors.
 # PAST THE CEILING (production sizing; the shipped plane pool must be
-# finite): raise COS_BAND_BITS to ceil(log2(2·N_max)) for the target
-# corpus — that is the ONLY knob. The plane pool regrows automatically
+# finite): raise COS_BAND_BITS — env-tunable, SPARK_GRAFT_COS_BAND_BITS —
+# to ceil(log2(2·N_max)) for the target corpus; that is the ONLY knob. The plane pool regrows automatically
 # (_COS_COEFS derives COS_BANDS × COS_BAND_BITS hashed planes; each
 # plane's coefficients depend only on its global index p, so widening
 # the pool keeps every existing plane identical), cost grows with
@@ -328,7 +329,15 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
 # non-power can never land on an integer, so the two engines' ceil
 # always agrees.
 COS_BANDS = 8
-COS_BAND_BITS = 24   # provisioned plane pool per band; masked to bits(N)
+# Provisioned plane pool per band; masked to bits(N). THE production
+# sizing knob past the ceiling (see the geometry comment above): set
+# SPARK_GRAFT_COS_BAND_BITS = ceil(log2(2·N_max)) for the target corpus
+# and the plane pool, the engine's band hashes, AND the embedded oracle
+# SQL all regrow from the same constant at import — the cross-engine
+# contract is invariant in the width, which
+# tests/test_similarity.py::test_cos_band_bits_env_widening proves by
+# running the oracle comparison in a subprocess at a non-default width.
+COS_BAND_BITS = int(os.environ.get("SPARK_GRAFT_COS_BAND_BITS", "24"))
 COS_MIN_BITS = 8
 MAX_COS_BUCKET = 64
 

@@ -475,3 +475,25 @@ def test_cos_bucket_cap_exemplar_chaining(spark):
     assert got == expect
     # every flood member — capped or overflow — appears in some pair
     assert {v for p in got for v in p} == set(range(n))
+
+
+def test_cos_band_bits_env_widening():
+    """The production path past the 2^23-vector ceiling is raising
+    SPARK_GRAFT_COS_BAND_BITS to ceil(log2(2 N_max)) — and the claimed
+    invariant is that the cross-engine contract survives ANY width,
+    because the plane pool, the engine's band hashes, and the embedded
+    oracle SQL all regrow from the same constant at import. Prove it at
+    a non-default width: a fresh subprocess (import-time constant) runs
+    the full Spark-vs-DuckDB comparison at 26 bits."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_COS_BAND_BITS="26")
+    out = subprocess.run(
+        [sys.executable, "tools/check.py", "/root/testdata/sf0.001",
+         "embedding_near_dups"],
+        env=env, capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "1/1 queries match" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
