@@ -103,7 +103,12 @@ def start_windowed_parquet_query(
             .option("path", os.path.join(out_root, "windowed"))
             # checkpoint namespaced per query: the windowed and join
             # "deployment shape" helpers may share one out_root, and two
-            # queries sharing a checkpoint dir silently corrupt each other
+            # queries sharing a checkpoint dir silently corrupt each other.
+            # COROLLARY: a restart must reuse the SAME query_name — a
+            # renamed restart lands in a fresh empty checkpoint and
+            # reprocesses the source from scratch (duplicating sink
+            # rows); the r9 chaos lap caught the rehearsal itself doing
+            # this after the r8 namespacing change
             .option("checkpointLocation",
                     os.path.join(out_root, "_checkpoint", query_name))
             .queryName(query_name)

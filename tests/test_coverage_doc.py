@@ -59,7 +59,7 @@ def test_every_backticked_query_name_is_registered():
         # observed-metric names (CollectMetrics), not registry queries
         "lsh_bucket_cap",
         # streaming-gate internals + rehearsal-artifact field names
-        "gate_batch", "rows_drained", "rows_expected",
+        "gate_batch", "rows_drained", "rows_expected", "chaos_durable",
         "novel_against_store", "after_batch_hook", "forced_gates",
         "start_windowed_parquet_query", "start_join_parquet_query",
         "compact_store", "assert_store_not_mid_compaction",

@@ -622,6 +622,11 @@ def chaos_durable(spark, replay_dir: str, work: str, n_expected: int,
     Chaos: same stream, hard-stopped as soon as batch `kill_after`'s
     progress lands (the stop interrupts whatever batch is then
     in-flight), restarted from the checkpoint, drained to completion.
+    The restart reuses the SAME query name: the windowed/join helpers
+    namespace their checkpoint by query_name (r8), so a renamed
+    restart would orphan the checkpoint and reprocess from scratch —
+    the r9 chaos lap caught this rehearsal doing exactly that
+    (`{tag}_resume` landed in a fresh empty checkpoint).
     Pass = the two sink directories hold the IDENTICAL row multiset
     (exceptAll both ways empty) and the chaos run drained every input
     row exactly once across its two query incarnations.
@@ -667,7 +672,7 @@ def chaos_durable(spark, replay_dir: str, work: str, n_expected: int,
         )
 
     resume_prog: list[dict] = []
-    full_drain(chaos_root, f"{tag}_resume", resume_prog)
+    full_drain(chaos_root, f"{tag}_kill", resume_prog)
 
     ctrl = spark.read.parquet(os.path.join(ctrl_root, sink_subdir))
     chaos = spark.read.parquet(os.path.join(chaos_root, sink_subdir))
