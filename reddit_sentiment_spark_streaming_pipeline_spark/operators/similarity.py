@@ -301,9 +301,14 @@ def _dup_corpus(emb: DataFrame) -> DataFrame:
 # PAST THE CEILING (production sizing; the shipped plane pool must be
 # finite): raise COS_BAND_BITS — env-tunable, SPARK_GRAFT_COS_BAND_BITS —
 # to ceil(log2(2·N_max)) for the target corpus; that is the ONLY knob. The plane pool regrows automatically
-# (_COS_COEFS derives COS_BANDS × COS_BAND_BITS hashed planes; each
-# plane's coefficients depend only on its global index p, so widening
-# the pool keeps every existing plane identical), cost grows with
+# (_COS_COEFS derives COS_BANDS × COS_BAND_BITS hashed planes). NOTE:
+# planes are indexed p = band·COS_BAND_BITS + t, so widening RE-DERIVES
+# the whole hash family for every band ≥ 1 — all buckets rehash. That
+# is safe here because nothing persists bucket ids across widths:
+# cross-engine consistency holds because engine AND oracle regrow from
+# the same constant at import (the width-invariance the subprocess test
+# proves). A deployment that DOES persist bucket state (the streaming
+# gate) must rebuild that state after widening. Cost grows with
 # log N: each extra bit is one more integer plane-dot per (vector,
 # band) and per-band recall drops by one 0.955 factor — at 30 bits
 # (N ≈ 5·10^8) p(≥1 of 8 bands) is still ≈ 89% for 0.99-cosine pairs
@@ -337,7 +342,28 @@ COS_BANDS = 8
 # contract is invariant in the width, which
 # tests/test_similarity.py::test_cos_band_bits_env_widening proves by
 # running the oracle comparison in a subprocess at a non-default width.
-COS_BAND_BITS = int(os.environ.get("SPARK_GRAFT_COS_BAND_BITS", "24"))
+def _cos_band_bits_from_env() -> int:
+    """Validated read of the production sizing knob. Bounds are hard:
+    below 8 the mask drops under COS_MIN_BITS; at ≥ 31 the bucket mask's
+    shiftleft(1, bits) wraps 32-bit int arithmetic in Spark SQL and the
+    mask goes negative/zero — fail at import with a clear message
+    instead of silently mis-bucketing."""
+    raw = os.environ.get("SPARK_GRAFT_COS_BAND_BITS", "24")
+    try:
+        bits = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_COS_BAND_BITS={raw!r} is not an integer; "
+            f"expected 8..30 (default 24)") from None
+    if not 8 <= bits <= 30:
+        raise ValueError(
+            f"SPARK_GRAFT_COS_BAND_BITS={bits} out of range: must be in "
+            f"8..30 (31+ wraps Spark SQL's 32-bit shiftleft bucket mask; "
+            f"default 24)")
+    return bits
+
+
+COS_BAND_BITS = _cos_band_bits_from_env()
 COS_MIN_BITS = 8
 MAX_COS_BUCKET = 64
 

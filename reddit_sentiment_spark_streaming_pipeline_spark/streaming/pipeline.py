@@ -252,6 +252,7 @@ def start_pipeline(events: DataFrame, out_root: str,
     starting fresh instead replays the source into the append sinks
     (duplicated output rows).
     """
+    _refuse_old_checkpoint_layout(out_root)
     sinks = BatchSinks(out_root, retention_bytes)
     return (
         events.writeStream.foreachBatch(lambda df, bid: process_batch(df, bid, sinks))
@@ -260,3 +261,24 @@ def start_pipeline(events: DataFrame, out_root: str,
         .queryName("pipeline")
         .start()
     )
+
+
+def _refuse_old_checkpoint_layout(out_root: str) -> None:
+    """Fail loud instead of silently replaying: a pre-namespacing
+    deployment has `offsets`/`commits` directly under `_checkpoint`;
+    starting the namespaced query there would begin from an empty
+    `_checkpoint/pipeline` and re-append the whole source into the
+    sinks. Same fail-loud contract as the dedup store's
+    assert_store_not_mid_compaction."""
+    ckpt = os.path.join(out_root, "_checkpoint")
+    old = [d for d in ("offsets", "commits")
+           if os.path.isdir(os.path.join(ckpt, d))]
+    if old:
+        raise RuntimeError(
+            f"old (pre-namespacing) checkpoint layout at {ckpt}: found "
+            f"{old} directly under _checkpoint. Starting now would use a "
+            f"fresh empty {ckpt}/pipeline and REPLAY the source into the "
+            f"append sinks. Migrate first: move _checkpoint's offsets/"
+            f"commits/sources/metadata into _checkpoint/pipeline, then "
+            f"restart."
+        )

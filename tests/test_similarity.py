@@ -497,3 +497,25 @@ def test_cos_band_bits_env_widening():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "1/1 queries match" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_cos_band_bits_env_validation():
+    """The sizing knob is validated at import: ≥31 wraps Spark SQL's
+    32-bit shiftleft bucket mask, so out-of-range and non-integer values
+    must fail loud with the bound in the message, not silently
+    mis-bucket (or raise an opaque int() ValueError)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for bad in ("31", "7", "abc"):
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity"],
+            env=dict(os.environ, SPARK_GRAFT_COS_BAND_BITS=bad),
+            capture_output=True, text=True, timeout=120, cwd=repo,
+        )
+        assert out.returncode != 0, bad
+        assert "SPARK_GRAFT_COS_BAND_BITS" in out.stderr, out.stderr[-1000:]
+        assert "8..30" in out.stderr, out.stderr[-1000:]

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from reddit_sentiment_spark_streaming_pipeline_spark.operators.windows import windowed_event_counts
@@ -100,6 +101,23 @@ def test_checkpoint_resume_no_duplicates(spark, sf_dir, tmp_path):
         q2.stop()
     raw = spark.read.parquet(pl.BatchSinks(out_root).raw_dir)
     assert raw.count() == n_rows
+
+
+def test_start_pipeline_refuses_old_checkpoint_layout(tmp_path):
+    """A pre-namespacing deployment has offsets/commits directly under
+    _checkpoint; restarting the namespaced query there would start from
+    an empty _checkpoint/pipeline and silently replay the source into
+    the append sinks. The guard must fail loud BEFORE any query starts
+    (so `events` is never touched), and must not trip on the new layout
+    where those dirs live under _checkpoint/<query_name>."""
+    out_root = tmp_path / "old_layout"
+    (out_root / "_checkpoint" / "offsets").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="pre-namespacing"):
+        pl.start_pipeline(None, str(out_root))
+    new_root = tmp_path / "new_layout"
+    (new_root / "_checkpoint" / "pipeline" / "offsets").mkdir(parents=True)
+    (new_root / "_checkpoint" / "wq_sized" / "commits").mkdir(parents=True)
+    pl._refuse_old_checkpoint_layout(str(new_root))  # no raise
 
 
 def test_retention_caps_directory(tmp_path):
