@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
     LSH_BANDS,
+    MINHASH_K,
     band_exprs,
     hamming_expr,
     hex28_expr,
@@ -53,12 +54,16 @@ HAMMING_THRESHOLD = 8
 # PAIRWISE cost at C(cap, 2). Exact dedup upstream folds byte-identical
 # floods, but NEAR-identical floods (template spam with differing ids)
 # survive it and share buckets — so overflow members are not dropped:
-# each gets one (bucket-min, member) EXEMPLAR pair, O(1) per member,
-# keeping the flood one connected component (the r9 embedding flood
-# rehearsal measured the pure cap silently losing every member past the
-# 64th in all bands). The smallest `cap` doc_ids are kept for pairwise
-# expansion (sorted slice), and the chain head is the bucket minimum, so
-# both choices are deterministic and identical in the DuckDB oracle.
+# each gets one EXEMPLAR pair, O(1) per member, keeping the flood one
+# connected component (the r9 embedding flood rehearsal measured the
+# pure cap silently losing every member past the 64th in all bands).
+# The chain head depends on the bucket-key space: MinHash and the prefix
+# blocks chain to the bucket MINIMUM (their key spaces are wide enough
+# that flood buckets stay family-pure, so the min verifies — r10 flood
+# rehearsal: reachable recall 1.0); SimHash's 16-bit chunk keys mix
+# families in degenerate buckets, so its overflow chains to the
+# fingerprint-sort PREDECESSOR instead (see simhash_pair_rows). Both
+# choices are deterministic and identical in the DuckDB oracle.
 MAX_LSH_BUCKET = 64
 
 # ---------------------------------------------------------------- corpus
@@ -198,37 +203,39 @@ def shingle_rows(corpus: DataFrame) -> DataFrame:
 # ----------------------------------------------------------- MinHash LSH
 
 _SIG_COLS = ", ".join(f"{e} AS m{i}" for i, e in enumerate(minhash_exprs("hv")))
+_MS = ", ".join(f"m{i}" for i in range(MINHASH_K))
 _BAND_COLS = ", ".join(f"{e} AS band{b}" for b, e in enumerate(band_exprs("m")))
 _BANDS_LONG = "\n            UNION ALL ".join(
-    f"SELECT doc_id, {b} AS bi, band{b} AS bh FROM bands" for b in range(LSH_BANDS)
+    f"SELECT doc_id, {_MS}, {b} AS bi, band{b} AS bh FROM bands"
+    for b in range(LSH_BANDS)
 )
 
+# Bucket-cap window ordered by the minhash SIGNATURE with lag
+# sort-predecessor chaining — the exact mirror of
+# minhash_candidates_from_shingles (see the family-mixing rationale there).
 _CAND_SQL = f"""
         {_SHINGLE_SQL},
         shv AS (SELECT doc_id, {hex28_expr('shingle', 'duckdb')} AS hv FROM sh),
         sig AS (SELECT doc_id, {_SIG_COLS} FROM shv GROUP BY doc_id),
-        bands AS (SELECT doc_id, {_BAND_COLS} FROM sig),
+        bands AS (SELECT doc_id, {_MS}, {_BAND_COLS} FROM sig),
         bl AS ({_BANDS_LONG}),
-        bll AS (
-            SELECT bi, bh, list_sort(list(doc_id)) AS ls
-            FROM bl GROUP BY bi, bh
+        blr AS (
+            SELECT bi, bh, doc_id,
+                   row_number() OVER wcap AS rn,
+                   lag(doc_id) OVER wcap AS pid
+            FROM bl
+            WINDOW wcap AS (PARTITION BY bi, bh ORDER BY {_MS}, doc_id)
         ),
-        blc AS (
-            SELECT bi, bh, unnest(list_slice(ls, 1, {MAX_LSH_BUCKET})) AS doc_id
-            FROM bll
-        ),
-        blx AS (
-            SELECT ls[1] AS doc_a,
-                   unnest(list_slice(ls, {MAX_LSH_BUCKET} + 1, len(ls))) AS doc_b
-            FROM bll
-        ),
+        blc AS (SELECT bi, bh, doc_id FROM blr WHERE rn <= {MAX_LSH_BUCKET}),
         cand AS (
             SELECT DISTINCT doc_a, doc_b FROM (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM blc a JOIN blc b
                   ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
                 UNION ALL
-                SELECT doc_a, doc_b FROM blx
+                SELECT least(pid, doc_id) AS doc_a,
+                       greatest(pid, doc_id) AS doc_b
+                FROM blr WHERE rn > {MAX_LSH_BUCKET}
             )
         )
 """
@@ -236,6 +243,42 @@ _CAND_SQL = f"""
 
 def minhash_candidates(corpus: DataFrame) -> DataFrame:
     return minhash_candidates_from_shingles(shingle_rows(corpus))
+
+
+def minhash_band_rows(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m11, bi, bh) — one row per doc per LSH band: MinHash
+    signature → banded hashes → long form. Extracted from the candidate
+    pipeline so the scale-rehearsal flood deep-point
+    (tools/scale_rehearsal.py) measures bucket occupancy and flood
+    reachability on the EXACT production band table instead of a
+    re-derivation that could drift.
+
+    The signature columns ride along (~12 ints per band row) because the
+    bucket-cap window sorts on them: near-identical docs share most
+    minhash values, so signature order clusters each near-dup family
+    contiguously inside a bucket — what makes the overflow chain's
+    sort-predecessor a SAME-family partner in buckets that mix several
+    families (see minhash_candidates_from_shingles)."""
+    shv = sh.select("doc_id", F.expr(hex28_expr("shingle", "spark")).alias("hv"))
+    sig = shv.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"m{i}") for i, e in enumerate(minhash_exprs("hv"))]
+    )
+    ms = [f"m{i}" for i in range(MINHASH_K)]
+    bands = sig.select(
+        "doc_id", *ms,
+        *[F.expr(e).alias(f"band{b}") for b, e in enumerate(band_exprs("m"))],
+    )
+    return bands.select(
+        "doc_id", *ms,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bh"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", *ms, F.col("e.bi").alias("bi"), F.col("e.bh").alias("bh"))
 
 
 def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
@@ -246,24 +289,7 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     split + array transform + explode) is the pipeline's dominant cost and
     would otherwise run twice.
     """
-    shv = sh.select("doc_id", F.expr(hex28_expr("shingle", "spark")).alias("hv"))
-    sig = shv.groupBy("doc_id").agg(
-        *[F.expr(e).alias(f"m{i}") for i, e in enumerate(minhash_exprs("hv"))]
-    )
-    bands = sig.select(
-        "doc_id", *[F.expr(e).alias(f"band{b}") for b, e in enumerate(band_exprs("m"))]
-    )
-    bl = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bh"))
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.bi").alias("bi"), F.col("e.bh").alias("bh"))
+    bl = minhash_band_rows(sh)
     # Pairs come from grouping each LSH bucket and expanding doc-id
     # combinations inside the bucket array — ONE shuffle of the band table,
     # where the equivalent self-join shuffles it twice and needs a third
@@ -272,22 +298,33 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
     # the cap is applied BEFORE collect_list via a row_number() window over
     # the same (bi, bh) keys — the window reuses the exchange (no extra
     # shuffle), spills oversized buckets instead of holding them in an
-    # aggregation buffer, and keeps the smallest `cap` doc_ids (identical
-    # to the oracle's sorted slice). Overflow members are NOT dropped:
-    # each gets one (bucket-min, member) EXEMPLAR pair — O(1) pairs per
-    # member from the same exchange — so a NEAR-identical flood (template
-    # spam with differing ids, which byte-exact dedup upstream cannot
-    # fold) stays one connected component instead of silently losing
-    # every member past the 64th in all bands; the r9 embedding flood
-    # rehearsal measured exactly that silent loss for the pure cap. The
+    # aggregation buffer. Overflow members are NOT dropped: each gets one
+    # EXEMPLAR pair — O(1) pairs per member from the same exchange — so a
+    # NEAR-identical flood (template spam with differing ids, which
+    # byte-exact dedup upstream cannot fold) stays one connected component
+    # instead of silently losing every member past the 64th in all bands;
+    # the r9 embedding flood rehearsal measured exactly that silent loss
+    # for the pure cap. The window is ordered by the MINHASH SIGNATURE
+    # (m0..m11, doc_id tie-break), not by doc_id, and the exemplar is the
+    # lag sort-PREDECESSOR, not the bucket minimum: when organic band-hash
+    # collisions mix several near-dup families in one over-cap bucket, a
+    # bucket-min exemplar belongs to ONE family and every chained member
+    # of the others fails the downstream Jaccard verify — the r10
+    # template-spam flood rehearsal measured reachable-member recall
+    # dropping to 0.974 at 100x for exactly that reason. Signature order
+    # clusters each family contiguously (near-identical docs share most
+    # minhash values), so chained pairs verify against a same-family
+    # neighbor and family runs stay connected as a verified path. The
     # `lsh_bucket_cap` observed metric (CollectMetrics — no extra job)
     # reports the pairs still suppressed beyond the chain and the chained
     # count, from the pre-cap bucket size carried along as `full`.
     wb = Window.partitionBy("bi", "bh")
+    sig_order = [F.col(f"m{i}") for i in range(MINHASH_K)] + [F.col("doc_id")]
+    wo = wb.orderBy(*sig_order)
     ranked = (
         bl.withColumn("full", F.count(F.lit(1)).over(wb))
-        .withColumn("rn", F.row_number().over(wb.orderBy("doc_id")))
-        .withColumn("ex", F.min("doc_id").over(wb))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("prev", F.lag("doc_id").over(wo))
     )
     grp = (
         ranked.filter(F.col("rn") <= MAX_LSH_BUCKET)
@@ -321,7 +358,8 @@ def minhash_candidates_from_shingles(sh: DataFrame) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
     )
     chained = ranked.filter(F.col("rn") > MAX_LSH_BUCKET).select(
-        F.col("ex").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        F.least("prev", "doc_id").alias("doc_a"),
+        F.greatest("prev", "doc_id").alias("doc_b"),
     )
     return pairwise.unionByName(chained).distinct()
 
@@ -691,27 +729,13 @@ def simhash_fp(corpus: DataFrame) -> DataFrame:
     return simhash_fp_from_token_arrays(corpus.select("doc_id", toks.alias("toks")))
 
 
-def simhash_pair_rows(fp: DataFrame) -> DataFrame:
-    """Chunk-equality banded candidates + bit_count(xor) verify over a
-    SimHash fingerprint frame; pairs at Hamming <= threshold.
-
-    Buckets are capped at MAX_LSH_BUCKET exactly like the MinHash banding,
-    and the cap is applied BEFORE aggregation: a row_number() window over
-    (ci, cv) ordered by doc_id keeps the smallest `cap` ids, so no reducer
-    ever materializes a pathological bucket (millions of byte-identical
-    doc_ids) into one collect_list buffer — the window exec spills, an
-    aggregation buffer doesn't. The kept set (smallest `cap` doc_ids) is
-    deterministic and identical in the DuckDB oracle.
-
-    The verify is inline: each bucket entry carries the full packed
-    fingerprint, so Hamming is computed during pair expansion — inside the
-    same stage, before any shuffle — and failing pairs die before the
-    distinct. The previous shape (expand ids, distinct, re-join fp twice)
-    shuffled every candidate three times; on byte-similar corpora the 10x
-    rehearsal measured 18.2x shuffle growth for that shape. Candidates
-    that fail verification now never leave the executor that expanded
-    them; only (doc_a, doc_b, hamming) survivors reach the distinct."""
-    cl = fp.select(
+def simhash_chunk_rows(fp: DataFrame) -> DataFrame:
+    """(d struct, ci, cv) — one row per doc per 16-bit SimHash chunk, the
+    banding long form; `d` carries the doc_id plus the full packed
+    fingerprint so pair expansion can Hamming-verify inline. Extracted so
+    the scale-rehearsal flood deep-point measures bucket occupancy and
+    flood reachability on the exact production chunk table."""
+    return fp.select(
         F.struct("doc_id", *[f"h{c}" for c in range(SIMHASH_CHUNKS)]).alias("d"),
         F.explode(
             F.array(
@@ -722,13 +746,55 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
             )
         ).alias("e"),
     ).select("d", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
-    wb = Window.partitionBy("ci", "cv").orderBy("d.doc_id")
+
+
+def simhash_pair_rows(fp: DataFrame) -> DataFrame:
+    """Chunk-equality banded candidates + bit_count(xor) verify over a
+    SimHash fingerprint frame; pairs at Hamming <= threshold.
+
+    Buckets are capped at MAX_LSH_BUCKET exactly like the MinHash banding,
+    and the cap is applied BEFORE aggregation: a row_number() window over
+    (ci, cv) keeps `cap` rows, so no reducer ever materializes a
+    pathological bucket (millions of byte-identical doc_ids) into one
+    collect_list buffer — the window exec spills, an aggregation buffer
+    doesn't.
+
+    Unlike the MinHash banding, the window is ordered by the FULL packed
+    FINGERPRINT (h0..h3, doc_id tie-break), and each overflow member
+    chains to its sort-PREDECESSOR (lag) rather than to the bucket-global
+    minimum. SimHash's bucket key is one 16-bit chunk — a space small
+    enough that degenerate values mix unrelated near-dup families in one
+    bucket, where a bucket-min exemplar belongs to ONE family and every
+    chained member from another family fails the Hamming verify (the r10
+    template-spam flood rehearsal measured exactly that: 6/4495 flood
+    members silently lost at 10x). Sorting by fingerprint makes a
+    family's nearly-equal fingerprints contiguous, so each chained pair
+    verifies against its Hamming-nearest bucket neighbor and family runs
+    stay connected as a verified path — still exactly one O(1) pair per
+    overflow member from the same window exchange. MinHash keeps its
+    bucket-min chain: its band-hash space is wide enough that flood
+    buckets stay family-pure (same rehearsal: reachable recall 1.0).
+    The kept set (smallest `cap` fingerprints) and the lag pairs are
+    deterministic and identical in the DuckDB oracle.
+
+    The verify is inline: each bucket entry carries the full packed
+    fingerprint, so Hamming is computed during pair expansion — inside the
+    same stage, before any shuffle — and failing pairs die before the
+    distinct. The previous shape (expand ids, distinct, re-join fp twice)
+    shuffled every candidate three times; on byte-similar corpora the 10x
+    rehearsal measured 18.2x shuffle growth for that shape. Candidates
+    that fail verification now never leave the executor that expanded
+    them; only (doc_a, doc_b, hamming) survivors reach the distinct."""
+    cl = simhash_chunk_rows(fp)
+    wb = Window.partitionBy("ci", "cv").orderBy(
+        *[F.col(f"d.h{c}") for c in range(SIMHASH_CHUNKS)], F.col("d.doc_id")
+    )
     ranked = (
         cl.withColumn("rn", F.row_number().over(wb))
-        # bucket exemplar STRUCT (fingerprint travels with it, so chained
-        # pairs verify inline exactly like pairwise ones): first row of
-        # the same doc_id-ordered window — no extra shuffle
-        .withColumn("ex", F.first("d").over(wb))
+        # sort-predecessor STRUCT (fingerprint travels with it, so chained
+        # pairs verify inline exactly like pairwise ones): lag over the
+        # same fingerprint-ordered window — no extra shuffle
+        .withColumn("prev", F.lag("d").over(wb))
     )
     grp = (
         ranked.filter(F.col("rn") <= MAX_LSH_BUCKET)
@@ -754,13 +820,14 @@ def simhash_pair_rows(fp: DataFrame) -> DataFrame:
             ham.alias("hamming"),
         )
     )
-    # exemplar chain for overflow members (see minhash_candidates_from_
-    # shingles): one (bucket-min, member) pair each, Hamming verified
-    # inline against the exemplar's travelling fingerprint
-    cham = F.expr(hamming_expr("ex.h", "d.h", "spark"))
+    # exemplar chain for overflow members: one (sort-predecessor, member)
+    # pair each, Hamming verified inline against the predecessor's
+    # travelling fingerprint. Sort order is the fingerprint, so the pair
+    # id order must be normalized explicitly.
+    cham = F.expr(hamming_expr("prev.h", "d.h", "spark"))
     chained = ranked.filter(F.col("rn") > MAX_LSH_BUCKET).select(
-        F.col("ex.doc_id").alias("doc_a"),
-        F.col("d.doc_id").alias("doc_b"),
+        F.least("prev.doc_id", "d.doc_id").alias("doc_a"),
+        F.greatest("prev.doc_id", "d.doc_id").alias("doc_b"),
         cham.alias("hamming"),
     )
     return (
@@ -785,36 +852,42 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHUNKS_LONG = "\n            UNION ALL ".join(
-    f"SELECT doc_id, {c} AS ci, h{c} AS cv FROM fp" for c in range(SIMHASH_CHUNKS)
+    f"SELECT doc_id, h0, h1, h2, h3, {c} AS ci, h{c} AS cv FROM fp"
+    for c in range(SIMHASH_CHUNKS)
 )
 
-
-@register(
-    "simhash_near_dups",
-    oracle=f"""
-    WITH {_FP_SQL},
-    cl AS ({_CHUNKS_LONG}),
-    cll AS (
-        SELECT ci, cv, list_sort(list(doc_id)) AS ls FROM cl GROUP BY ci, cv
+# Shared candidate CTE block for both SimHash oracles (text + payload):
+# fingerprint-ordered window, kept = the MAX_LSH_BUCKET smallest
+# fingerprints expanded pairwise, overflow chained to the lag
+# sort-predecessor with explicit id-order normalization — the exact
+# mirror of simhash_pair_rows.
+_SIMHASH_CAND_SQL = f"""cl AS ({_CHUNKS_LONG}),
+    r AS (
+        SELECT ci, cv, doc_id,
+               row_number() OVER w AS rn,
+               lag(doc_id) OVER w AS pid
+        FROM cl
+        WINDOW w AS (PARTITION BY ci, cv ORDER BY h0, h1, h2, h3, doc_id)
     ),
-    clc AS (
-        SELECT ci, cv, unnest(list_slice(ls, 1, {MAX_LSH_BUCKET})) AS doc_id
-        FROM cll
-    ),
-    clx AS (
-        SELECT ls[1] AS doc_a,
-               unnest(list_slice(ls, {MAX_LSH_BUCKET} + 1, len(ls))) AS doc_b
-        FROM cll
-    ),
+    clc AS (SELECT ci, cv, doc_id FROM r WHERE rn <= {MAX_LSH_BUCKET}),
     scand AS (
         SELECT DISTINCT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM clc a JOIN clc b
               ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
             UNION ALL
-            SELECT doc_a, doc_b FROM clx
+            SELECT least(pid, doc_id) AS doc_a,
+                   greatest(pid, doc_id) AS doc_b
+            FROM r WHERE rn > {MAX_LSH_BUCKET}
         )
-    )
+    )"""
+
+
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH {_FP_SQL},
+    {_SIMHASH_CAND_SQL}
     SELECT s.doc_a, s.doc_b,
            {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming
     FROM scand s
@@ -824,7 +897,10 @@ _CHUNKS_LONG = "\n            UNION ALL ".join(
     ORDER BY doc_a, doc_b
     """,
     doc="SimHash near-dups: chunk-equality banding (pigeonhole-complete for "
-    "Hamming ≤ 8 over 4 chunks... candidates) + bit_count(xor) verify",
+    "Hamming ≤ 8 over 4 chunks... candidates) + bit_count(xor) verify; "
+    "over-cap buckets chain each overflow member to its fingerprint-sort "
+    "predecessor (verified path — survives family-mixed degenerate "
+    "chunk buckets, r10 flood rehearsal)",
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pair_rows(simhash_fp(dedup_corpus(spark, sf_dir)))
@@ -1121,10 +1197,10 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
         SELECT doc_id, head, block,
                row_number() OVER w AS rn,
-               first_value(doc_id) OVER w AS exid,
-               first_value(head) OVER w AS exh
+               lag(doc_id) OVER w AS pid,
+               lag(head) OVER w AS ph
         FROM n
-        WINDOW w AS (PARTITION BY block ORDER BY doc_id)
+        WINDOW w AS (PARTITION BY block ORDER BY head, doc_id)
     ),
     nb AS (SELECT doc_id, head, block FROM r WHERE rn <= 64),
     pairs AS (
@@ -1132,7 +1208,8 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                a.head AS ha, b.head AS hb
         FROM nb a JOIN nb b ON a.block = b.block AND a.doc_id < b.doc_id
         UNION ALL
-        SELECT exid AS doc_a, doc_id AS doc_b, exh AS ha, head AS hb
+        SELECT least(pid, doc_id) AS doc_a, greatest(pid, doc_id) AS doc_b,
+               ph AS ha, head AS hb
         FROM r WHERE rn > 64
     )
     SELECT doc_a, doc_b,
@@ -1144,12 +1221,14 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
           / greatest(length(ha), length(hb)) >= 0.8
     """,
     doc="Edit-distance near-dup verification under prefix blocking: docs "
-    "sharing a normalized 24-char prefix block pair up (block join; the "
-    "64 lowest doc_ids per block expand pairwise and every overflow "
-    "member chains to the block exemplar — one O(1) pair each, same "
-    "no-silent-drop discipline as the LSH bucket caps, where the old "
-    "shape dropped overflowing blocks entirely), then Levenshtein over "
-    "the 128-char heads keeps "
+    "sharing a normalized 24-char prefix block pair up (block join; 64 "
+    "docs per head-ordered block window expand pairwise and every "
+    "overflow member chains to its head-sort predecessor — one O(1) "
+    "pair each that verifies against its edit-nearest neighbor, same "
+    "no-silent-drop discipline as the LSH bucket caps; the old shape "
+    "dropped overflowing blocks entirely, and the r9 bucket-min chain "
+    "lost cross-family members in prefix-shared blocks, r10 flood "
+    "rehearsal), then Levenshtein over the 128-char heads keeps "
     "pairs at >= 0.8 similarity. The third candidate-verify family next "
     "to Jaccard (MinHash) and Hamming (SimHash): char-level distance "
     "catches small in-place edits that token shingles miss. Integer "
@@ -1163,29 +1242,43 @@ def prefix_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_editdist_pairs(dedup_corpus(spark, sf_dir))
 
 
-def prefix_editdist_pairs(corpus: DataFrame) -> DataFrame:
+def prefix_block_rows(corpus: DataFrame) -> DataFrame:
+    """(doc_id, head, block) — normalized 128-char head + 24-char prefix
+    block, the blocking long form. Extracted so the scale-rehearsal flood
+    deep-point measures block occupancy and flood reachability on the
+    exact production blocking frame."""
     norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-    n = corpus.select(
+    return corpus.select(
         "doc_id",
         F.substring(norm, 1, 128).alias("head"),
         F.substring(norm, 1, 24).alias("block"),
     )
+
+
+def prefix_editdist_pairs(corpus: DataFrame) -> DataFrame:
+    n = prefix_block_rows(corpus)
     # Cap via a block-partitioned window instead of an aggregate +
     # join-back: one shuffle on the block key, and the self-join below
     # hashes on the same key, so Spark reuses the exchange for both
-    # sides. The 64 lowest doc_ids per block expand pairwise; overflow
-    # members chain to the block exemplar (first doc_id + its head ride
-    # the same window, so the chained Levenshtein verify needs no
-    # join-back) — the old shape dropped overflowing blocks ENTIRELY,
-    # the silent-flood-loss behavior the r9 embedding flood rehearsal
-    # measured for the analogous LSH caps.
+    # sides. The window is ordered by the normalized HEAD (doc_id
+    # tie-break): 64 docs per block expand pairwise and every overflow
+    # member chains to its head-sort PREDECESSOR (lag carries the
+    # predecessor's head, so the chained Levenshtein verify needs no
+    # join-back). Head order matters for the same reason as the LSH
+    # signature sort: a 24-char prefix block can mix several near-dup
+    # families (template corpora share openings), and the previous
+    # first-doc_id exemplar belonged to ONE family — the r10
+    # template-spam flood rehearsal measured reachable recall 0.967 at
+    # 100x from exactly that (and the pre-r9 shape dropped overflowing
+    # blocks ENTIRELY). Near-identical heads sort contiguously, so
+    # chained pairs verify against their edit-nearest block neighbor.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("block").orderBy("doc_id")
+    w = Window.partitionBy("block").orderBy("head", "doc_id")
     ranked = (
         n.withColumn("rn", F.row_number().over(w))
-        .withColumn("exid", F.first("doc_id").over(w))
-        .withColumn("exh", F.first("head").over(w))
+        .withColumn("pid", F.lag("doc_id").over(w))
+        .withColumn("ph", F.lag("head").over(w))
     )
     # Both self-join sides reference the kept frame; without a
     # materialization each side re-runs the corpus normalization +
@@ -1208,9 +1301,9 @@ def prefix_editdist_pairs(corpus: DataFrame) -> DataFrame:
         F.col("b.head").alias("hb"),
     ).unionByName(
         ranked.filter(F.col("rn") > 64).select(
-            F.col("exid").alias("doc_a"),
-            F.col("doc_id").alias("doc_b"),
-            F.col("exh").alias("ha"),
+            F.least("pid", "doc_id").alias("doc_a"),
+            F.greatest("pid", "doc_id").alias("doc_b"),
+            F.col("ph").alias("ha"),
             F.col("head").alias("hb"),
         )
     )
@@ -1250,28 +1343,7 @@ def prefix_editdist_pairs(corpus: DataFrame) -> DataFrame:
     ),
     sums AS (SELECT doc_id, {_SUM_COLS} FROM tfrel GROUP BY doc_id),
     fp AS (SELECT doc_id, {_CHUNK_COLS} FROM sums),
-    cl AS ({_CHUNKS_LONG}),
-    cll AS (
-        SELECT ci, cv, list_sort(list(doc_id)) AS ls FROM cl GROUP BY ci, cv
-    ),
-    clc AS (
-        SELECT ci, cv, unnest(list_slice(ls, 1, {MAX_LSH_BUCKET})) AS doc_id
-        FROM cll
-    ),
-    clx AS (
-        SELECT ls[1] AS doc_a,
-               unnest(list_slice(ls, {MAX_LSH_BUCKET} + 1, len(ls))) AS doc_b
-        FROM cll
-    ),
-    scand AS (
-        SELECT DISTINCT doc_a, doc_b FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM clc a JOIN clc b
-              ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
-            UNION ALL
-            SELECT doc_a, doc_b FROM clx
-        )
-    )
+    {_SIMHASH_CAND_SQL}
     SELECT s.doc_a, s.doc_b,
            {hamming_expr('fa.h', 'fb.h', 'duckdb')} AS hamming
     FROM scand s

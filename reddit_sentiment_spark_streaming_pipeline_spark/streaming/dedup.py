@@ -281,6 +281,20 @@ def assert_store_not_mid_compaction(spark: SparkSession, store_dir: str) -> None
             )
 
 
+# Rehearsal-only crash injection for the kill-during-compaction chaos lap
+# (tools/streaming_rehearsal.py --scenario chaos-compact): compact_store
+# names its swap windows through _crash_point so a REHEARSAL SUBPROCESS can
+# die (os._exit, indistinguishable from SIGKILL to the filesystem) at an
+# exact point inside the swap. Never set in production wiring — the same
+# contract as start_dedup_gate's after_batch_hook.
+_compact_crash_hook = None
+
+
+def _crash_point(window: str) -> None:
+    if _compact_crash_hook is not None:
+        _compact_crash_hook(window)
+
+
 def compact_store(spark: SparkSession, store_dir: str,
                   upto_batch_id: int) -> int:
     """Fold the batch-owned store partitions `batch_id < upto_batch_id`
@@ -412,14 +426,17 @@ def compact_store(spark: SparkSession, store_dir: str,
             .coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
             .write.mode("overwrite").parquet(build)
     n = spark.read.parquet(build).count()
+    _crash_point("tmp_complete")  # window 1->2 boundary: tmp durable, store intact
     dest_path = hpath(os.path.join(store_dir, f"batch_id={dest}"))
     if fs.exists(dest_path):
         fs.delete(dest_path, True)
+    _crash_point("dest_deleted")  # window 2: dest's only copy is the tmp
     if not fs.rename(hpath(build), dest_path):
         raise IOError(
             f"compact_store: rename {build} -> batch_id={dest} failed; "
             "store history is intact in the tmp dir — re-run to resume"
         )
+    _crash_point("renamed")  # window 3: dest swapped, folded history remains
     for status in fs.listStatus(root):
         name = status.getPath().getName()
         if not name.startswith("batch_id="):

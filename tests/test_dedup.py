@@ -59,11 +59,13 @@ def test_simhash_chunks_are_16bit(spark, sf_dir):
 def test_lsh_bucket_cap_bounds_pathological_buckets(spark):
     # 1,000 byte-identical docs: every doc lands in the same bucket in every
     # band. Uncapped that expands C(1000,2)=499,500 pairs on one reducer;
-    # the cap keeps the smallest MAX_LSH_BUCKET doc ids per bucket for
-    # PAIRWISE expansion, and every overflow member gets exactly one
-    # exemplar pair with the bucket minimum (doc 0) — so the flood stays
-    # one connected component at C(cap,2) + (n - cap) total pairs instead
-    # of silently losing 936 members (the pre-r9 behavior).
+    # the cap keeps MAX_LSH_BUCKET docs per signature-ordered bucket window
+    # (identical signatures here, so doc_id order) for PAIRWISE expansion,
+    # and every overflow member gets exactly one exemplar pair with its
+    # sort-PREDECESSOR (r10: a path, so chained pairs verify against their
+    # nearest neighbor even in family-mixed buckets) — the flood stays one
+    # connected component at C(cap,2) + (n - cap) total pairs instead of
+    # silently losing 936 members (the pre-r9 behavior).
     n = 1000
     corpus = spark.range(n).select(
         F.col("id").cast("int").alias("doc_id"),
@@ -74,11 +76,53 @@ def test_lsh_bucket_cap_bounds_pathological_buckets(spark):
     got = {(r.doc_a, r.doc_b) for r in cand.collect()}
     kept = set(range(cap))
     expect = {(a, b) for a in kept for b in kept if a < b} | {
-        (0, m) for m in range(cap, n)
+        (m - 1, m) for m in range(cap, n)
     }
     assert got == expect
     # every flood member — capped or overflow — appears in some pair
     assert {d for p in got for d in p} == set(range(n))
+
+
+def test_simhash_overflow_chains_to_sort_predecessor(spark):
+    """Over-cap SimHash buckets chain each overflow member to its
+    FINGERPRINT-sort predecessor (r10): in a degenerate 16-bit-chunk
+    bucket mixing two unrelated near-dup families, the previous
+    bucket-min chain head belonged to one family, so every chained
+    member of the OTHER family failed the Hamming verify and was
+    silently lost (the r10 template-spam flood rehearsal measured
+    6/4495 flood members lost at 10x). With the sorted path each family
+    sorts contiguously, chained pairs verify against their
+    Hamming-nearest neighbor, and each family stays one connected
+    component — while no cross-family pair survives the verify."""
+    rows = []
+    for i in range(80):
+        # family A on even ids, family B on odd ids: a bucket-global-min
+        # chain head (doc 0, family A) would orphan over-cap B members
+        rows.append((2 * i, 7777, 1000, 1000, 1000 + (i % 2)))
+        rows.append((2 * i + 1, 7777, 40000, 40000, 40000 + (i % 2)))
+    fp = spark.createDataFrame(
+        rows, "doc_id int, h0 int, h1 int, h2 int, h3 int"
+    )
+    pairs = dd.simhash_pair_rows(fp).collect()
+    assert pairs
+    # the shared h0 chunk buckets both families together (160 > cap), but
+    # only within-family pairs survive the Hamming verify
+    assert all(r.doc_a % 2 == r.doc_b % 2 for r in pairs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r.doc_a)] = find(r.doc_b)
+    comps: dict[int, set[int]] = {}
+    for d in range(160):
+        comps.setdefault(find(d), set()).add(d)
+    assert sorted(len(c) for c in comps.values()) == [80, 80]
 
 
 def test_lsh_cap_does_not_bind_on_normal_corpus(spark, sf_dir):
@@ -212,10 +256,11 @@ def test_repeated_ngram_spans_cover_planted_exact_dups(spark, sf_dir):
 
 def test_prefix_block_overflow_chains_to_exemplar(spark):
     """A prefix block larger than 64 docs used to be DROPPED entirely
-    (zero pairs for the whole flood); now the 64 lowest doc_ids expand
-    pairwise and every overflow member chains to the block exemplar, so
+    (zero pairs for the whole flood); now 64 docs per head-ordered block
+    window expand pairwise and every overflow member chains to its
+    head-sort predecessor (identical heads here, so doc_id order), so
     the flood stays one connected component — mirroring the LSH bucket
-    caps' exemplar chain."""
+    caps' sorted exemplar chain."""
     n = 70
     corpus = spark.range(n).select(
         F.col("id").cast("int").alias("doc_id"),
@@ -227,7 +272,7 @@ def test_prefix_block_overflow_chains_to_exemplar(spark):
     }
     kept = set(range(64))
     expect = {(a, b) for a in kept for b in kept if a < b} | {
-        (0, m) for m in range(64, n)
+        (m - 1, m) for m in range(64, n)
     }
     assert got == expect
     assert {d for p in got for d in p} == set(range(n))

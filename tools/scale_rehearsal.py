@@ -39,6 +39,9 @@ Pass criteria (VERDICT r2 item 8): ≤ ~12× time at 10× data, no OOM.
 
 Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir]
            [--replicas N] [--queries q1,q2,...]
+           [--emb-perturb isometry|jitter] [--emb-deep]
+           [--text-perturb cipher|spam] [--text-flood-deep]
+           [--skew zipf[:s]] [--verify-span-isolation]
 
 --replicas / --queries narrow the sweep for targeted deep points, e.g.
 the 30× knee-check on the iterative/clustered dedup paths (VERDICT r4
@@ -182,6 +185,26 @@ _UP26 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 #     LSH bucket cap exists to bound.
 EMB_PERTURB = "isometry"
 
+# How replica k's TEXT is perturbed (--text-perturb):
+#   cipher (default): the per-replica affine substitution cipher above —
+#     replicas share no word shingles or byte 4-grams, so duplicate RATES
+#     stay realistic and scaling ratios measure operator cost, not
+#     fixture-manufactured output growth.
+#   spam: TEMPLATE-SPAM FLOOD — replica k's text is the base text plus
+#     one short per-replica tail token (" qq<k>"), i.e. near-identical
+#     docs with differing ids. Byte-exact upstream dedup CANNOT fold
+#     them (texts differ), yet every near-dup family stays inside all
+#     three text verify thresholds by construction: one appended token
+#     adds one 3-word shingle (member↔member Jaccard ≥ (W-2)/W ≥ 0.8 at
+#     the corpus minimum W=10 words, far above 0.5), flips only a
+#     tf-1 token's SimHash bits (Hamming ≪ 8), and leaves the 24-char
+#     prefix block untouched (head edit distance ≤ ~6 of ≥ 48 chars,
+#     similarity ≥ 0.87 > 0.8). This is the text analog of
+#     --emb-perturb jitter: the adversarial regime the LSH bucket caps +
+#     exemplar chains exist for, where the r9 embedding flood measured
+#     the pure cap silently losing every member past the 64th.
+TEXT_PERTURB = "cipher"
+
 
 def _emb_isometry(k: int) -> tuple[list[int], list[int]]:
     """Replica k's signed permutation: (perm, signs), md5-derived."""
@@ -254,12 +277,21 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     doc_stride = docs.agg((F.max("doc_id") + 1).alias("_stride"))
     emb_stride = emb.agg((F.max("vec_id") + 1).alias("_stride"))
 
-    cipher = F.expr(f"translate(text, '{_LO36 + _UP26}', _dst)")
+    if TEXT_PERTURB == "spam":
+        # template-spam flood: replica 0 is the verbatim base doc; every
+        # other replica appends one distinct short token — near-identical
+        # family of REPLICAS docs per base doc, all within every text
+        # near-dup threshold (see the TEXT_PERTURB comment above)
+        perturbed = F.when(
+            F.col("k") == 0, F.col("text")
+        ).otherwise(F.concat("text", F.lit(" qq"), F.col("k").cast("string")))
+    else:
+        perturbed = F.expr(f"translate(text, '{_LO36 + _UP26}', _dst)")
     big_docs = docs.crossJoin(F.broadcast(doc_stride)).crossJoin(
         F.broadcast(rep_dst)
     ).select(
         (F.col("doc_id") + F.col("k") * F.col("_stride")).alias("doc_id"),
-        cipher.alias("text"),
+        perturbed.alias("text"),
         "lang", "source", "n_chars",
     )
     if EMB_PERTURB == "jitter":
@@ -528,6 +560,164 @@ def _emb_deep(spark, specs, sf_dir: str) -> dict:
     }
 
 
+_TEXT_FLOOD_QUERIES = (
+    "minhash_near_dups", "simhash_near_dups", "prefix_editdist_dups",
+)
+
+
+def _text_flood_metrics(bl, out, corpus, stride: int, cap: int) -> dict:
+    """Flood deep-point over one query's EXACT production bucket frame
+    `bl` (doc_id, k1, k2) and its verified output pairs `out`:
+
+    - bucket-cap pressure: max occupancy, chained exemplar pairs
+      (sum(cnt - kept), the observe counters' `exemplar_pairs`), and
+      pairs still suppressed beyond the chain;
+    - PLANTED recall: a planted member is a spam replica (base-branch
+      doc_id in [stride, 1e6)); it is recovered when the output links it
+      to ≥1 partner of the same family (family = (doc_id % 1e6) % stride
+      — corpus branch offsets are 1e6-multiples and REPLICAS·stride < 1e6
+      for every shipped sf, the _span_isolation invariant);
+    - REACHABLE recall: the cap-specific counterfactual. A member is
+      reachable when an UNCAPPED expansion would emit a VERIFIED pair
+      linking it to family: it shares ≥1 bucket with a same-family
+      member that also passes the query's verify. For simhash the bucket
+      frame carries the fingerprint (h0..h3 columns present) and
+      reachability applies the Hamming ≤ threshold check — bucket
+      sharing alone overcounts, because chunk-equality banding can
+      bucket a member with a FAR family member (Hamming > 8) while its
+      near one shares no chunk (pigeonhole is only complete at
+      Hamming ≤ 3); those are banding misses an uncapped pipeline drops
+      too, not cap loss. For minhash/prefix the count-based bucket check
+      IS verify-aware: every same-family pair passes their verifies by
+      flood construction (Jaccard ≥ (W-2)/W ≥ 0.8; identical heads).
+      The exemplar chain's guarantee is reachable-recall 1.0 (no
+      reachable member silently lost, the r9 embedding-flood defect);
+      planted recall additionally folds in the probabilistic banding
+      tail (a short doc whose tag flips bits across every chunk, a tag
+      shingle winning a band's min), which is the LSH family's
+      documented trade, not cap loss.
+    """
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        HAMMING_THRESHOLD,
+    )
+
+    fam = lambda c: (F.col(c) % 1_000_000) % stride  # noqa: E731
+    bl = bl.localCheckpoint()
+    occ = bl.groupBy("k1", "k2").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = F.col("cnt")
+    kept = F.least(cnt, F.lit(cap))
+    bucket_row = occ.agg(
+        F.max(cnt).alias("max_bucket"),
+        F.sum(cnt - kept).alias("chained"),
+        F.sum((cnt * (cnt - 1) - kept * (kept - 1)) / 2 - (cnt - kept)).alias(
+            "suppressed"
+        ),
+    ).first()
+    b = bl.withColumn("fam", fam("doc_id"))
+    if "h0" in bl.columns:
+        ba = b.select(
+            "k1", "k2", "fam", F.col("doc_id").alias("da"),
+            *[F.col(f"h{c}").alias(f"a{c}") for c in range(4)],
+        )
+        bb = b.select(
+            "k1", "k2", "fam", F.col("doc_id").alias("db"),
+            *[F.col(f"h{c}").alias(f"b{c}") for c in range(4)],
+        )
+        ham = sum(
+            F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")))
+            for c in range(4)
+        )
+        reach = (
+            ba.join(bb, ["k1", "k2", "fam"])
+            .filter(F.col("da") != F.col("db"))
+            .filter(ham <= HAMMING_THRESHOLD)
+            .select(F.col("da").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+    else:
+        gf = b.groupBy("k1", "k2", "fam").agg(F.count(F.lit(1)).alias("cf"))
+        reach = (
+            b.join(gf, ["k1", "k2", "fam"])
+            .filter(F.col("cf") >= 2)
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint()
+        )
+    out = out.localCheckpoint()
+    same = out.filter(fam("doc_a") == fam("doc_b"))
+    rec = (
+        same.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(same.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    planted = corpus.select("doc_id").filter(
+        (F.col("doc_id") >= stride) & (F.col("doc_id") < 1_000_000)
+    )
+    n_planted = planted.count()
+    planted_hits = planted.join(rec, "doc_id", "left_semi").count()
+    reach_planted = planted.join(reach, "doc_id", "left_semi")
+    n_reach = reach_planted.count()
+    reach_hits = reach_planted.join(rec, "doc_id", "left_semi").count()
+    return {
+        "corpus_docs": corpus.count(),
+        "output_pairs": out.count(),
+        "max_bucket_occupancy": int(bucket_row["max_bucket"] or 0),
+        "chained_exemplar_pairs": int(bucket_row["chained"] or 0),
+        "cap_suppressed_pairs": int(bucket_row["suppressed"] or 0),
+        "planted_members": n_planted,
+        "planted_member_hits": planted_hits,
+        "planted_member_recall": (
+            round(planted_hits / n_planted, 4) if n_planted else None
+        ),
+        "reachable_planted_members": n_reach,
+        "reachable_member_hits": reach_hits,
+        "reachable_member_recall": (
+            round(reach_hits / n_reach, 4) if n_reach else None
+        ),
+    }
+
+
+def _text_flood_deep(spark, specs, sf_dir: str, stride: int) -> dict:
+    """Per-query flood deep-points on the exact production bucket frames
+    (operators/dedup.py internals, not re-derivations)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.caching import release_tracked
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        MAX_LSH_BUCKET,
+        dedup_corpus,
+        minhash_band_rows,
+        prefix_block_rows,
+        shingle_rows,
+        simhash_chunk_rows,
+        simhash_fp,
+    )
+
+    out = {}
+    for q in _TEXT_FLOOD_QUERIES:
+        corpus = dedup_corpus(spark, sf_dir)
+        if q == "minhash_near_dups":
+            bl = minhash_band_rows(shingle_rows(corpus)).select(
+                "doc_id", F.col("bi").alias("k1"), F.col("bh").alias("k2")
+            )
+        elif q == "simhash_near_dups":
+            bl = simhash_chunk_rows(simhash_fp(corpus)).select(
+                F.col("d.doc_id").alias("doc_id"),
+                F.col("ci").alias("k1"),
+                F.col("cv").alias("k2"),
+                *[F.col(f"d.h{c}").alias(f"h{c}") for c in range(4)],
+            )
+        else:
+            bl = prefix_block_rows(corpus).select(
+                "doc_id", F.lit(0).alias("k1"), F.col("block").alias("k2")
+            )
+        pairs = specs[q].fn(spark, sf_dir).select("doc_a", "doc_b")
+        out[q] = _text_flood_metrics(bl, pairs, corpus, stride, MAX_LSH_BUCKET)
+        release_tracked()
+        spark.catalog.clearCache()
+    return out
+
+
 def _span_isolation(spark, sf_dir: str, out_dir: str) -> dict:
     """Empirical check that the affine cipher family keeps replicas
     span-disjoint: count 8-word windows shared across replica bands in
@@ -579,7 +769,7 @@ def _forced_gates() -> dict[str, str]:
 
 
 def main() -> None:
-    global REPLICAS, QUERIES, SKEW_S, EMB_PERTURB
+    global REPLICAS, QUERIES, SKEW_S, EMB_PERTURB, TEXT_PERTURB
     args = list(sys.argv[1:])
     if "--emb-perturb" in args:
         i = args.index("--emb-perturb")
@@ -587,6 +777,15 @@ def main() -> None:
         if EMB_PERTURB not in ("isometry", "jitter"):
             raise SystemExit(f"unknown --emb-perturb mode: {EMB_PERTURB}")
         del args[i:i + 2]
+    if "--text-perturb" in args:
+        i = args.index("--text-perturb")
+        TEXT_PERTURB = args[i + 1]
+        if TEXT_PERTURB not in ("cipher", "spam"):
+            raise SystemExit(f"unknown --text-perturb mode: {TEXT_PERTURB}")
+        del args[i:i + 2]
+    text_flood_deep = "--text-flood-deep" in args
+    if text_flood_deep:
+        args.remove("--text-flood-deep")
     if "--replicas" in args:
         i = args.index("--replicas")
         REPLICAS = int(args[i + 1])
@@ -668,6 +867,19 @@ def main() -> None:
             "base": _emb_deep(spark, specs, base_dir),
             "big": _emb_deep(spark, specs, out_dir),
         }
+    flood_metrics = None
+    if text_flood_deep:
+        # family stride = the BASE fixture's doc_id domain; replicas of
+        # base doc i live at i + k*stride in the big fixture
+        stride = int(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .agg(F.max("doc_id") + 1)
+            .first()[0]
+        )
+        flood_metrics = {
+            "base": _text_flood_deep(spark, specs, base_dir, stride),
+            "big": _text_flood_deep(spark, specs, out_dir, stride),
+        }
 
     kinds = {
         "relational" if q in RELATIONAL_QUERIES
@@ -679,12 +891,16 @@ def main() -> None:
     print(json.dumps({
         "rehearsal": f"{kind}_{REPLICAS}x" + (
             f"_zipf{SKEW_S}" if SKEW_S is not None else ""
-        ) + ("_forced_fallback" if _forced_gates() else ""),
+        ) + ("_spam_flood" if TEXT_PERTURB == "spam" else "") + (
+            "_forced_fallback" if _forced_gates() else ""
+        ),
         **({"skew": {"law": "zipf", "s": SKEW_S}} if SKEW_S is not None else {}),
         **({"forced_gates": _forced_gates()} if _forced_gates() else {}),
         **({"span_isolation": isolation} if isolation is not None else {}),
         **({"emb_perturb": EMB_PERTURB} if EMB_PERTURB != "isometry" else {}),
+        **({"text_perturb": TEXT_PERTURB} if TEXT_PERTURB != "cipher" else {}),
         **({"emb_deep": emb_metrics} if emb_metrics is not None else {}),
+        **({"text_flood_deep": flood_metrics} if flood_metrics is not None else {}),
         # run-time plan pins: which implementation this artifact measured
         # (tools/pin_scale_evidence.py + tests/test_scale_evidence.py use
         # these to fail the build when a plan rewrite orphans its evidence)

@@ -28,7 +28,7 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful|join|chaos|chaos-join]
+           [--scenario all|stateful|join|chaos|chaos-join|chaos-compact|compaction]
            [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
@@ -50,6 +50,13 @@ point (one third of the drain).
 --scenario chaos-join is the same kill/resume protocol pointed at the
 durable stream-stream interval join — a mid-drain kill tests recovery
 of BOTH sides' buffered join state from the checkpointed state store.
+
+--scenario chaos-compact kills a REAL subprocess mid-compact_store swap
+— once per swap window (tmp_complete / dest_deleted / renamed) — then
+proves assert_store_not_mid_compaction fires exactly where designed, a
+live gate restart refuses the partial store, the documented recovery
+converges, and every variant's final store membership + admission stats
+equal an uninterrupted control (see chaos_compaction).
 """
 
 from __future__ import annotations
@@ -248,6 +255,11 @@ def drain_stateful(spark, replay_dir: str, name: str,
 def main() -> None:
     global REPLICAS
     args = list(sys.argv[1:])
+    if "--compact-crash" in args:
+        # child-process mode for chaos_compaction: die mid-swap for real
+        i = args.index("--compact-crash")
+        _compact_crash_child_main(args[i + 1], args[i + 2], int(args[i + 3]))
+        return
     if "--replicas" in args:
         i = args.index("--replicas")
         REPLICAS = int(args[i + 1])
@@ -280,6 +292,25 @@ def main() -> None:
     spark = get_spark("streaming-rehearsal")
 
     shutil.rmtree(work, ignore_errors=True)
+
+    if scenario == "chaos-compact":
+        # kill a REAL process mid-compact_store swap, once per window
+        big_docs_dir = os.path.join(work, "big_docs")
+        import tools.scale_rehearsal as _sr
+
+        _sr.REPLICAS = REPLICAS
+        _sr.build_fixture(spark, sf_dir, big_docs_dir)
+        result = chaos_compaction(spark, big_docs_dir, work, chunks * REPLICAS)
+        out = {
+            "rehearsal": f"gate_chaos_compaction_{REPLICAS}x",
+            "replicas": REPLICAS,
+            **result,
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
 
     if scenario == "compaction":
         # A/B the store-compaction maintenance op at replica volume
@@ -775,6 +806,184 @@ def chaos_gate(spark, docs_dir: str, work: str, n_chunks: int,
         "control_total_sec": round(t_ctrl, 3),
         "chaos_total_sec": round(t_kill + t_resume, 3),
     }
+
+
+_COMPACT_CRASH_WINDOWS = ("tmp_complete", "dest_deleted", "renamed")
+
+
+def _run_compact_crash_child(window: str, store_dir: str, upto: int) -> int:
+    """Run compact_store in a REAL separate process that dies (os._exit,
+    filesystem-indistinguishable from SIGKILL) at the named swap window.
+    Returns the child's exit code (137 = crashed where injected)."""
+    import subprocess
+    import sys as _sys
+
+    return subprocess.run(
+        [_sys.executable, os.path.abspath(__file__),
+         "--compact-crash", window, store_dir, str(upto)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600,
+    ).returncode
+
+
+def _compact_crash_child_main(window: str, store_dir: str, upto: int) -> None:
+    """Child-process entry for --compact-crash: own SparkSession, crash
+    hook armed at `window`, then the real compact_store."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming import dedup as sd
+
+    spark = get_spark("compact-crash-child")
+
+    def die(w: str) -> None:
+        if w == window:
+            os._exit(137)
+
+    sd._compact_crash_hook = die
+    sd.compact_store(spark, store_dir, upto)
+    # reaching here means the window never fired — report it as failure
+    os._exit(3)
+
+
+def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
+    """Kill the process DURING a live compact_store swap — once per swap
+    window — and prove the full operational story end-to-end:
+
+    Protocol: drain phase 1 (half the chunks) once, snapshot the root
+    (store + stats + checkpoint), then per window: a REAL subprocess runs
+    compact_store against its copy and os._exit(137)s at that window
+    (`tmp_complete` = consolidated tmp durable, store intact;
+    `dest_deleted` = dest's only copy is the tmp — THE window
+    assert_store_not_mid_compaction exists for; `renamed` = dest swapped,
+    folded history + benign duplicates remain). After each crash:
+
+    - `dest_deleted`: assert_store_not_mid_compaction must RAISE, and a
+      real gate restart over new files must REFUSE the first batch
+      (StreamingQueryException carrying the mid-compaction message); then
+      a compact_store re-run at the same bound heals the store.
+    - `tmp_complete` / `renamed`: the assert must PASS (store intact /
+      superset) and the gate restarts with no recovery step — window-3
+      leftovers are benign duplicates the membership anti-join folds.
+
+    Every variant (plus an uninterrupted-compaction control) then drains
+    phase 2 from its own checkpoint, runs the next scheduled compaction
+    at the new committed boundary, and must converge to IDENTICAL store
+    membership (multiset) and per-batch admission stats as the control.
+
+    The r9 lesson motivating this: the crash windows were until now
+    simulated in-process by pytest (test_compact_store_cross_bound_orphan
+    _recovery), and r8's checkpoint namespacing silently broke the chaos
+    rehearsal itself for a round — end-to-end kills are the only evidence
+    class that catches that."""
+    import glob as _glob
+    import shutil as _sh
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        assert_store_not_mid_compaction,
+        compact_store,
+        read_doc_stream,
+        read_gate_stats,
+        start_dedup_gate,
+        write_doc_chunks,
+    )
+
+    chunk_dir = os.path.join(work, "chaoscompact_chunks")
+    hold_dir = os.path.join(work, "chaoscompact_held")
+    os.makedirs(hold_dir, exist_ok=True)
+    n_rows = write_doc_chunks(spark, docs_dir, chunk_dir, n_chunks=n_chunks)
+    chunks_all = sorted(_glob.glob(os.path.join(chunk_dir, "*.parquet")))
+    half = len(chunks_all) // 2
+    held = []
+    for f in chunks_all[half:]:
+        dest = os.path.join(hold_dir, os.path.basename(f))
+        _sh.move(f, dest)
+        held.append((dest, f))
+
+    base_root = os.path.join(work, "chaoscompact_base")
+    _, prog1 = run_gate(spark, chunk_dir, base_root, None)
+    n_committed = max(p["batchId"] for p in prog1) + 1
+
+    variants = ["ctrl"] + list(_COMPACT_CRASH_WINDOWS)
+    roots = {}
+    for v in variants:
+        roots[v] = os.path.join(work, f"chaoscompact_{v}")
+        _sh.copytree(base_root, roots[v])
+
+    store = lambda r: os.path.join(r, "fingerprint_store")  # noqa: E731
+    compact_store(spark, store(roots["ctrl"]), n_committed)
+
+    results: dict[str, dict] = {}
+    for w in _COMPACT_CRASH_WINDOWS:
+        rc = _run_compact_crash_child(w, store(roots[w]), n_committed)
+        assert_fired = False
+        try:
+            assert_store_not_mid_compaction(spark, store(roots[w]))
+        except IOError as e:
+            assert_fired = "mid-compaction" in str(e)
+        results[w] = {"child_exit": rc, "assert_fired": assert_fired}
+
+    # new files become visible to every variant's phase-2 drain
+    for src, dest in held:
+        _sh.move(src, dest)
+
+    # the dest_deleted window must also refuse a REAL gate restart before
+    # recovery — the first new batch dies on the mid-compaction check
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    refused = False
+    q = start_dedup_gate(
+        read_doc_stream(spark, chunk_dir), roots["dest_deleted"]
+    )
+    try:
+        q.processAllAvailable()
+    except StreamingQueryException as e:
+        refused = "mid-compaction" in str(e)
+    finally:
+        q.stop()
+    results["dest_deleted"]["gate_restart_refused"] = refused
+    # recovery: the documented operator move — re-run compact_store
+    results["dest_deleted"]["recovered_rows"] = compact_store(
+        spark, store(roots["dest_deleted"]), n_committed
+    )
+
+    # phase-2 drain everywhere (tmp_complete / renamed restart directly —
+    # no recovery step by design), then the next scheduled compaction
+    finals = {}
+    for v in variants:
+        _, prog2 = run_gate(spark, chunk_dir, roots[v], None)
+        n2 = max(
+            [p["batchId"] for p in prog1 + prog2]
+        ) + 1
+        compact_store(spark, store(roots[v]), n2)
+        finals[v] = prog2
+
+    ctrl_store = spark.read.parquet(store(roots["ctrl"]))
+    ctrl_stats = read_gate_stats(spark, roots["ctrl"])
+    out = {"rows_expected": n_rows, "phase1_batches": n_committed,
+           "windows": results}
+    ok = all(
+        r["child_exit"] == 137 for r in results.values()
+    ) and results["dest_deleted"]["assert_fired"] and refused and not (
+        results["tmp_complete"]["assert_fired"]
+        or results["renamed"]["assert_fired"]
+    )
+    for w in _COMPACT_CRASH_WINDOWS:
+        s = spark.read.parquet(store(roots[w]))
+        st = read_gate_stats(spark, roots[w])
+        sym = (
+            ctrl_store.select("fingerprint")
+            .exceptAll(s.select("fingerprint")).count()
+            + s.select("fingerprint")
+            .exceptAll(ctrl_store.select("fingerprint")).count()
+        )
+        stats_sym = (
+            ctrl_stats.exceptAll(st).count() + st.exceptAll(ctrl_stats).count()
+        )
+        results[w]["store_sym_diff"] = sym
+        results[w]["stats_sym_diff_rows"] = stats_sym
+        results[w]["store_rows"] = s.count()
+        ok = ok and sym == 0 and stats_sym == 0
+    out["control_store_rows"] = ctrl_store.count()
+    out["pass"] = bool(ok)
+    return out
 
 
 def compaction_ab(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
