@@ -644,15 +644,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUM_COLS = ", ".join(f"{e} AS s{k}" for k, e in enumerate(simhash_sum_exprs("tf", "h")))
 _CHUNK_COLS = ", ".join(f"{e} AS h{c}" for c, e in enumerate(simhash_chunk_exprs("s")))
 
-_FP_SQL = f"""
-        corpus AS ({_CORPUS_SQL}),
-        tok AS (SELECT * FROM ({_TOK_SQL}) WHERE word <> ''),
+# fingerprint CTE body over whatever `corpus` CTE precedes it — shared by
+# _FP_SQL (dedup corpus) and the neardup gate oracle (snapshot corpus)
+_FP_BODY_SQL = f"""tok AS (SELECT * FROM ({_TOK_SQL}) WHERE word <> ''),
         tfrel AS (
             SELECT doc_id, word, count(*) AS tf, md5(word) AS h
             FROM tok GROUP BY doc_id, word
         ),
         sums AS (SELECT doc_id, {_SUM_COLS} FROM tfrel GROUP BY doc_id),
-        fp AS (SELECT doc_id, {_CHUNK_COLS} FROM sums)
+        fp AS (SELECT doc_id, {_CHUNK_COLS} FROM sums)"""
+
+_FP_SQL = f"""
+        corpus AS ({_CORPUS_SQL}),
+        {_FP_BODY_SQL}
 """
 
 
@@ -1377,6 +1381,104 @@ def payload_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = pay.select("doc_id", grams.cast("array<string>").alias("toks"))
     return simhash_pair_rows(simhash_fp_from_token_arrays(tok))
+
+
+# ------------------------------------------ streaming NEAR-dup gate twin
+
+# The snapshot corpus (operators/curation.py fixture — the SAME corpus
+# streaming/dedup.py::write_doc_chunks replays), as a DuckDB CTE.
+_SNAP_CORPUS_SQL = """
+        SELECT doc_id, lower(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lower(text) FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, lower(text) || ' zz fresh snapshot tail'
+        FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "incremental_neardup_gate",
+    oracle=f"""
+    WITH corpus AS ({_SNAP_CORPUS_SQL}),
+    {_FP_BODY_SQL},
+    cl AS ({_CHUNKS_LONG}),
+    cand AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS db,
+               {hamming_expr('a.h', 'b.h', 'duckdb')} AS ham
+        FROM cl a JOIN cl b
+          ON a.ci = b.ci AND a.cv = b.cv AND b.doc_id < a.doc_id
+        WHERE {hamming_expr('a.h', 'b.h', 'duckdb')} <= {HAMMING_THRESHOLD}
+    ),
+    blk AS (
+        SELECT doc_id, db AS blocker, ham AS blocker_hamming
+        FROM (
+            SELECT doc_id, db, ham,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY ham, db) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT f.doc_id,
+           (b.blocker IS NULL) AS admitted,
+           b.blocker AS blocker,
+           b.blocker_hamming AS blocker_hamming
+    FROM fp f LEFT JOIN blk b ON b.doc_id = f.doc_id
+    ORDER BY f.doc_id
+    """,
+    doc="Batch TWIN of the streaming NEAR-dup admission gate "
+    "(streaming/dedup.py::start_neardup_gate): per-document admission "
+    "decisions over the snapshot corpus under the gate's exact rule — a "
+    "doc is rejected iff some SMALLER-id doc shares a SimHash 16-bit "
+    "chunk (banded candidate) within Hamming <= 8, and the blocker "
+    "reported is the (hamming, id)-minimal match. Smaller-id semantics "
+    "(rather than greedy admitted-only chaining) make admission "
+    "batching-invariant for id-ordered replay — the property the "
+    "drained-stream == batch equivalence test pins — and "
+    "SQL-expressible for the oracle. The streaming production path "
+    "scans its fingerprint store once per micro-batch against the "
+    "BROADCAST batch chunk rows (store never shuffles); this batch "
+    "formulation is the semantics spec, sharing simhash_fp / "
+    "simhash_chunk_rows with the near-dup suite.",
+)
+def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
+        snapshot_existing,
+        snapshot_incoming,
+    )
+
+    docs = snapshot_existing(spark, sf_dir)
+    corpus = docs.unionByName(snapshot_incoming(docs)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fp = simhash_fp(corpus)
+    cl = simhash_chunk_rows(fp)
+    a = cl.select("ci", "cv", F.col("d").alias("a"))
+    b = cl.select("ci", "cv", F.col("d").alias("b"))
+    ham = F.expr(hamming_expr("a.h", "b.h", "spark"))
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+        .withColumn("ham", ham)
+        .filter(F.col("ham") <= HAMMING_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("ham"),
+            F.col("b.doc_id").alias("db"),
+        )
+    )
+    blk = cand.groupBy("doc_id").agg(F.min(F.struct("ham", "db")).alias("m"))
+    return (
+        fp.select("doc_id")
+        .join(blk, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("m").isNull().alias("admitted"),
+            F.col("m.db").alias("blocker"),
+            F.col("m.ham").alias("blocker_hamming"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ------------------------------- exact substring (repeated-span) dedup

@@ -462,6 +462,140 @@ def compact_store(spark: SparkSession, store_dir: str,
     return n
 
 
+# ------------------------------------------------ NEAR-dup admission gate
+
+# Durable near-dup store: one row per SEEN doc (admitted or not) — a
+# rejected doc must still block later near-copies of itself, or admission
+# would depend on micro-batch boundaries. 4 x 16-bit SimHash chunks +
+# flags ≈ 40 B/row: fingerprints only, never documents.
+NEARDUP_STORE_SCHEMA = (
+    "doc_id bigint, source string, h0 int, h1 int, h2 int, h3 int, "
+    "admitted boolean, batch_id bigint"
+)
+
+
+def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                       stats_dir: str) -> None:
+    """Admit each batch doc iff NO smaller-id seen doc is a SimHash
+    near-match (shares a 16-bit chunk AND Hamming <= 8) — the streaming
+    production path of the batch `incremental_neardup_gate` twin
+    (operators/dedup.py), which is the oracle-checked semantics spec.
+    For id-ordered replay (write_doc_chunks' range partitioning) the
+    drained admission set is EXACTLY the batch twin's, proven by
+    tests/test_streaming.py::test_neardup_gate_matches_batch_twin.
+
+    Replay contract is the exact gate's (gate_batch): candidates read
+    only store partitions `batch_id < N`, every batch overwrites its OWN
+    `batch_id=N` partition with ALL its rows (admitted flagged), and the
+    stats row is per-partition overwritten — a foreachBatch replay
+    recomputes the identical decision set.
+
+    Scale shape: the store is scanned ONCE per micro-batch and never
+    shuffled — its chunk rows join map-side against the BROADCAST batch
+    chunk rows (4 rows per batch doc), the same inversion
+    novel_against_store documents; Hamming verifies inline during that
+    join, so only rejected batch doc_ids survive. Within-batch pairs use
+    the same banded self-join over the 4xbatch chunk rows. A degenerate
+    chunk value whose store bucket floods grows the per-batch verify
+    linearly with that bucket — bounded by the store scan the gate
+    already pays, never by |store|^2.
+    """
+    spark = batch_df.sparkSession
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
+        hamming_expr,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        HAMMING_THRESHOLD,
+        simhash_chunk_rows,
+        simhash_fp,
+    )
+
+    fp = simhash_fp(batch_df.select("doc_id", "text"))
+    fps = fp.join(batch_df.select("doc_id", "source"), "doc_id").persist()
+    try:
+        n_batch = fps.count()
+        assert_store_not_mid_compaction(spark, store_dir)
+        bcl = simhash_chunk_rows(
+            fps.select("doc_id", "h0", "h1", "h2", "h3")
+        )
+        a = bcl.select("ci", "cv", F.col("d").alias("a"))
+        b = bcl.select("ci", "cv", F.col("d").alias("b"))
+        ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
+        within = (
+            a.join(b, ["ci", "cv"])
+            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+            .filter(ham_ab <= HAMMING_THRESHOLD)
+            .select(F.col("a.doc_id").alias("doc_id"))
+        )
+        rejected = within
+        if _store_path_exists(spark, store_dir):
+            store = (
+                spark.read.schema(NEARDUP_STORE_SCHEMA)
+                .parquet(store_dir)
+                .filter(F.col("batch_id") < batch_id)
+            )
+            scl = simhash_chunk_rows(
+                store.select("doc_id", "h0", "h1", "h2", "h3")
+            ).select("ci", "cv", F.col("d").alias("s"))
+            ham_sb = F.expr(hamming_expr("s.h", "a.h", "spark"))
+            vs_store = (
+                scl.join(F.broadcast(a), ["ci", "cv"])
+                .filter(F.col("s.doc_id") < F.col("a.doc_id"))
+                .filter(ham_sb <= HAMMING_THRESHOLD)
+                .select(F.col("a.doc_id").alias("doc_id"))
+            )
+            rejected = rejected.unionByName(vs_store)
+        rejected = rejected.distinct().withColumn("r", F.lit(1))
+        out = fps.join(rejected, "doc_id", "left").select(
+            "doc_id", "source", "h0", "h1", "h2", "h3",
+            F.col("r").isNull().alias("admitted"),
+        ).persist()
+        try:
+            n_admitted = out.filter("admitted").count()
+            out.write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            out.unpersist()
+    finally:
+        fps.unpersist()
+    spark.createDataFrame(
+        [(n_batch, n_admitted, n_batch - n_admitted)],
+        "n_batch long, n_admitted long, n_rejected long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stats_dir, f"batch_id={batch_id}")
+    )
+
+
+def read_neardup_store(spark: SparkSession, out_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_root, "neardup_store"))
+
+
+def read_neardup_stats(spark: SparkSession, out_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_root, "neardup_stats"))
+
+
+def start_neardup_gate(docs_stream: DataFrame, out_root: str,
+                       after_batch_hook=None) -> StreamingQuery:
+    """foreachBatch NEAR-dup gate with a durable checkpoint under its own
+    output root (don't share a root with the exact gate — each owns
+    `<root>/_checkpoint`). Same hook contract as start_dedup_gate."""
+    store_dir = os.path.join(out_root, "neardup_store")
+    stats_dir = os.path.join(out_root, "neardup_stats")
+
+    def _fn(df: DataFrame, bid: int) -> None:
+        neardup_gate_batch(df, bid, store_dir, stats_dir)
+        if after_batch_hook is not None:
+            after_batch_hook(bid)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_fn)
+        .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+        .queryName("neardup_gate")
+        .start()
+    )
+
+
 def start_dedup_gate(docs_stream: DataFrame, out_root: str,
                      after_batch_hook=None) -> StreamingQuery:
     """foreachBatch gate with a durable checkpoint under the output root.

@@ -313,6 +313,63 @@ def test_stateful_anomaly_stream(spark, sf_dir, tmp_path):
     )
 
 
+def test_neardup_gate_matches_batch_twin(spark, tmp_path):
+    """Drained NEAR-dup stream == the batch twin, decision for decision:
+    the store holds one flagged row per SEEN doc (rejected docs keep
+    blocking later near-copies), and the admitted set equals
+    incremental_neardup_gate's — the batching-invariance the smaller-id
+    admission rule exists for (chunks replay in doc_id order). Exact
+    resubmits (+1M, byte-identical) must always be rejected."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        incremental_neardup_gate,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream,
+        read_neardup_stats,
+        read_neardup_store,
+        start_neardup_gate,
+        write_doc_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "nchunks")
+    out_root = str(tmp_path / "ngate")
+    n = write_doc_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    q = start_neardup_gate(read_doc_stream(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = read_neardup_store(spark, out_root)
+    assert store.count() == n  # every seen doc stored, admitted or not
+    got = {(r.doc_id, r.admitted) for r in store.select("doc_id", "admitted").collect()}
+    want = {
+        (r.doc_id, r.admitted)
+        for r in incremental_neardup_gate(spark, sf_dir)
+        .select("doc_id", "admitted")
+        .collect()
+    }
+    assert got == want
+
+    stats = read_neardup_stats(spark, out_root).toPandas()
+    assert stats.n_batch.sum() == n
+    assert stats.n_admitted.sum() == sum(1 for _, a in want if a)
+    assert stats.n_batch.count() >= 2  # really micro-batched
+
+    # byte-identical resubmits share every chunk at hamming 0 with their
+    # smaller-id original: rejected without exception
+    rejected = {d for d, a in got if not a}
+    originals = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 10 = 0")
+        .select((F.col("doc_id") + 1000000).alias("doc_id"))
+    )
+    resubmit = {r.doc_id for r in originals.collect()}
+    assert resubmit <= rejected
+
+
 def test_streaming_dedup_gate_matches_batch_semantics(spark, tmp_path):
     """Drained stream == batch gate: the store ends with exactly one row
     per distinct text, resubmits are rejected across batches, and a

@@ -55,6 +55,13 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "simhash_fingerprints": ("sibling", "payload_simhash_dups"),
     "simhash_near_dups": ("sibling", "payload_simhash_dups"),
     "embedding_rp_simhash_dups": ("sibling", "payload_simhash_dups"),
+    "incremental_neardup_gate": (
+        "sibling",
+        "simhash_near_dups (same fingerprint + chunk-banded pair shape; "
+        "the batch twin is the semantics spec — the streaming gate's "
+        "per-batch cost is store-scan x broadcast batch, novel_against_"
+        "store's inversion, equivalence-tested in test_streaming.py)",
+    ),
     "minhash_lsh_candidates": ("sibling", "minhash_near_dups"),
     "ngram_jaccard_pairs": ("sibling", "minhash_near_dups"),
     "containment_pairs": ("sibling", "minhash_near_dups"),
