@@ -53,7 +53,6 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "vader_sentiment_cases": ("zero_shuffle", "fixed case table through the scorer"),
     # --- siblings of directly-measured queries ------------------------
     "simhash_fingerprints": ("sibling", "payload_simhash_dups"),
-    "simhash_near_dups": ("sibling", "payload_simhash_dups"),
     "embedding_rp_simhash_dups": ("sibling", "payload_simhash_dups"),
     "incremental_neardup_gate": (
         "sibling",
