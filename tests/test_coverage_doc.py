@@ -65,6 +65,8 @@ def test_every_backticked_query_name_is_registered():
         "compact_store", "assert_store_not_mid_compaction",
         "start_neardup_gate", "neardup_gate_batch", "chaos_compaction",
         "start_pipeline", "twin_merged_base_docs",
+        # compact_store swap-window names (chaos-compact rehearsal)
+        "tmp_complete", "dest_deleted",
         "state_mem_attribution", "state_mem_scaling_x",
         "memoryUsedBytes",
         # fixture key columns named by the skew-rehearsal bullet
