@@ -510,9 +510,19 @@ def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         simhash_fp,
     )
 
-    fp = simhash_fp(batch_df.select("doc_id", "text"))
-    fps = fp.join(batch_df.select("doc_id", "source"), "doc_id").persist()
+    # persist ONE projection of the batch and materialize it up front:
+    # the plan below references the batch twice (token rows for the
+    # fingerprint aggregate + the source-column join-back), which would
+    # otherwise scan the streaming source twice per micro-batch — 2× the
+    # ingest I/O and a 2×-inflated numInputRows in query progress (the
+    # chaos-neardup rehearsal caught exactly that). The count() is what
+    # makes the single scan deterministic: without it the two join
+    # branches race to fill the cache.
+    base = batch_df.select("doc_id", "text", "source").persist()
+    fp = simhash_fp(base.select("doc_id", "text"))
+    fps = fp.join(base.select("doc_id", "source"), "doc_id").persist()
     try:
+        base.count()
         n_batch = fps.count()
         assert_store_not_mid_compaction(spark, store_dir)
         bcl = simhash_chunk_rows(
@@ -559,6 +569,7 @@ def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
             out.unpersist()
     finally:
         fps.unpersist()
+        base.unpersist()
     spark.createDataFrame(
         [(n_batch, n_admitted, n_batch - n_admitted)],
         "n_batch long, n_admitted long, n_rejected long",

@@ -339,8 +339,16 @@ def test_neardup_gate_matches_batch_twin(spark, tmp_path):
     q = start_neardup_gate(read_doc_stream(spark, chunk_dir), out_root)
     try:
         q.processAllAvailable()
+        input_rows = sum(p.numInputRows for p in q.recentProgress)
     finally:
         q.stop()
+
+    # single-source-scan contract: the batch plan references the batch
+    # twice (fingerprint aggregate + source-column join-back), which
+    # without the persisted base projection scanned the streaming source
+    # twice per micro-batch — numInputRows read exactly 2n (caught by the
+    # chaos-neardup rehearsal, r10)
+    assert input_rows == n
 
     store = read_neardup_store(spark, out_root)
     assert store.count() == n  # every seen doc stored, admitted or not

@@ -28,7 +28,7 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful|join|chaos|chaos-join|chaos-compact|compaction]
+           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-compact|compaction]
            [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
@@ -50,6 +50,11 @@ point (one third of the drain).
 --scenario chaos-join is the same kill/resume protocol pointed at the
 durable stream-stream interval join — a mid-drain kill tests recovery
 of BOTH sides' buffered join state from the checkpointed state store.
+
+--scenario chaos-neardup is the gate crash-injection protocol pointed
+at the SimHash NEAR-dup admission gate, over the template-spam flood
+fixture so the crashed batch's replay must reproduce store-dependent
+REJECT decisions (see chaos_neardup).
 
 --scenario chaos-compact kills a REAL subprocess mid-compact_store swap
 — once per swap window (tmp_complete / dest_deleted / renamed) — then
@@ -292,6 +297,44 @@ def main() -> None:
     spark = get_spark("streaming-rehearsal")
 
     shutil.rmtree(work, ignore_errors=True)
+
+    if scenario == "chaos-neardup":
+        # kill/resume exactly-once for the NEAR-dup admission gate, over
+        # the template-spam flood fixture (the reject path under real
+        # cross-batch pressure — see chaos_neardup)
+        big_docs_dir = os.path.join(work, "big_docs")
+        import tools.scale_rehearsal as _sr
+
+        _sr.REPLICAS = REPLICAS
+        prev_perturb = _sr.TEXT_PERTURB
+        _sr.TEXT_PERTURB = "spam"
+        try:
+            _sr.build_fixture(spark, sf_dir, big_docs_dir)
+        finally:
+            _sr.TEXT_PERTURB = prev_perturb
+        n_gate_chunks = chunks * REPLICAS
+        ka = kill_after if kill_after is not None else n_gate_chunks // 3
+        gate = chaos_neardup(spark, big_docs_dir, work, n_gate_chunks, ka)
+        out = {
+            "rehearsal": f"neardup_gate_chaos_{REPLICAS}x_spam_flood",
+            "replicas": REPLICAS,
+            "gate": gate,
+            "pass": (
+                gate["store_sym_diff"] == 0
+                and gate["stats_sym_diff_rows"] == 0
+                and gate["chaos_input_rows"] == gate["rows_expected"]
+                and gate["crashed_batch_replayed"]
+                # the crash must land where the store-dependent decision
+                # path is actually exercised, or the lap proves nothing
+                and (gate["rejected_in_crashed_batch"] or 0) > 0
+                and gate["rejected_total"] > 0
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
 
     if scenario == "chaos-compact":
         # kill a REAL process mid-compact_store swap, once per window
@@ -799,6 +842,136 @@ def chaos_gate(spark, docs_dir: str, work: str, n_chunks: int,
         "chaos_input_rows": sum(seen.values()),
         "injected_crash_batch": kill_after,
         "crashed_batch_replayed": replay_happened,
+        "control_store_rows": ctrl_store.count(),
+        "chaos_store_rows": chaos_store.count(),
+        "store_sym_diff": store_sym_diff,
+        "stats_sym_diff_rows": stats_sym_diff,
+        "control_total_sec": round(t_ctrl, 3),
+        "chaos_total_sec": round(t_kill + t_resume, 3),
+    }
+
+
+def run_neardup_gate(spark, chunk_dir: str, out_root: str,
+                     n_rows: int | None, after_batch_hook=None,
+                     allow_failure: bool = False):
+    """start_neardup_gate analog of run_gate: same drain/crash contract,
+    pointed at the SimHash NEAR-dup admission gate."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream,
+        start_neardup_gate,
+    )
+
+    progresses: list[dict] = []
+    listener = make_progress_listener("neardup_gate", progresses)
+    spark.streams.addListener(listener)
+    t0 = time.perf_counter()
+    q = start_neardup_gate(read_doc_stream(spark, chunk_dir), out_root,
+                           after_batch_hook=after_batch_hook)
+    try:
+        try:
+            q.processAllAvailable()
+            total = time.perf_counter() - t0
+            settle_progress(progresses, n_rows)
+        except StreamingQueryException:
+            if not allow_failure:
+                raise
+            total = time.perf_counter() - t0
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    return total, progresses
+
+
+def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
+                  kill_after: int) -> dict:
+    """Kill/resume equivalence for the NEAR-dup gate's durable side
+    effects (chaos_gate's protocol pointed at neardup_gate_batch).
+
+    Driven over the template-spam flood fixture, where the reject path
+    is under real pressure: spam replicas of one base doc sit a full id
+    stride apart, so write_doc_chunks' id-range batching lands every
+    family member in a DIFFERENT micro-batch and most of each later
+    batch is rejected against the STORE (the cross-batch near-match
+    join), not within-batch — the store-dependent decision path a
+    replay must reproduce exactly.
+
+    The crash is injected in the worst window: after batch
+    `kill_after`'s store partition (h0..h3 + admitted flags) and stats
+    row are written, before the checkpoint commit — the restart replays
+    that batch against a store that already contains its own leaked
+    output, which the `batch_id < N` candidate filter must make
+    invisible, and its partition overwrite must land the identical
+    admission flags (rejected rows stay in the store as blockers, so a
+    flipped flag would poison every later batch's decisions). Pass =
+    full store row multiset (fingerprints + admitted flags + batch
+    ownership) and per-batch stats both sym-diff 0 vs an uninterrupted
+    control, every input row drained exactly once."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_neardup_stats,
+        read_neardup_store,
+        write_doc_chunks,
+    )
+
+    chunk_dir = os.path.join(work, "chaosneardup_chunks")
+    n_rows = write_doc_chunks(spark, docs_dir, chunk_dir, n_chunks=n_chunks)
+
+    ctrl_root = os.path.join(work, "chaosneardup_ctrl_out")
+    t_ctrl, ctrl_prog = run_neardup_gate(spark, chunk_dir, ctrl_root, n_rows)
+
+    chaos_root = os.path.join(work, "chaosneardup_kill_out")
+    crashed = []
+
+    def hook(bid: int) -> None:
+        if bid == kill_after and not crashed:
+            crashed.append(bid)
+            raise RuntimeError(
+                "chaos: injected crash after side effects, before commit"
+            )
+
+    t_kill, kill_prog = run_neardup_gate(
+        spark, chunk_dir, chaos_root, None,
+        after_batch_hook=hook, allow_failure=True,
+    )
+    if not crashed:
+        raise RuntimeError(f"injected crash never fired (batch {kill_after})")
+    t_resume, resume_prog = run_neardup_gate(spark, chunk_dir, chaos_root, None)
+
+    # full-row membership, batch ownership included: a replayed batch must
+    # rewrite its OWN partition with the IDENTICAL admission flags
+    cols = ["doc_id", "source", "h0", "h1", "h2", "h3", "admitted", "batch_id"]
+    ctrl_store = read_neardup_store(spark, ctrl_root).select(cols)
+    chaos_store = read_neardup_store(spark, chaos_root).select(cols)
+    store_sym_diff = (
+        ctrl_store.exceptAll(chaos_store).count()
+        + chaos_store.exceptAll(ctrl_store).count()
+    )
+    ctrl_stats = read_neardup_stats(spark, ctrl_root)
+    chaos_stats = read_neardup_stats(spark, chaos_root)
+    stats_sym_diff = (
+        ctrl_stats.exceptAll(chaos_stats).count()
+        + chaos_stats.exceptAll(ctrl_stats).count()
+    )
+    stats_rows = ctrl_stats.toPandas().to_dict("records")
+    admitted_total = int(sum(r["n_admitted"] for r in stats_rows))
+    rejected_total = int(sum(r["n_rejected"] for r in stats_rows))
+    crashed_stats = [r for r in stats_rows if r["batch_id"] == kill_after]
+    seen: dict[int, int] = {}
+    for p in kill_prog + resume_prog:
+        seen[p["batchId"]] = p["numInputRows"]
+    resume_bids = {p["batchId"] for p in resume_prog}
+    return {
+        "rows_expected": n_rows,
+        "control_input_rows": sum(p["numInputRows"] for p in ctrl_prog),
+        "chaos_input_rows": sum(seen.values()),
+        "injected_crash_batch": kill_after,
+        "crashed_batch_replayed": kill_after in resume_bids,
+        "rejected_in_crashed_batch": (
+            int(crashed_stats[0]["n_rejected"]) if crashed_stats else None
+        ),
+        "admitted_total": admitted_total,
+        "rejected_total": rejected_total,
         "control_store_rows": ctrl_store.count(),
         "chaos_store_rows": chaos_store.count(),
         "store_sym_diff": store_sym_diff,
