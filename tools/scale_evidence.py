@@ -54,13 +54,11 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     # --- siblings of directly-measured queries ------------------------
     "simhash_fingerprints": ("sibling", "payload_simhash_dups"),
     "embedding_rp_simhash_dups": ("sibling", "payload_simhash_dups"),
-    "incremental_neardup_gate": (
-        "sibling",
-        "simhash_near_dups (same fingerprint + chunk-banded pair shape; "
-        "the batch twin is the semantics spec — the streaming gate's "
-        "per-batch cost is store-scan x broadcast batch, novel_against_"
-        "store's inversion, equivalence-tested in test_streaming.py)",
-    ),
+    # incremental_neardup_gate graduated from sibling(simhash_near_dups)
+    # to artifact in r10: REHEARSAL_r10_neardup_twin_scale.json measures
+    # it directly (shuffle 9.79x at 10x); the streaming gate's per-batch
+    # cost (store-scan x broadcast batch, novel_against_store's
+    # inversion) is measured by REHEARSAL_r10_chaos_neardup.json.
     "minhash_lsh_candidates": ("sibling", "minhash_near_dups"),
     "ngram_jaccard_pairs": ("sibling", "minhash_near_dups"),
     "containment_pairs": ("sibling", "minhash_near_dups"),
