@@ -957,6 +957,15 @@ def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
     admitted_total = int(sum(r["n_admitted"] for r in stats_rows))
     rejected_total = int(sum(r["n_rejected"] for r in stats_rows))
     crashed_stats = [r for r in stats_rows if r["batch_id"] == kill_after]
+    # per-batch cost drift across the control drain (drain_gate's honest
+    # number for the exact gate): each batch re-scans the whole store, so
+    # late batches cost more than early ones — publish the ratio
+    timed = [
+        {"trigger_ms": p["durationMs"]["triggerExecution"]}
+        for p in ctrl_prog
+        if p["numInputRows"] > 0
+        and p["durationMs"].get("triggerExecution") is not None
+    ]
     seen: dict[int, int] = {}
     for p in kill_prog + resume_prog:
         seen[p["batchId"]] = p["numInputRows"]
@@ -976,6 +985,7 @@ def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
         "chaos_store_rows": chaos_store.count(),
         "store_sym_diff": store_sym_diff,
         "stats_sym_diff_rows": stats_sym_diff,
+        "control_late_vs_early_trigger_x": trigger_drift(timed),
         "control_total_sec": round(t_ctrl, 3),
         "chaos_total_sec": round(t_kill + t_resume, 3),
     }
