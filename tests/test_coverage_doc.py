@@ -173,6 +173,8 @@ def _artifacts() -> list[dict]:
             continue
         if isinstance(art, dict) and (
             "scaling_x" in art or "base" in art or "curve" in art
+            # chaos artifacts nest their metric map under the scenario key
+            or "gate" in art or "windowed" in art or "join" in art
         ):
             out.append(art)
     return out
@@ -192,7 +194,10 @@ def _scalar_candidates(art: dict) -> set[float]:
         }
 
     vals = ratio_keys(art)
-    for k in ("base", "big", "gate_base", "gate_big"):
+    # chaos/drain artifacts nest their metric maps one level down (e.g.
+    # the gate chaos' control_late_vs_early_trigger_x lives under "gate")
+    for k in ("base", "big", "gate_base", "gate_big",
+              "gate", "windowed", "join", "stateful"):
         if isinstance(art.get(k), dict):
             vals |= ratio_keys(art[k])
     # sweep artifacts (e.g. the compaction payoff) carry a `curve` list
