@@ -296,9 +296,20 @@ def _crash_point(window: str) -> None:
 
 
 def compact_store(spark: SparkSession, store_dir: str,
-                  upto_batch_id: int) -> int:
+                  upto_batch_id: int, schema: str = STORE_SCHEMA) -> int:
     """Fold the batch-owned store partitions `batch_id < upto_batch_id`
     into the single partition `batch_id = upto_batch_id - 1`.
+
+    `schema` names the store's row layout (the explicit read schema —
+    same no-footer-inference rationale as gate_batch's store read); the
+    crash contract, tmp-sibling recovery, and the measured payoff curve
+    are all LAYOUT-level properties of the batch-owned partition scheme,
+    independent of the row schema, so the exact gate's store (default)
+    and the NEAR-dup gate's store (pass NEARDUP_STORE_SCHEMA) share this
+    one implementation. Folding is safe for the near-dup store for the
+    same reason it is for the exact store: every row — admitted or
+    rejected blocker — is preserved verbatim under a label that still
+    satisfies `batch_id < N` for every batch N that can still run.
 
     The batch-owned layout trades replay determinism for one directory
     per micro-batch; over a long stream lifetime the per-batch store scan
@@ -399,11 +410,16 @@ def compact_store(spark: SparkSession, store_dir: str,
     tmp_complete = fs.exists(hpath(os.path.join(tmp, "_SUCCESS")))
     build = tmp
     if not tmp_complete or orphans:
+        data_cols = [
+            field.strip().split()[0]
+            for field in schema.split(",")
+            if field.strip().split()[0] != "batch_id"
+        ]
         store = (
-            spark.read.schema(STORE_SCHEMA)
+            spark.read.schema(schema)
             .parquet(store_dir)
             .filter(F.col("batch_id") < upto_batch_id)
-            .select("fingerprint", "doc_id", "source")
+            .select(*data_cols)
         )
         # every complete tmp sibling is a source: for a window-2 crash
         # (its batch partition deleted) it holds the ONLY copy of those

@@ -494,6 +494,65 @@ def test_gate_store_compaction_preserves_admission(spark, tmp_path):
     assert spark.read.parquet(store_dir).count() == n_before
 
 
+def test_neardup_store_compaction_preserves_admission(spark, tmp_path):
+    """compact_store(schema=NEARDUP_STORE_SCHEMA) folds the near-dup
+    store's batch-owned partitions into one without changing membership
+    or admission flags (rejected rows must keep blocking), cross-batch
+    near-dup rejection against the compacted store is intact, and the op
+    is idempotent — the exact-store compaction contract, one schema over."""
+    import glob
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        NEARDUP_STORE_SCHEMA,
+        compact_store,
+        neardup_gate_batch,
+        read_doc_stream,
+        start_neardup_gate,
+        write_doc_chunks,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    out_root = str(tmp_path / "ngate")
+    write_doc_chunks(spark, "/root/testdata/sf0.001", chunk_dir, n_chunks=4)
+    q = start_neardup_gate(read_doc_stream(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store_dir = f"{out_root}/neardup_store"
+    cols = ["doc_id", "source", "h0", "h1", "h2", "h3", "admitted"]
+    before = spark.read.parquet(store_dir).select(cols)
+    n_before = before.count()
+    rows_before = {tuple(r) for r in before.collect()}
+
+    n = compact_store(spark, store_dir, 4, schema=NEARDUP_STORE_SCHEMA)
+    assert n == n_before
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(f"{store_dir}/batch_id=*")
+    )
+    assert parts == ["batch_id=3"], parts
+    after = spark.read.parquet(store_dir).select(cols)
+    assert {tuple(r) for r in after.collect()} == rows_before
+
+    # cross-batch near-dup rejection against the compacted store: replay
+    # the first chunk with SHIFTED ids — byte-identical texts, so every
+    # doc has a smaller-id Hamming-0 match among the seen rows (a
+    # same-id replay would not block: the admission rule is smaller-id)
+    first_chunk = sorted(glob.glob(f"{chunk_dir}/*.parquet"))[0]
+    replay = spark.read.parquet(first_chunk).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "source"
+    )
+    neardup_gate_batch(replay, 4, store_dir, f"{out_root}/neardup_stats")
+    stats = spark.read.parquet(f"{out_root}/neardup_stats").toPandas()
+    assert stats[stats.batch_id == 4].n_admitted.iloc[0] == 0
+
+    # idempotent; batch 4's partition is newer than the bound and survives
+    assert compact_store(
+        spark, store_dir, 4, schema=NEARDUP_STORE_SCHEMA
+    ) == n_before
+
+
 def _drained_gate_store(spark, tmp_path):
     """Drain the 4-chunk gate fixture; return (store_dir, chunk_dir,
     out_root, fingerprint set)."""
