@@ -415,6 +415,35 @@ def compact_store(spark: SparkSession, store_dir: str,
             for field in schema.split(",")
             if field.strip().split()[0] != "batch_id"
         ]
+        # SCHEMA GUARD before any destructive step: a wrong-schema read
+        # does NOT fail — Spark fills missing columns with null — so
+        # compacting the NEAR-dup store with the default exact-store
+        # schema would silently rewrite dest as (null fingerprints,
+        # doc_id, source), drop h0..h3 + admitted, delete the folded
+        # history, and every later batch would re-admit every near-dup.
+        # The footer of a COMMITTED partition is complete by the safety
+        # contract (only the newest uncommitted batch can be partial),
+        # so check the declared data columns against what is actually
+        # on disk and refuse loudly on mismatch.
+        committed = sorted(
+            status.getPath().toString()
+            for status in fs.listStatus(root)
+            if status.getPath().getName().startswith("batch_id=")
+            and status.getPath().getName().split("=", 1)[1].isdigit()
+            and int(status.getPath().getName().split("=", 1)[1])
+            < upto_batch_id
+        )
+        if committed:
+            on_disk = set(spark.read.parquet(committed[0]).schema.fieldNames())
+            missing = [c for c in data_cols if c not in on_disk]
+            if missing:
+                raise IOError(
+                    f"compact_store: declared schema columns {missing} are "
+                    f"absent from the store's parquet ({sorted(on_disk)}); "
+                    "wrong `schema` for this store (e.g. compacting a "
+                    "near-dup store without schema=NEARDUP_STORE_SCHEMA) "
+                    "— refusing to rewrite history with null columns"
+                )
         store = (
             spark.read.schema(schema)
             .parquet(store_dir)
@@ -533,13 +562,18 @@ def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     # ingest I/O and a 2×-inflated numInputRows in query progress (the
     # chaos-neardup rehearsal caught exactly that). The count() is what
     # makes the single scan deterministic: without it the two join
-    # branches race to fill the cache.
+    # branches race to fill the cache. The raw-text cache is dead the
+    # moment fps materializes, so it is released THERE — not at batch
+    # end: a backfill-sized micro-batch must not keep corpus-sized text
+    # blocks resident while the store joins and partition writes run
+    # (gate_batch persists only its md5 projection for the same reason).
     base = batch_df.select("doc_id", "text", "source").persist()
     fp = simhash_fp(base.select("doc_id", "text"))
     fps = fp.join(base.select("doc_id", "source"), "doc_id").persist()
     try:
         base.count()
         n_batch = fps.count()
+        base.unpersist()
         assert_store_not_mid_compaction(spark, store_dir)
         bcl = simhash_chunk_rows(
             fps.select("doc_id", "h0", "h1", "h2", "h3")

@@ -175,6 +175,7 @@ def _artifacts() -> list[dict]:
             "scaling_x" in art or "base" in art or "curve" in art
             # chaos artifacts nest their metric map under the scenario key
             or "gate" in art or "windowed" in art or "join" in art
+            or "windows" in art or "stateful" in art
         ):
             out.append(art)
     return out
@@ -195,11 +196,16 @@ def _scalar_candidates(art: dict) -> set[float]:
 
     vals = ratio_keys(art)
     # chaos/drain artifacts nest their metric maps one level down (e.g.
-    # the gate chaos' control_late_vs_early_trigger_x lives under "gate")
+    # the gate chaos' control_late_vs_early_trigger_x lives under "gate");
+    # the compaction chaos nests once more (windows.<crash_window>.*)
     for k in ("base", "big", "gate_base", "gate_big",
-              "gate", "windowed", "join", "stateful"):
-        if isinstance(art.get(k), dict):
-            vals |= ratio_keys(art[k])
+              "gate", "windowed", "join", "stateful", "windows"):
+        sub = art.get(k)
+        if isinstance(sub, dict):
+            vals |= ratio_keys(sub)
+            for v in sub.values():
+                if isinstance(v, dict):
+                    vals |= ratio_keys(v)
     # sweep artifacts (e.g. the compaction payoff) carry a `curve` list
     # of per-point dicts with ratio fields like speedup_x
     for entry in art.get("curve", []):

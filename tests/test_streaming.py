@@ -547,10 +547,23 @@ def test_neardup_store_compaction_preserves_admission(spark, tmp_path):
     stats = spark.read.parquet(f"{out_root}/neardup_stats").toPandas()
     assert stats[stats.batch_id == 4].n_admitted.iloc[0] == 0
 
-    # idempotent; batch 4's partition is newer than the bound and survives
+    # idempotent; batch 4's partition is newer than the bound and must
+    # SURVIVE the re-run (folding an uncommitted batch would relabel rows
+    # its replay still needs excluded)
     assert compact_store(
         spark, store_dir, 4, schema=NEARDUP_STORE_SCHEMA
     ) == n_before
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(f"{store_dir}/batch_id=*")
+    )
+    assert parts == ["batch_id=3", "batch_id=4"], parts
+
+    # wrong-schema misuse fails loudly instead of rewriting history with
+    # null columns (the exact-store default lacks h0..h3/admitted)
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="absent from the store's parquet"):
+        compact_store(spark, store_dir, 4)
 
 
 def _drained_gate_store(spark, tmp_path):

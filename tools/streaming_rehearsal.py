@@ -587,11 +587,14 @@ def main() -> None:
 # ---------------------------------------------------------------- gate
 
 def run_gate(spark, chunk_dir: str, out_root: str, n_rows: int | None,
-             after_batch_hook=None, allow_failure: bool = False):
-    """Start the gate over prebuilt chunks and drain; returns
+             after_batch_hook=None, allow_failure: bool = False,
+             start_fn=None, query_name: str = "dedup_gate"):
+    """Start a foreachBatch gate over prebuilt chunks and drain; returns
     (total_sec, progresses). With allow_failure, a StreamingQueryException
     (the chaos hook's injected crash) is swallowed and the partial
-    progress curve returned — the caller restarts from the checkpoint."""
+    progress curve returned — the caller restarts from the checkpoint.
+    One body for both gates (the drain() convention): `start_fn` defaults
+    to the exact gate; run_neardup_gate passes the near-dup one."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
@@ -599,12 +602,14 @@ def run_gate(spark, chunk_dir: str, out_root: str, n_rows: int | None,
         start_dedup_gate,
     )
 
+    if start_fn is None:
+        start_fn = start_dedup_gate
     progresses: list[dict] = []
-    listener = make_progress_listener("dedup_gate", progresses)
+    listener = make_progress_listener(query_name, progresses)
     spark.streams.addListener(listener)
     t0 = time.perf_counter()
-    q = start_dedup_gate(read_doc_stream(spark, chunk_dir), out_root,
-                         after_batch_hook=after_batch_hook)
+    q = start_fn(read_doc_stream(spark, chunk_dir), out_root,
+                 after_batch_hook=after_batch_hook)
     try:
         try:
             q.processAllAvailable()
@@ -789,30 +794,9 @@ def chaos_gate(spark, docs_dir: str, work: str, n_chunks: int,
 
     chunk_dir = os.path.join(work, "chaosgate_chunks")
     n_rows = write_doc_chunks(spark, docs_dir, chunk_dir, n_chunks=n_chunks)
-
-    ctrl_root = os.path.join(work, "chaosgate_ctrl_out")
-    t_ctrl, ctrl_prog = run_gate(spark, chunk_dir, ctrl_root, n_rows)
-
-    chaos_root = os.path.join(work, "chaosgate_kill_out")
-    crashed = []
-
-    def hook(bid: int) -> None:
-        if bid == kill_after and not crashed:
-            crashed.append(bid)
-            raise RuntimeError(
-                "chaos: injected crash after side effects, before commit"
-            )
-
-    t_kill, kill_prog = run_gate(
-        spark, chunk_dir, chaos_root, None,
-        after_batch_hook=hook, allow_failure=True,
+    ctrl_root, chaos_root, out = _chaos_crash_replay(
+        spark, chunk_dir, work, "chaosgate", n_rows, kill_after, run_gate,
     )
-    if not crashed:
-        raise RuntimeError(f"injected crash never fired (batch {kill_after})")
-    # the resume only delivers the batches the kill run didn't commit, so
-    # settle on buffer-quiescence (None), not the full-corpus row count —
-    # exactly-once accounting happens below over kill+resume combined
-    t_resume, resume_prog = run_gate(spark, chunk_dir, chaos_root, None)
 
     ctrl_store = spark.read.parquet(os.path.join(ctrl_root, "fingerprint_store"))
     chaos_store = spark.read.parquet(os.path.join(chaos_root, "fingerprint_store"))
@@ -828,60 +812,88 @@ def chaos_gate(spark, docs_dir: str, work: str, n_chunks: int,
         ctrl_stats.exceptAll(chaos_stats).count()
         + chaos_stats.exceptAll(ctrl_stats).count()
     )
-    seen: dict[int, int] = {}
-    for p in kill_prog + resume_prog:
-        seen[p["batchId"]] = p["numInputRows"]
-    # the crashed batch's side effects ran in the kill incarnation (the
-    # hook fires after gate_batch) but its progress event never does —
-    # replay evidence is that batch id re-appearing in the RESUME curve
-    resume_bids = {p["batchId"] for p in resume_prog}
-    replay_happened = kill_after in resume_bids
-    return {
-        "rows_expected": n_rows,
-        "control_input_rows": sum(p["numInputRows"] for p in ctrl_prog),
-        "chaos_input_rows": sum(seen.values()),
-        "injected_crash_batch": kill_after,
-        "crashed_batch_replayed": replay_happened,
+    out.update({
         "control_store_rows": ctrl_store.count(),
         "chaos_store_rows": chaos_store.count(),
         "store_sym_diff": store_sym_diff,
         "stats_sym_diff_rows": stats_sym_diff,
-        "control_total_sec": round(t_ctrl, 3),
-        "chaos_total_sec": round(t_kill + t_resume, 3),
-    }
+    })
+    return out
 
 
 def run_neardup_gate(spark, chunk_dir: str, out_root: str,
                      n_rows: int | None, after_batch_hook=None,
                      allow_failure: bool = False):
-    """start_neardup_gate analog of run_gate: same drain/crash contract,
-    pointed at the SimHash NEAR-dup admission gate."""
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
+    """run_gate pointed at the SimHash NEAR-dup admission gate."""
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
-        read_doc_stream,
         start_neardup_gate,
     )
 
-    progresses: list[dict] = []
-    listener = make_progress_listener("neardup_gate", progresses)
-    spark.streams.addListener(listener)
-    t0 = time.perf_counter()
-    q = start_neardup_gate(read_doc_stream(spark, chunk_dir), out_root,
-                           after_batch_hook=after_batch_hook)
-    try:
-        try:
-            q.processAllAvailable()
-            total = time.perf_counter() - t0
-            settle_progress(progresses, n_rows)
-        except StreamingQueryException:
-            if not allow_failure:
-                raise
-            total = time.perf_counter() - t0
-    finally:
-        q.stop()
-        spark.streams.removeListener(listener)
-    return total, progresses
+    return run_gate(spark, chunk_dir, out_root, n_rows,
+                    after_batch_hook=after_batch_hook,
+                    allow_failure=allow_failure,
+                    start_fn=start_neardup_gate, query_name="neardup_gate")
+
+
+def _chaos_crash_replay(spark, chunk_dir: str, work: str, tag: str,
+                        n_rows: int, kill_after: int, runner):
+    """The shared crash-injection kill/resume protocol for a foreachBatch
+    gate: control drain, crash injected by the after_batch_hook right
+    after batch `kill_after`'s side effects land (before the checkpoint
+    commit), restart from the checkpoint, drain to completion. Returns
+    (ctrl_root, chaos_root, metrics) where metrics carries the
+    gate-agnostic readings — exactly-once input accounting (dedup on
+    batchId across the two incarnations), replay evidence, the control
+    drain's per-batch trigger drift (each batch re-scans the whole
+    store, so this is the honest depth-cost number for both gates), and
+    wall times. Callers add their store/stats sym-diffs."""
+    ctrl_root = os.path.join(work, f"{tag}_ctrl_out")
+    t_ctrl, ctrl_prog = runner(spark, chunk_dir, ctrl_root, n_rows)
+
+    chaos_root = os.path.join(work, f"{tag}_kill_out")
+    crashed = []
+
+    def hook(bid: int) -> None:
+        if bid == kill_after and not crashed:
+            crashed.append(bid)
+            raise RuntimeError(
+                "chaos: injected crash after side effects, before commit"
+            )
+
+    t_kill, kill_prog = runner(
+        spark, chunk_dir, chaos_root, None,
+        after_batch_hook=hook, allow_failure=True,
+    )
+    if not crashed:
+        raise RuntimeError(f"injected crash never fired (batch {kill_after})")
+    # the resume only delivers the batches the kill run didn't commit, so
+    # settle on buffer-quiescence (None), not the full-corpus row count
+    t_resume, resume_prog = runner(spark, chunk_dir, chaos_root, None)
+
+    # the crashed batch's side effects ran in the kill incarnation (the
+    # hook fires after the gate body) but its progress event never does —
+    # replay evidence is that batch id re-appearing in the RESUME curve
+    seen: dict[int, int] = {}
+    for p in kill_prog + resume_prog:
+        seen[p["batchId"]] = p["numInputRows"]
+    timed = [
+        {"trigger_ms": p["durationMs"]["triggerExecution"]}
+        for p in ctrl_prog
+        if p["numInputRows"] > 0
+        and p["durationMs"].get("triggerExecution") is not None
+    ]
+    return ctrl_root, chaos_root, {
+        "rows_expected": n_rows,
+        "control_input_rows": sum(p["numInputRows"] for p in ctrl_prog),
+        "chaos_input_rows": sum(seen.values()),
+        "injected_crash_batch": kill_after,
+        "crashed_batch_replayed": kill_after in {
+            p["batchId"] for p in resume_prog
+        },
+        "control_late_vs_early_trigger_x": trigger_drift(timed),
+        "control_total_sec": round(t_ctrl, 3),
+        "chaos_total_sec": round(t_kill + t_resume, 3),
+    }
 
 
 def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
@@ -916,27 +928,10 @@ def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
 
     chunk_dir = os.path.join(work, "chaosneardup_chunks")
     n_rows = write_doc_chunks(spark, docs_dir, chunk_dir, n_chunks=n_chunks)
-
-    ctrl_root = os.path.join(work, "chaosneardup_ctrl_out")
-    t_ctrl, ctrl_prog = run_neardup_gate(spark, chunk_dir, ctrl_root, n_rows)
-
-    chaos_root = os.path.join(work, "chaosneardup_kill_out")
-    crashed = []
-
-    def hook(bid: int) -> None:
-        if bid == kill_after and not crashed:
-            crashed.append(bid)
-            raise RuntimeError(
-                "chaos: injected crash after side effects, before commit"
-            )
-
-    t_kill, kill_prog = run_neardup_gate(
-        spark, chunk_dir, chaos_root, None,
-        after_batch_hook=hook, allow_failure=True,
+    ctrl_root, chaos_root, out = _chaos_crash_replay(
+        spark, chunk_dir, work, "chaosneardup", n_rows, kill_after,
+        run_neardup_gate,
     )
-    if not crashed:
-        raise RuntimeError(f"injected crash never fired (batch {kill_after})")
-    t_resume, resume_prog = run_neardup_gate(spark, chunk_dir, chaos_root, None)
 
     # full-row membership, batch ownership included: a replayed batch must
     # rewrite its OWN partition with the IDENTICAL admission flags
@@ -954,41 +949,19 @@ def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
         + chaos_stats.exceptAll(ctrl_stats).count()
     )
     stats_rows = ctrl_stats.toPandas().to_dict("records")
-    admitted_total = int(sum(r["n_admitted"] for r in stats_rows))
-    rejected_total = int(sum(r["n_rejected"] for r in stats_rows))
     crashed_stats = [r for r in stats_rows if r["batch_id"] == kill_after]
-    # per-batch cost drift across the control drain (drain_gate's honest
-    # number for the exact gate): each batch re-scans the whole store, so
-    # late batches cost more than early ones — publish the ratio
-    timed = [
-        {"trigger_ms": p["durationMs"]["triggerExecution"]}
-        for p in ctrl_prog
-        if p["numInputRows"] > 0
-        and p["durationMs"].get("triggerExecution") is not None
-    ]
-    seen: dict[int, int] = {}
-    for p in kill_prog + resume_prog:
-        seen[p["batchId"]] = p["numInputRows"]
-    resume_bids = {p["batchId"] for p in resume_prog}
-    return {
-        "rows_expected": n_rows,
-        "control_input_rows": sum(p["numInputRows"] for p in ctrl_prog),
-        "chaos_input_rows": sum(seen.values()),
-        "injected_crash_batch": kill_after,
-        "crashed_batch_replayed": kill_after in resume_bids,
+    out.update({
         "rejected_in_crashed_batch": (
             int(crashed_stats[0]["n_rejected"]) if crashed_stats else None
         ),
-        "admitted_total": admitted_total,
-        "rejected_total": rejected_total,
+        "admitted_total": int(sum(r["n_admitted"] for r in stats_rows)),
+        "rejected_total": int(sum(r["n_rejected"] for r in stats_rows)),
         "control_store_rows": ctrl_store.count(),
         "chaos_store_rows": chaos_store.count(),
         "store_sym_diff": store_sym_diff,
         "stats_sym_diff_rows": stats_sym_diff,
-        "control_late_vs_early_trigger_x": trigger_drift(timed),
-        "control_total_sec": round(t_ctrl, 3),
-        "chaos_total_sec": round(t_kill + t_resume, 3),
-    }
+    })
+    return out
 
 
 _COMPACT_CRASH_WINDOWS = ("tmp_complete", "dest_deleted", "renamed")
