@@ -173,3 +173,57 @@ def test_scratch_reaper_spares_live_pids_reaps_dead_ones(tmp_path, monkeypatch):
     # the fresh legacy dir is for another kind; also check same-kind fresh
     _pid_scratch_dir("csv", "/root/testdata/sf0.01")
     assert legacy_fresh.is_dir(), "fresh legacy dir was reaped"
+
+
+def test_dsir_scores_enrich_target_lang(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
+        DSIR_TARGET_LANG,
+        dsir_logratio_scores,
+    )
+
+    pdf = dsir_logratio_scores(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    # every doc with >= 1 token scores (this corpus has no empty docs)
+    assert len(pdf) == len(docs)
+    assert pdf.doc_id.is_unique
+    # the selection must ENRICH the target slice: target-lang share among
+    # selected docs strictly above its corpus share (the whole point of
+    # importance resampling)
+    sel = pdf[pdf.selected]
+    assert len(sel) > 0
+    corpus_share = (pdf.lang == DSIR_TARGET_LANG).mean()
+    sel_share = (sel.lang == DSIR_TARGET_LANG).mean()
+    assert sel_share > corpus_share
+    # and mean target score above mean non-target score
+    tgt = pdf[pdf.lang == DSIR_TARGET_LANG].dsir_logratio.mean()
+    rest = pdf[pdf.lang != DSIR_TARGET_LANG].dsir_logratio.mean()
+    assert tgt > rest
+
+
+def test_dsir_feature_count_identity(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import dsir_logratio_scores
+
+    pdf = dsir_logratio_scores(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    # features = unigrams + bigrams = n_tokens + (n_tokens - 1)
+    n_tok = docs.set_index("doc_id").text.str.lower().str.split().str.len()
+    want = (2 * n_tok - 1).clip(lower=0)
+    got = pdf.n_feats.reindex(n_tok.index).fillna(0).astype(int)
+    assert (got == want).all()
+
+
+def test_dsir_plan_broadcasts_feature_table(spark, sf_dir):
+    import contextlib
+    import io
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import dsir_logratio_scores
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dsir_logratio_scores(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    # scoring joins against the bounded bucket table must be broadcast —
+    # a sort-merge join here would shuffle the full feature stream
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan

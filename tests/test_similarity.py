@@ -519,3 +519,50 @@ def test_cos_band_bits_env_validation():
         assert out.returncode != 0, bad
         assert "SPARK_GRAFT_COS_BAND_BITS" in out.stderr, out.stderr[-1000:]
         assert "8..30" in out.stderr, out.stderr[-1000:]
+
+
+def test_semantic_decontam_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    got = sim.semantic_decontam_flags(spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    M = np.array(emb.embedding.tolist(), dtype=np.float64)
+    ids = emb.vec_id.to_numpy()
+    is_ev = ids < sim.SEM_DECON_N_EVAL
+    E, C = M[is_ev], M[~is_ev]
+    eids, cids = ids[is_ev], ids[~is_ev]
+    sims = np.round(
+        (C @ E.T)
+        / np.sqrt((C * C).sum(1)[:, None] * (E * E).sum(1)[None, :]),
+        6,
+    )
+    # argmax: highest cosine, smallest eval_id on ties — scan eval ids
+    # ascending and keep the first strict improvement
+    order = np.argsort(eids)
+    best_cos = sims[:, order].max(1)
+    best_eid = eids[order][np.argmax(sims[:, order], axis=1)]
+    want = pd.DataFrame(
+        {"vec_id": cids, "exp_cos": best_cos, "exp_eid": best_eid}
+    )
+    m = got.merge(want, on="vec_id", how="outer")
+    assert len(m) == len(got) == (~is_ev).sum()
+    assert np.allclose(m.max_cosine, m.exp_cos, atol=1e-9)
+    assert (m.nearest_eval_id == m.exp_eid).all()
+    assert (m.contaminated == (m.max_cosine >= sim.SEM_DECON_TAU)).all()
+
+
+def test_semantic_decontam_plan_is_map_only(spark, sf_dir):
+    plan = (
+        sim.semantic_decontam_flags(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must never key-shuffle: only the explicit spread()
+    # round-robin plus the one-row eval broadcast are allowed
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
