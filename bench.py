@@ -59,6 +59,8 @@ HEADLINE = [
     "corpus_curation_pipeline",  # filter->dedup->redact->split in one plan
     "semantic_dedup_prune",      # SemDeDup: cluster-partitioned cosine prune
     "doc_chunks",                # overlapping token-window chunking (map-only)
+    "dsir_logratio_scores",      # DSIR importance-weighted data selection
+    "semantic_decontam_flags",   # embedding-space eval-set decontamination
 ]
 
 

@@ -693,165 +693,3 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule", "n_checked", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("rule")
-
-
-# ------------------------------- DSIR-style importance-weight data selection
-
-# Data Selection via Importance Resampling (Xie et al. 2023, public):
-# score every corpus document by how target-domain-like its hashed n-gram
-# distribution is, log p_target(f) - log p_raw(f) summed over the doc's
-# feature occurrences. The target here is the `lang = 'en'` slice (in
-# production: a high-quality domain sample); features are word unigrams +
-# bigrams hashed into a fixed bucket space; both bag-of-ngram models are
-# Laplace-smoothed. Selection takes docs >= 1 sigma above the corpus mean
-# score — a scale-free cut computed from one scalar aggregate (no global
-# rank / single-partition window), compared on the 4-dp-rounded z in both
-# engines per the value_zscore_outliers parity rule.
-DSIR_BUCKETS = 8192     # hashed feature space (fixed => feature table is
-                        # always broadcastable regardless of corpus size)
-DSIR_ALPHA = 1.0        # Laplace pseudo-count per bucket
-DSIR_TARGET_LANG = "en"  # target-domain slice
-DSIR_SELECT_Z = 1.0     # select docs >= mu + 1 sigma
-
-_DSIR_TOK_SQL = r"""
-        SELECT doc_id,
-               unnest(string_split_regex(lower(text), '\s+'))                 AS word,
-               generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
-        FROM documents
-"""
-
-
-@register(
-    "dsir_logratio_scores",
-    oracle=f"""
-    WITH tok AS (SELECT * FROM ({_DSIR_TOK_SQL}) WHERE word <> ''),
-    grams AS (
-        SELECT doc_id, word AS gram FROM tok
-        UNION ALL
-        SELECT doc_id,
-               word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
-        FROM tok
-        QUALIFY lead(word) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
-    ),
-    feat AS (
-        SELECT doc_id,
-               CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) % {DSIR_BUCKETS} AS bucket
-        FROM grams
-    ),
-    dl AS (SELECT doc_id, lang FROM documents),
-    ftab AS (
-        SELECT bucket, count(*) AS raw_cnt,
-               sum(CASE WHEN d.lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_cnt
-        FROM feat f JOIN dl d USING (doc_id) GROUP BY bucket
-    ),
-    tot AS (SELECT sum(raw_cnt) AS n_raw, sum(tgt_cnt) AS n_tgt FROM ftab),
-    lr AS (
-        SELECT bucket,
-               round(ln((tgt_cnt + {DSIR_ALPHA}) / (n_tgt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
-                   - ln((raw_cnt + {DSIR_ALPHA}) / (n_raw + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9)
-                   AS logratio
-        FROM ftab CROSS JOIN tot
-    ),
-    per_doc AS (
-        SELECT f.doc_id, d.lang,
-               count(*)                   AS n_feats,
-               round(avg(lr.logratio), 6) AS dsir_logratio
-        FROM feat f JOIN dl d USING (doc_id) JOIN lr USING (bucket)
-        GROUP BY f.doc_id, d.lang
-    ),
-    gstats AS (
-        SELECT avg(dsir_logratio) AS mu, stddev_samp(dsir_logratio) AS sigma
-        FROM per_doc
-    )
-    SELECT p.doc_id, p.lang, p.n_feats, p.dsir_logratio,
-           round((p.dsir_logratio - g.mu) / g.sigma, 4) AS dsir_z,
-           coalesce(round((p.dsir_logratio - g.mu) / g.sigma, 4) >= {DSIR_SELECT_Z}, false)
-               AS selected
-    FROM per_doc p CROSS JOIN gstats g
-    """,
-    doc="DSIR-style importance-weighted data selection (hashed-ngram "
-    "importance resampling): per-doc mean log p_target(f)/p_raw(f) over "
-    "word uni+bigram features hashed into a FIXED bucket space, both "
-    "models Laplace-smoothed, target = the DSIR_TARGET_LANG slice. "
-    "Scale shape: gram arrays build per-row inside codegen (zip_with on "
-    "two slices — no window, no self-join); the feature table is ONE "
-    "bucket-keyed aggregate bounded at DSIR_BUCKETS rows no matter the "
-    "corpus size, so scoring is a broadcast-hash join over the exploded "
-    "feature stream followed by a map-side-combined doc aggregate; the "
-    "selection threshold is mu + z*sigma from one scalar aggregate "
-    "broadcast back (never a global rank), with the cut compared on the "
-    "4-dp-rounded z in both engines (stddev is order-sensitive in the "
-    "last ulp). Per-feature log-ratios are rounded to 9 decimals before "
-    "averaging, and token-less docs are absent from the output — both "
-    "the unigram_logprob_scores conventions (lang rides the feature "
-    "stream, so no doc-keyed join-back resurrects empty docs at the "
-    "price of a sort-merge join).",
-)
-def dsir_logratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    toked = docs.select("doc_id", "lang", t.alias("toks"))
-    tc = F.col("toks")
-    bigrams = F.when(
-        F.size(tc) >= 2,
-        F.zip_with(
-            F.slice(tc, 1, F.size(tc) - 1),
-            F.slice(tc, 2, F.size(tc) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    buckets = F.transform(
-        F.concat(tc, bigrams),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long")
-        % DSIR_BUCKETS,
-    )
-    gen, keep = explode_clean(buckets, "bucket")
-    feat = toked.select("doc_id", "lang", gen).filter(keep)
-
-    # The bucket table is <= DSIR_BUCKETS rows but its build scans the
-    # full gram stream; without a cut both `tot` and `lr` would re-derive
-    # it (two extra corpus passes). A LAZY local checkpoint materializes
-    # it once at execution and keeps plan construction action-free.
-    ftab = (
-        feat.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("raw_cnt"),
-            F.sum(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-            ).alias("tgt_cnt"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    tot = ftab.agg(
-        F.sum("raw_cnt").alias("n_raw"), F.sum("tgt_cnt").alias("n_tgt")
-    )
-    a, b = F.lit(DSIR_ALPHA), F.lit(float(DSIR_BUCKETS))
-    lr = ftab.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.round(
-            F.log((F.col("tgt_cnt") + a) / (F.col("n_tgt") + a * b))
-            - F.log((F.col("raw_cnt") + a) / (F.col("n_raw") + a * b)),
-            9,
-        ).alias("logratio"),
-    )
-    per_doc = (
-        feat.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.avg("logratio"), 6).alias("dsir_logratio"),
-        )
-    )
-    gstats = per_doc.agg(
-        F.avg("dsir_logratio").alias("mu"),
-        F.stddev_samp("dsir_logratio").alias("sigma"),
-    )
-    z = F.round((F.col("dsir_logratio") - F.col("mu")) / F.col("sigma"), 4)
-    return per_doc.crossJoin(F.broadcast(gstats)).select(
-        "doc_id",
-        "lang",
-        "n_feats",
-        "dsir_logratio",
-        z.alias("dsir_z"),
-        F.coalesce(z >= DSIR_SELECT_Z, F.lit(False)).alias("selected"),
-    )

@@ -1412,99 +1412,3 @@ def embedding_rp_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
-
-
-# --------------------------- semantic benchmark decontamination (eval set)
-
-# Embedding-space eval-set decontamination: flag every training vector
-# whose cosine to ANY benchmark/eval vector reaches SEM_DECON_TAU.
-# benchmark_contamination (operators/pii.py) is the n-gram variant; this
-# is its semantic sibling — paraphrased eval leakage that shares no
-# 8-gram still sits next to the eval item in embedding space. The eval
-# set is FIXED-SIZE (a benchmark suite, not a corpus fraction), so the
-# whole eval side folds into one broadcast row and the corpus scan is
-# decided map-side: recall-complete exact scoring with ZERO shuffle.
-SEM_DECON_N_EVAL = 25   # vec_id < 25 simulate the benchmark suite
-SEM_DECON_TAU = 0.42    # rounded-cosine contamination threshold
-
-
-@register(
-    "semantic_decontam_flags",
-    oracle=f"""
-    WITH e AS (
-        SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ee
-        FROM embeddings WHERE vec_id < {SEM_DECON_N_EVAL}
-    ),
-    c AS (
-        SELECT vec_id, embedding::DOUBLE[] AS ce
-        FROM embeddings WHERE vec_id >= {SEM_DECON_N_EVAL}
-    ),
-    pairs AS (
-        SELECT c.vec_id, e.eval_id,
-               round(list_dot_product(ce, ee)
-                     / sqrt(list_dot_product(ce, ce) * list_dot_product(ee, ee)), 6)
-                   AS cosine
-        FROM c CROSS JOIN e
-    ),
-    best AS (
-        SELECT vec_id, eval_id, cosine,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY cosine DESC, eval_id) AS rn
-        FROM pairs
-    )
-    SELECT vec_id, eval_id AS nearest_eval_id, cosine AS max_cosine,
-           cosine >= {SEM_DECON_TAU} AS contaminated
-    FROM best WHERE rn = 1
-    """,
-    doc="Semantic eval-set decontamination: per training vector, the "
-    "max cosine to the benchmark set, the nearest benchmark item, and a "
-    "contaminated flag at SEM_DECON_TAU — the embedding-space sibling "
-    "of the n-gram benchmark_contamination check (catches paraphrased "
-    "leakage that shares no n-gram). Scale shape: the eval side is "
-    "O(benchmark), collected into ONE broadcast row of (eval_id, vec, "
-    "norm) structs with norms precomputed eval-side; the corpus is a "
-    "single scan whose argmax folds per-row over the struct array "
-    "(array_max on (cosine, -eval_id) = highest cosine, smallest id on "
-    "ties, mirrored by the oracle's row_number order) — no join-key "
-    "exchange, no per-vector window, ZERO shuffle at any corpus size. "
-    "Decontamination needs recall, so scoring is exact, not LSH-pruned.",
-)
-def semantic_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") < SEM_DECON_N_EVAL).select(
-        F.col("vec_id").alias("eval_id"), as_double("embedding").alias("ee")
-    )
-    evals = ev.select(
-        F.struct(
-            F.col("eval_id"),
-            F.col("ee"),
-            dot(F.col("ee"), F.col("ee")).alias("en"),
-        ).alias("s")
-    ).agg(F.sort_array(F.collect_list("s")).alias("evals"))
-    corpus = spread(
-        emb.filter(F.col("vec_id") >= SEM_DECON_N_EVAL).select(
-            "vec_id", as_double("embedding").alias("ce")
-        )
-    ).withColumn("cn", dot(F.col("ce"), F.col("ce")))
-    best = F.array_max(
-        F.transform(
-            F.col("evals"),
-            lambda s: F.struct(
-                F.round(
-                    dot(F.col("ce"), s["ee"]) / F.sqrt(F.col("cn") * s["en"]),
-                    6,
-                ).alias("cosine"),
-                (-s["eval_id"]).alias("neg_id"),
-            ),
-        )
-    )
-    return (
-        corpus.crossJoin(F.broadcast(evals))
-        .withColumn("best", best)
-        .select(
-            "vec_id",
-            (-F.col("best.neg_id")).alias("nearest_eval_id"),
-            F.col("best.cosine").alias("max_cosine"),
-            (F.col("best.cosine") >= SEM_DECON_TAU).alias("contaminated"),
-        )
-    )

@@ -176,7 +176,7 @@ def test_scratch_reaper_spares_live_pids_reaps_dead_ones(tmp_path, monkeypatch):
 
 
 def test_dsir_scores_enrich_target_lang(spark, sf_dir):
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
         DSIR_TARGET_LANG,
         dsir_logratio_scores,
     )
@@ -201,7 +201,7 @@ def test_dsir_scores_enrich_target_lang(spark, sf_dir):
 
 
 def test_dsir_feature_count_identity(spark, sf_dir):
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import dsir_logratio_scores
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import dsir_logratio_scores
 
     pdf = dsir_logratio_scores(spark, sf_dir).toPandas().set_index("doc_id")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
@@ -216,7 +216,7 @@ def test_dsir_plan_broadcasts_feature_table(spark, sf_dir):
     import contextlib
     import io
 
-    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import dsir_logratio_scores
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import dsir_logratio_scores
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -197,3 +197,41 @@ def test_quota_sample_matches_python_model(spark, sizes):
         for rank, (_, i) in enumerate(sorted(surv)[:q], start=1):
             want.append((lang, i, rank))
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=30))
+def test_dsir_hash_bucket_cross_engine(spark, texts):
+    """The DSIR feature-bucket contract (28-bit md5 prefix mod
+    DSIR_BUCKETS) must agree byte-for-byte between the Spark expression
+    and the DuckDB oracle formulation for ARBITRARY gram strings — the
+    whole importance model rides on the two engines bucketing
+    identically."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import DSIR_BUCKETS
+
+    grams = sorted({t for t in texts if t})
+    if not grams:
+        return
+    sdf = spark.createDataFrame([(g,) for g in grams], ["gram"])
+    got = {
+        r["gram"]: r["bucket"]
+        for r in sdf.select(
+            "gram",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for g in grams:
+        (want,) = con.execute(
+            f"SELECT CAST('0x' || substr(md5(?), 1, 7) AS BIGINT) % {DSIR_BUCKETS}",
+            [g],
+        ).fetchone()
+        assert got[g] == want, (g, got[g], want)
+    con.close()

@@ -525,11 +525,13 @@ def test_semantic_decontam_matches_bruteforce(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    got = sim.semantic_decontam_flags(spark, sf_dir).toPandas()
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import selection as sel
+
+    got = sel.semantic_decontam_flags(spark, sf_dir).toPandas()
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     M = np.array(emb.embedding.tolist(), dtype=np.float64)
     ids = emb.vec_id.to_numpy()
-    is_ev = ids < sim.SEM_DECON_N_EVAL
+    is_ev = ids < sel.SEM_DECON_N_EVAL
     E, C = M[is_ev], M[~is_ev]
     eids, cids = ids[is_ev], ids[~is_ev]
     sims = np.round(
@@ -549,12 +551,14 @@ def test_semantic_decontam_matches_bruteforce(spark, sf_dir):
     assert len(m) == len(got) == (~is_ev).sum()
     assert np.allclose(m.max_cosine, m.exp_cos, atol=1e-9)
     assert (m.nearest_eval_id == m.exp_eid).all()
-    assert (m.contaminated == (m.max_cosine >= sim.SEM_DECON_TAU)).all()
+    assert (m.contaminated == (m.max_cosine >= sel.SEM_DECON_TAU)).all()
 
 
 def test_semantic_decontam_plan_is_map_only(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators import selection as sel
+
     plan = (
-        sim.semantic_decontam_flags(spark, sf_dir)
+        sel.semantic_decontam_flags(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
