@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import explode_clean, tokens
 from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import as_double, dot, spread
-from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
+from reddit_sentiment_spark_streaming_pipeline_spark.registry import oracle_of, register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
 # ------------------------------- DSIR-style importance-weight data selection
@@ -280,4 +280,61 @@ def semantic_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.cosine").alias("max_cosine"),
             (F.col("best.cosine") >= SEM_DECON_TAU).alias("contaminated"),
         )
+    )
+
+
+# ----------------------------------- composed selection pipeline (keep-set)
+
+@register(
+    "selection_pipeline",
+    oracle=f"""
+    WITH d AS ({oracle_of("dsir_logratio_scores")}),
+    c AS ({oracle_of("semantic_decontam_flags")})
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN d.selected THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           CAST(sum(CASE WHEN c.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN d.selected AND NOT c.contaminated
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(avg(d.dsir_logratio), 6) AS avg_dsir_logratio
+    FROM d JOIN c ON d.doc_id = c.vec_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    doc="The selection KEEP-SET in one composed plan: DSIR importance "
+    "scores joined per-document with the semantic decontamination "
+    "verdict (doc_id = vec_id, the embedded slice of the corpus), "
+    "kept = selected AND NOT contaminated, published as per-lang audit "
+    "rows. Proves the two selection signals COMPOSE without a "
+    "materialization barrier — the corpus_curation_pipeline argument "
+    "applied to the new suite — and the oracle is composed the same "
+    "way, by splicing the constituents' registered oracle SQL into two "
+    "CTEs (registry.oracle_of), so the composed contract can never "
+    "drift from the parts. Scale shape: each side keeps its own "
+    "bounded-model plan; combining per-doc signals is ONE id-keyed "
+    "co-partitioned join of fingerprint-narrow score/flag rows (the "
+    "honest wide stage of zipping independently-computed per-doc "
+    "signals), then a lang-bounded aggregate.",
+)
+def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dsir_logratio_scores(spark, sf_dir)
+    c = semantic_decontam_flags(spark, sf_dir)
+    joined = d.join(c, d["doc_id"] == c["vec_id"])
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("selected").cast("int")).cast("bigint").alias("n_selected"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum((F.col("selected") & ~F.col("contaminated")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(F.avg("dsir_logratio"), 6).alias("avg_dsir_logratio"),
+        )
+        .orderBy("lang")
     )

@@ -319,3 +319,18 @@ def load_all() -> dict[str, QuerySpec]:
 def get(name: str) -> QuerySpec:
     load_all()
     return _REGISTRY[name]
+
+
+def oracle_of(name: str) -> str:
+    """Oracle SQL of an ALREADY-IMPORTED query, for oracle composition.
+
+    Deliberately does NOT call load_all(): composition sites run at
+    module-import time (an @register decorator argument referencing an
+    earlier sibling's oracle), where triggering the full module sweep
+    would recurse. The composing query must therefore live in the same
+    module as (or a module imported after) its constituents.
+    """
+    oracle = _REGISTRY[name].oracle
+    if oracle is None:
+        raise ValueError(f"query {name!r} has no oracle to compose")
+    return oracle

@@ -227,3 +227,30 @@ def test_dsir_plan_broadcasts_feature_table(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_selection_pipeline_consistent_with_parents(spark, sf_dir):
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SEM_DECON_N_EVAL,
+        dsir_logratio_scores,
+        selection_pipeline,
+        semantic_decontam_flags,
+    )
+
+    pipe = selection_pipeline(spark, sf_dir).toPandas().set_index("lang")
+    d = dsir_logratio_scores(spark, sf_dir).toPandas()
+    c = semantic_decontam_flags(spark, sf_dir).toPandas()
+    # the composed keep-set must reconcile row-for-row with its parents
+    m = d.merge(c, left_on="doc_id", right_on="vec_id")
+    assert pipe.n_docs.sum() == len(m)
+    by = m.groupby("lang")
+    for lang, g in by:
+        row = pipe.loc[lang]
+        assert row.n_selected == g.selected.sum()
+        assert row.n_contaminated == g.contaminated.sum()
+        assert row.n_kept == (g.selected & ~g.contaminated).sum()
+    # keep-set algebra: kept <= selected <= docs, and eval-side docs
+    # (doc_id < N_EVAL) are excluded by the inner join
+    assert (pipe.n_kept <= pipe.n_selected).all()
+    assert (pipe.n_selected <= pipe.n_docs).all()
+    assert m.doc_id.min() >= SEM_DECON_N_EVAL
