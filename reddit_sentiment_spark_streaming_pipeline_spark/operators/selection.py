@@ -12,9 +12,12 @@ what to KEEP (and what must not leak from the eval side):
   paraphrased eval leakage that shares no 8-gram still sits next to the
   eval item in embedding space.
 
-Both are single-scan corpus pipelines whose model/benchmark side is
-bounded (8192 hashed buckets / a fixed-size eval suite), so the corpus
-never key-shuffles for either.
+Both keep their model/benchmark side bounded (8192 hashed buckets / a
+fixed-size eval suite), so the corpus-sized data never rides a join
+key: decontamination is map-only over one corpus scan, and DSIR's only
+corpus-proportional exchange is the per-doc aggregate of
+fingerprint-narrow partial rows (the feature stream itself joins
+broadcast, never shuffled).
 """
 
 from __future__ import annotations
@@ -274,6 +277,12 @@ def semantic_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.crossJoin(F.broadcast(evals))
         .withColumn("best", best)
+        # degenerate-eval parity: with an EMPTY eval set the oracle's
+        # CROSS JOIN yields zero rows, while collect_list still emits one
+        # empty-array row whose array_max folds to NULL — drop those so
+        # both engines agree (and NULL flags can never poison a
+        # downstream keep-set sum)
+        .filter(F.col("best").isNotNull())
         .select(
             "vec_id",
             (-F.col("best.neg_id")).alias("nearest_eval_id"),

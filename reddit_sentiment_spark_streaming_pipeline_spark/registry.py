@@ -330,7 +330,13 @@ def oracle_of(name: str) -> str:
     would recurse. The composing query must therefore live in the same
     module as (or a module imported after) its constituents.
     """
-    oracle = _REGISTRY[name].oracle
-    if oracle is None:
+    spec = _REGISTRY.get(name)
+    if spec is None:
+        raise ValueError(
+            f"query {name!r} is not registered yet — a composing query "
+            "must live in the same module as (or one imported after) "
+            "its constituents; check _QUERY_MODULES order"
+        )
+    if spec.oracle is None:
         raise ValueError(f"query {name!r} has no oracle to compose")
-    return oracle
+    return spec.oracle

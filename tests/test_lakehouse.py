@@ -254,3 +254,41 @@ def test_selection_pipeline_consistent_with_parents(spark, sf_dir):
     assert (pipe.n_kept <= pipe.n_selected).all()
     assert (pipe.n_selected <= pipe.n_docs).all()
     assert m.doc_id.min() >= SEM_DECON_N_EVAL
+
+
+def test_dsir_bigrams_match_textstats_bigram_contract(spark):
+    """Two adjacent-word bigram builders exist (textstats' repetition
+    pipeline uses element_at over a sequence; selection's DSIR uses
+    zip_with over two slices). This pin keeps them from silently
+    desynchronizing: both must emit the identical 'w_i w_{i+1}' arrays
+    for the same token arrays, including the <2-token empty fallback."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a b c d",), ("one",), ("",), ("x y",), ("p  q   r",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.text import tokens
+
+    toked = df.select(tokens("text").alias("toks"))
+    tc = F.col("toks")
+    dsir_bg = F.when(
+        F.size(tc) >= 2,
+        F.zip_with(
+            F.slice(tc, 1, F.size(tc) - 1),
+            F.slice(tc, 2, F.size(tc) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    textstats_bg = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = toked.select(dsir_bg.alias("a"), textstats_bg.alias("b")).collect()
+    for r in out:
+        assert r["a"] == r["b"], (r["a"], r["b"])
