@@ -292,3 +292,77 @@ def test_dsir_bigrams_match_textstats_bigram_contract(spark):
     out = toked.select(dsir_bg.alias("a"), textstats_bg.alias("b")).collect()
     for r in out:
         assert r["a"] == r["b"], (r["a"], r["b"])
+
+
+def _write_selection_fixture(spark, out_dir, docs_rows=None, emb_rows=None):
+    """Minimal sf-dir layout for the selection suite: only the tables the
+    queries under test actually read."""
+    if docs_rows is not None:
+        spark.createDataFrame(
+            docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    if emb_rows is not None:
+        spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def test_semantic_decontam_tiebreak_prefers_smallest_eval_id(spark, tmp_path):
+    """Two byte-identical eval vectors tie at the same rounded cosine:
+    the argmax must report the SMALLER eval_id (the oracle's row_number
+    order), which the (cosine, -eval_id) struct max encodes."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SEM_DECON_N_EVAL,
+        semantic_decontam_flags,
+    )
+
+    v = [1.0] + [0.0] * 63
+    w = [0.0, 1.0] + [0.0] * 62
+    emb = []
+    for i in range(SEM_DECON_N_EVAL):
+        emb.append((i, v if i in (3, 7) else w, 0))
+    emb.append((SEM_DECON_N_EVAL, v, 0))      # corpus vec == evals 3 and 7
+    emb.append((SEM_DECON_N_EVAL + 1, w, 0))  # ties across ALL other evals
+    _write_selection_fixture(spark, str(tmp_path), emb_rows=emb)
+    got = (
+        semantic_decontam_flags(spark, str(tmp_path))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert got.loc[SEM_DECON_N_EVAL].nearest_eval_id == 3
+    assert got.loc[SEM_DECON_N_EVAL].max_cosine == 1.0
+    assert bool(got.loc[SEM_DECON_N_EVAL].contaminated)
+    # the 23-way tie among the w-evals resolves to the smallest id (0)
+    assert got.loc[SEM_DECON_N_EVAL + 1].nearest_eval_id == 0
+
+
+def test_semantic_decontam_empty_eval_set_yields_zero_rows(spark, tmp_path):
+    """The review-found degenerate case: no eval-side vectors => the
+    oracle's cross join is empty, and the engine must also emit ZERO
+    rows (not corpus rows with NULL flags)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SEM_DECON_N_EVAL,
+        semantic_decontam_flags,
+    )
+
+    w = [0.0, 1.0] + [0.0] * 62
+    emb = [(SEM_DECON_N_EVAL + i, w, 0) for i in range(4)]  # corpus only
+    _write_selection_fixture(spark, str(tmp_path), emb_rows=emb)
+    assert semantic_decontam_flags(spark, str(tmp_path)).count() == 0
+
+
+def test_dsir_degenerate_corpora(spark, tmp_path):
+    """Single-doc corpus: stddev_samp is NULL, so dsir_z is NULL and
+    selected must coalesce to False (the branch the organic corpus never
+    hits). Token-less docs are absent from the output entirely."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import dsir_logratio_scores
+
+    docs = [(0, "alpha beta alpha", "en", "s0", 16), (1, "   ", "de", "s0", 3)]
+    _write_selection_fixture(spark, str(tmp_path), docs_rows=docs)
+    got = dsir_logratio_scores(spark, str(tmp_path)).toPandas()
+    # doc 1 is whitespace-only -> no tokens -> absent
+    assert list(got.doc_id) == [0]
+    row = got.iloc[0]
+    assert row.n_feats == 5  # 3 unigrams + 2 bigrams
+    assert row.dsir_z != row.dsir_z or row.dsir_z is None  # NaN/None
+    assert not bool(row.selected)
