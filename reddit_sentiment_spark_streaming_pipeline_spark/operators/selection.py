@@ -32,8 +32,9 @@ from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
 # ------------------------------- DSIR-style importance-weight data selection
 
-# The target here is the `lang = 'en'` slice (in production: a
-# high-quality domain sample); features are word unigrams + bigrams
+# The target is the DSIR_TARGET_LANG `lang` slice — 'en' by default,
+# env-tunable via SPARK_GRAFT_DSIR_TARGET_LANG (in production: whichever
+# slice plays the high-quality domain sample); features are word unigrams + bigrams
 # hashed into a fixed bucket space; both bag-of-ngram models are
 # Laplace-smoothed. Selection takes docs >= 1 sigma above the corpus
 # mean score — a scale-free cut computed from one scalar aggregate (no
@@ -42,8 +43,32 @@ from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 DSIR_BUCKETS = 8192     # hashed feature space (fixed => feature table is
                         # always broadcastable regardless of corpus size)
 DSIR_ALPHA = 1.0        # Laplace pseudo-count per bucket
-DSIR_TARGET_LANG = "en"  # target-domain slice
 DSIR_SELECT_Z = 1.0     # select docs >= mu + 1 sigma
+
+
+def _dsir_target_from_env() -> str:
+    """Target-domain slice, env-tunable: SPARK_GRAFT_DSIR_TARGET_LANG
+    selects which `lang` value plays the high-quality target sample
+    (the COS_BAND_BITS pattern: engine expression, embedded oracle SQL,
+    and the composed selection_pipeline oracle all regrow from this one
+    constant at import, so the cross-engine contract holds at ANY
+    setting — proven off-default in a subprocess oracle test). Validated
+    because the value is spliced into oracle SQL as a literal."""
+    import os
+    import re as _re
+
+    raw = os.environ.get("SPARK_GRAFT_DSIR_TARGET_LANG", "en")
+    if not _re.fullmatch(r"[A-Za-z-]{2,16}", raw):
+        raise ValueError(
+            f"SPARK_GRAFT_DSIR_TARGET_LANG={raw!r} is not a plausible "
+            "language tag (want 2-16 chars of [A-Za-z-]); it is spliced "
+            "into the DuckDB oracle SQL as a string literal, so "
+            "arbitrary values are refused"
+        )
+    return raw
+
+
+DSIR_TARGET_LANG = _dsir_target_from_env()
 
 _DSIR_TOK_SQL = r"""
         SELECT doc_id,

@@ -110,7 +110,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # DRAIN verification recency debt: a query whose newest driver row is n
 # rounds old re-enters the window ahead of recently-proven code even when
 # nothing changed, so no query's last driver check can age indefinitely
-# (with a 146-query registry and a 50-slot window, a full recheck cycle
+# (with a ~150-query registry and a 50-slot window, a full recheck cycle
 # is ~3 rounds).
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -366,3 +366,45 @@ def test_dsir_degenerate_corpora(spark, tmp_path):
     assert row.n_feats == 5  # 3 unigrams + 2 bigrams
     assert row.dsir_z != row.dsir_z or row.dsir_z is None  # NaN/None
     assert not bool(row.selected)
+
+
+def test_dsir_target_lang_env_knob():
+    """SPARK_GRAFT_DSIR_TARGET_LANG re-targets the importance model: the
+    engine expression, the embedded oracle SQL, and the composed
+    selection_pipeline oracle all regrow from the one constant at
+    import, so the cross-engine contract must hold at a NON-default
+    setting. Prove it in a fresh subprocess (import-time constant) by
+    running the full Spark-vs-DuckDB comparison targeted at 'de'."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_DSIR_TARGET_LANG="de")
+    out = subprocess.run(
+        [sys.executable, "tools/check.py", "/root/testdata/sf0.001",
+         "dsir_logratio_scores", "selection_pipeline"],
+        env=env, capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "2/2 queries match" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_dsir_target_lang_env_validation():
+    """The knob is spliced into oracle SQL as a literal, so implausible
+    values must be refused at import with a clear message."""
+    import subprocess
+    import sys
+    import os
+
+    code = (
+        "import sys; sys.path.insert(0, '.');\n"
+        "from reddit_sentiment_spark_streaming_pipeline_spark.operators import selection\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_DSIR_TARGET_LANG="en' OR '1'='1")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode != 0
+    assert "SPARK_GRAFT_DSIR_TARGET_LANG" in out.stderr
