@@ -58,12 +58,12 @@ def _dsir_target_from_env() -> str:
     import re as _re
 
     raw = os.environ.get("SPARK_GRAFT_DSIR_TARGET_LANG", "en")
-    if not _re.fullmatch(r"[A-Za-z-]{2,16}", raw):
+    if not _re.fullmatch(r"[A-Za-z][A-Za-z0-9-]{1,15}", raw):
         raise ValueError(
             f"SPARK_GRAFT_DSIR_TARGET_LANG={raw!r} is not a plausible "
-            "language tag (want 2-16 chars of [A-Za-z-]); it is spliced "
-            "into the DuckDB oracle SQL as a string literal, so "
-            "arbitrary values are refused"
+            "language tag (want a letter then 1-15 of [A-Za-z0-9-], "
+            "BCP-47-shaped); it is spliced into the DuckDB oracle SQL "
+            "as a string literal, so arbitrary values are refused"
         )
     return raw
 
@@ -183,7 +183,19 @@ def dsir_logratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw_cnt").alias("n_raw"), F.sum("tgt_cnt").alias("n_tgt")
     )
     a, b = F.lit(DSIR_ALPHA), F.lit(float(DSIR_BUCKETS))
-    lr = ftab.crossJoin(F.broadcast(tot)).select(
+    # A typo'd/mismatched target tag passes the shape validation but
+    # matches zero rows, degenerating the whole importance model to a
+    # function of raw counts — fail LOUD instead (assert_true rides the
+    # existing 1-row tot broadcast: no extra job, no extra scan).
+    tgt_ok = F.assert_true(
+        F.col("n_tgt") > 0,
+        F.lit(
+            f"DSIR target slice lang={DSIR_TARGET_LANG!r} matched no "
+            "feature occurrences — check SPARK_GRAFT_DSIR_TARGET_LANG "
+            "against the corpus lang values"
+        ),
+    )
+    lr = ftab.crossJoin(F.broadcast(tot)).filter(tgt_ok.isNull()).select(
         "bucket",
         F.round(
             F.log((F.col("tgt_cnt") + a) / (F.col("n_tgt") + a * b))

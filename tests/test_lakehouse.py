@@ -408,3 +408,18 @@ def test_dsir_target_lang_env_validation():
     )
     assert out.returncode != 0
     assert "SPARK_GRAFT_DSIR_TARGET_LANG" in out.stderr
+
+
+def test_dsir_empty_target_slice_fails_loud(spark, tmp_path):
+    """A typo'd target tag passes shape validation but matches no rows;
+    the importance model must fail LOUD (assert_true riding the 1-row
+    tot broadcast), not silently degenerate to raw counts."""
+    import pytest
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import dsir_logratio_scores
+
+    docs = [(0, "alpha beta gamma", "de", "s0", 16),
+            (1, "beta gamma delta", "fr", "s0", 16)]
+    _write_selection_fixture(spark, str(tmp_path), docs_rows=docs)
+    with pytest.raises(Exception, match="DSIR target slice"):
+        dsir_logratio_scores(spark, str(tmp_path)).collect()

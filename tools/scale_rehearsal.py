@@ -1004,6 +1004,19 @@ def main() -> None:
             }
             for q in QUERIES
         },
+        # semantic env knobs: these re-derive query contracts WITHOUT
+        # changing any source fingerprint, so the artifact must record
+        # the values it actually measured under (a committed artifact
+        # produced under a non-default knob would otherwise silently
+        # back the default contract's scale claims —
+        # tests/test_scale_evidence.py asserts committed artifacts
+        # carry the defaults)
+        "env_knobs": {
+            "SPARK_GRAFT_COS_BAND_BITS":
+                os.environ.get("SPARK_GRAFT_COS_BAND_BITS", "24"),
+            "SPARK_GRAFT_DSIR_TARGET_LANG":
+                os.environ.get("SPARK_GRAFT_DSIR_TARGET_LANG", "en"),
+        },
         "replicas": REPLICAS,
         "base": base,
         "big": big,
