@@ -423,3 +423,17 @@ def test_dsir_empty_target_slice_fails_loud(spark, tmp_path):
     _write_selection_fixture(spark, str(tmp_path), docs_rows=docs)
     with pytest.raises(Exception, match="DSIR target slice"):
         dsir_logratio_scores(spark, str(tmp_path)).collect()
+
+
+def test_oracle_of_error_paths():
+    """oracle_of must name the module-order contract for unregistered
+    names (a composing query importing before its constituent) and
+    refuse oracle-less queries explicitly."""
+    import pytest
+
+    from reddit_sentiment_spark_streaming_pipeline_spark import registry
+
+    registry.load_all()
+    with pytest.raises(ValueError, match="_QUERY_MODULES order"):
+        registry.oracle_of("no_such_query_xyz")
+    assert "SELECT" in registry.oracle_of("dsir_logratio_scores").upper()
