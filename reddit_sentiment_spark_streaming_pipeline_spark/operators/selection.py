@@ -44,6 +44,10 @@ DSIR_BUCKETS = 8192     # hashed feature space (fixed => feature table is
                         # always broadcastable regardless of corpus size)
 DSIR_ALPHA = 1.0        # Laplace pseudo-count per bucket
 DSIR_SELECT_Z = 1.0     # select docs >= mu + 1 sigma
+# single source of truth for the knob default: the rehearsal artifact
+# stamper and the default-knob guard test both import THIS constant, so
+# a changed default can never silently mislabel committed artifacts
+DSIR_TARGET_LANG_DEFAULT = "en"
 
 
 def _dsir_target_from_env() -> str:
@@ -57,7 +61,7 @@ def _dsir_target_from_env() -> str:
     import os
     import re as _re
 
-    raw = os.environ.get("SPARK_GRAFT_DSIR_TARGET_LANG", "en")
+    raw = os.environ.get("SPARK_GRAFT_DSIR_TARGET_LANG", DSIR_TARGET_LANG_DEFAULT)
     if not _re.fullmatch(r"[A-Za-z][A-Za-z0-9-]{1,15}", raw):
         raise ValueError(
             f"SPARK_GRAFT_DSIR_TARGET_LANG={raw!r} is not a plausible "
@@ -69,6 +73,33 @@ def _dsir_target_from_env() -> str:
 
 
 DSIR_TARGET_LANG = _dsir_target_from_env()
+
+def dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) hashed uni+bigram feature stream — the
+    shared front end of the batch scorer, the frozen-model builder, and
+    the streaming selection gate's per-batch scoring (one definition so
+    the stream can never drift from the oracle-checked twin). Gram
+    arrays build per-row inside codegen; token-less docs vanish at the
+    explode filter."""
+    t = tokens("text")
+    toked = docs.select("doc_id", "lang", t.alias("toks"))
+    tc = F.col("toks")
+    bigrams = F.when(
+        F.size(tc) >= 2,
+        F.zip_with(
+            F.slice(tc, 1, F.size(tc) - 1),
+            F.slice(tc, 2, F.size(tc) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    buckets = F.transform(
+        F.concat(tc, bigrams),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long")
+        % DSIR_BUCKETS,
+    )
+    gen, keep = explode_clean(buckets, "bucket")
+    return toked.select("doc_id", "lang", gen).filter(keep)
+
 
 _DSIR_TOK_SQL = r"""
         SELECT doc_id,
@@ -146,24 +177,7 @@ _DSIR_TOK_SQL = r"""
 )
 def dsir_logratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    toked = docs.select("doc_id", "lang", t.alias("toks"))
-    tc = F.col("toks")
-    bigrams = F.when(
-        F.size(tc) >= 2,
-        F.zip_with(
-            F.slice(tc, 1, F.size(tc) - 1),
-            F.slice(tc, 2, F.size(tc) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    buckets = F.transform(
-        F.concat(tc, bigrams),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long")
-        % DSIR_BUCKETS,
-    )
-    gen, keep = explode_clean(buckets, "bucket")
-    feat = toked.select("doc_id", "lang", gen).filter(keep)
+    feat = dsir_features(docs)
 
     # The bucket table is <= DSIR_BUCKETS rows but its build scans the
     # full gram stream; without a cut both `tot` and `lr` would re-derive
@@ -224,6 +238,180 @@ def dsir_logratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("dsir_z"),
         F.coalesce(z >= DSIR_SELECT_Z, F.lit(False)).alias("selected"),
     )
+
+
+# ------------------- frozen-model DSIR admission (streaming gate's twin)
+
+# Calibration sample for the FROZEN selection model: the doc_id % MOD
+# == 0 slice plays the curated reference corpus a production deployment
+# would freeze the model on before opening the ingest stream.
+SELECTION_CAL_MOD = 10
+
+
+def dsir_frozen_model(feat_cal: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(lr, params): the FROZEN selection model from a calibration
+    feature stream (dsir_features of the calibration docs).
+
+    lr covers the FULL bucket domain — exactly DSIR_BUCKETS rows via a
+    range⋈counts left join, so it stays broadcastable at any corpus
+    size AND a scored doc can never present a bucket the model lacks
+    (unseen buckets carry the pure-Laplace logratio, the natural
+    count-zero smoothing). params is ONE row (mu, sigma) over the
+    calibration docs' 6-dp scores: the admission threshold mu + z*sigma
+    is frozen with the model, never recomputed from a batch — admission
+    must not depend on micro-batch composition."""
+    spark = feat_cal.sparkSession
+    counts = feat_cal.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tgt_cnt"),
+    )
+    ftab = (
+        spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("raw_cnt", F.lit(0)).alias("raw_cnt"),
+            F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+        )
+        # one materialization feeds tot, lr, and the calibration scoring
+        # pass (same rationale as dsir_logratio_scores' ftab checkpoint)
+        .localCheckpoint(eager=False)
+    )
+    tot = ftab.agg(
+        F.sum("raw_cnt").alias("n_raw"), F.sum("tgt_cnt").alias("n_tgt")
+    )
+    a, b = F.lit(DSIR_ALPHA), F.lit(float(DSIR_BUCKETS))
+    tgt_ok = F.assert_true(
+        F.col("n_tgt") > 0,
+        F.lit(
+            f"frozen DSIR model: target slice lang={DSIR_TARGET_LANG!r} "
+            "matched no calibration feature occurrences — check "
+            "SPARK_GRAFT_DSIR_TARGET_LANG against the calibration corpus"
+        ),
+    )
+    lr = ftab.crossJoin(F.broadcast(tot)).filter(tgt_ok.isNull()).select(
+        "bucket",
+        F.round(
+            F.log((F.col("tgt_cnt") + a) / (F.col("n_tgt") + a * b))
+            - F.log((F.col("raw_cnt") + a) / (F.col("n_raw") + a * b)),
+            9,
+        ).alias("logratio"),
+    )
+    cal_scores = (
+        feat_cal.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logratio"), 6).alias("s"))
+    )
+    params = cal_scores.agg(
+        F.avg("s").alias("mu"), F.stddev_samp("s").alias("sigma")
+    )
+    return lr, params
+
+
+def dsir_score_against_model(feat: DataFrame, lr: DataFrame,
+                             params: DataFrame) -> DataFrame:
+    """Score a feature stream against a FROZEN model: broadcast-hash join
+    to the bounded lr table, map-side-combined per-doc aggregate, then
+    the frozen 1-row params broadcast decides admission — per-doc and
+    independent of every other doc, which is what makes the streaming
+    gate's per-batch scoring equal the batch twin by construction."""
+    per_doc = (
+        feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("logratio"), 6).alias("dsir_logratio"),
+        )
+    )
+    z = F.round((F.col("dsir_logratio") - F.col("mu")) / F.col("sigma"), 4)
+    return per_doc.crossJoin(F.broadcast(params)).select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "dsir_logratio",
+        z.alias("sel_z"),
+        F.coalesce(z >= DSIR_SELECT_Z, F.lit(False)).alias("admitted"),
+    )
+
+
+@register(
+    "incremental_selection_gate",
+    oracle=f"""
+    WITH tok AS (SELECT * FROM ({_DSIR_TOK_SQL}) WHERE word <> ''),
+    grams AS (
+        SELECT doc_id, word AS gram FROM tok
+        UNION ALL
+        SELECT doc_id,
+               word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+        FROM tok
+        QUALIFY lead(word) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+        FROM grams
+    ),
+    fl AS (
+        SELECT f.doc_id, d.lang, f.bucket
+        FROM feat f JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+    ),
+    cal AS (SELECT * FROM fl WHERE doc_id % {SELECTION_CAL_MOD} = 0),
+    cnts AS (
+        SELECT bucket, count(*) AS raw_cnt,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_cnt
+        FROM cal GROUP BY bucket
+    ),
+    ftab AS (
+        SELECT b.bucket, coalesce(raw_cnt, 0) AS raw_cnt,
+               coalesce(tgt_cnt, 0) AS tgt_cnt
+        FROM range({DSIR_BUCKETS}) b(bucket) LEFT JOIN cnts USING (bucket)
+    ),
+    tot AS (SELECT sum(raw_cnt) AS n_raw, sum(tgt_cnt) AS n_tgt FROM ftab),
+    lr AS (
+        SELECT bucket,
+               round(ln((tgt_cnt + {DSIR_ALPHA}) / (n_tgt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                   - ln((raw_cnt + {DSIR_ALPHA}) / (n_raw + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9)
+                   AS logratio
+        FROM ftab CROSS JOIN tot
+    ),
+    cal_scores AS (
+        SELECT doc_id, round(avg(logratio), 6) AS s
+        FROM cal JOIN lr USING (bucket) GROUP BY doc_id
+    ),
+    params AS (SELECT avg(s) AS mu, stddev_samp(s) AS sigma FROM cal_scores),
+    per_doc AS (
+        SELECT fl.doc_id, fl.lang, count(*) AS n_feats,
+               round(avg(lr.logratio), 6) AS dsir_logratio
+        FROM fl JOIN lr USING (bucket) GROUP BY fl.doc_id, fl.lang
+    )
+    SELECT p.doc_id, p.lang, p.n_feats, p.dsir_logratio,
+           round((p.dsir_logratio - mu) / sigma, 4) AS sel_z,
+           coalesce(round((p.dsir_logratio - mu) / sigma, 4) >= {DSIR_SELECT_Z}, false)
+               AS admitted
+    FROM per_doc p CROSS JOIN params
+    """,
+    doc="The streaming DSIR selection gate's batch twin — the "
+    "oracle-checked semantics spec for streaming/selection.py. Model "
+    "FROZEN on the doc_id % SELECTION_CAL_MOD == 0 calibration slice "
+    "(full-domain Laplace bucket table + mu/sigma threshold), then "
+    "every corpus doc scored against it and admitted at sel_z >= "
+    "DSIR_SELECT_Z. Because the model and threshold are frozen and "
+    "scoring is per-doc, admission is independent of batch boundaries "
+    "— the streaming gate over ANY chunking of the corpus drains to "
+    "exactly this set (tests/test_streaming.py). Scale shape: the "
+    "model is DSIR_BUCKETS+1 broadcast rows however large the corpus; "
+    "scoring is a broadcast join + map-side-combined doc aggregate; "
+    "no store, so per-batch cost never grows with stream lifetime.",
+)
+def incremental_selection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cal = dsir_features(
+        docs.filter(F.col("doc_id") % SELECTION_CAL_MOD == 0)
+    )
+    lr, params = dsir_frozen_model(cal)
+    return dsir_score_against_model(dsir_features(docs), lr, params)
 
 
 # --------------------------- semantic benchmark decontamination (eval set)

@@ -342,13 +342,19 @@ COS_BANDS = 8
 # contract is invariant in the width, which
 # tests/test_similarity.py::test_cos_band_bits_env_widening proves by
 # running the oracle comparison in a subprocess at a non-default width.
+# single source of truth for the knob default (imported by the rehearsal
+# artifact stamper and the default-knob guard test — see
+# selection.DSIR_TARGET_LANG_DEFAULT for the rationale)
+COS_BAND_BITS_DEFAULT = 24
+
+
 def _cos_band_bits_from_env() -> int:
     """Validated read of the production sizing knob. Bounds are hard:
     below 8 the mask drops under COS_MIN_BITS; at ≥ 31 the bucket mask's
     shiftleft(1, bits) wraps 32-bit int arithmetic in Spark SQL and the
     mask goes negative/zero — fail at import with a clear message
     instead of silently mis-bucketing."""
-    raw = os.environ.get("SPARK_GRAFT_COS_BAND_BITS", "24")
+    raw = os.environ.get("SPARK_GRAFT_COS_BAND_BITS", str(COS_BAND_BITS_DEFAULT))
     try:
         bits = int(raw)
     except ValueError:

@@ -519,6 +519,68 @@ NEARDUP_STORE_SCHEMA = (
 )
 
 
+def neardup_rejected(fps: DataFrame, store: DataFrame | None,
+                     batch_rows: int | None = None) -> DataFrame:
+    """Batch doc_ids rejected by a smaller-id SimHash near-match — within
+    the batch or against the (already batch_id-filtered) durable store.
+
+    Normal regime: the store's chunk rows stream map-side against the
+    BROADCAST batch chunk rows (the novel_against_store inversion) — the
+    store is scanned once and never shuffled, whatever its depth, and
+    Hamming verifies inline so only rejected batch doc_ids survive.
+
+    The inversion pins the batch's chunk rows (4 per doc via
+    simhash_chunk_rows) in every executor, so — exactly like
+    novel_against_store — it is gated on the measured batch size
+    ``batch_rows`` (the count neardup_gate_batch has already paid for).
+    A pathological batch (a backfill replay delivering the whole history
+    in one trigger) above GATE_BATCH_BROADCAST_MAX // 4 docs (÷4: the
+    broadcast carries chunk ROWS, not docs) falls back to sort-free
+    shuffle-hash joins on (ci, cv): the store shuffles once for THAT
+    batch (linear, slow-but-correct) instead of the broadcast pinning
+    4×batch rows per executor or OOM-ing the driver building it. The
+    within-batch self-join takes the same hint in the fallback so a
+    backfill batch never sorts 4×batch rows twice. ``batch_rows=None``
+    (plan dumps) keeps the broadcast shape. Both regimes plan-pinned in
+    tests/test_plans.py; fallback-equals-broadcast admission proven in
+    tests/test_streaming.py.
+    """
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
+        hamming_expr,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        HAMMING_THRESHOLD,
+        simhash_chunk_rows,
+    )
+
+    fallback = (batch_rows is not None
+                and batch_rows > GATE_BATCH_BROADCAST_MAX // 4)
+    bcl = simhash_chunk_rows(fps.select("doc_id", "h0", "h1", "h2", "h3"))
+    a = bcl.select("ci", "cv", F.col("d").alias("a"))
+    b = bcl.select("ci", "cv", F.col("d").alias("b"))
+    ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
+    within = (
+        a.join(b.hint("shuffle_hash") if fallback else b, ["ci", "cv"])
+        .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+        .filter(ham_ab <= HAMMING_THRESHOLD)
+        .select(F.col("a.doc_id").alias("doc_id"))
+    )
+    if store is None:
+        return within
+    scl = simhash_chunk_rows(
+        store.select("doc_id", "h0", "h1", "h2", "h3")
+    ).select("ci", "cv", F.col("d").alias("s"))
+    ham_sb = F.expr(hamming_expr("s.h", "a.h", "spark"))
+    batch_side = a.hint("shuffle_hash") if fallback else F.broadcast(a)
+    vs_store = (
+        scl.join(batch_side, ["ci", "cv"])
+        .filter(F.col("s.doc_id") < F.col("a.doc_id"))
+        .filter(ham_sb <= HAMMING_THRESHOLD)
+        .select(F.col("a.doc_id").alias("doc_id"))
+    )
+    return within.unionByName(vs_store)
+
+
 def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                        stats_dir: str) -> None:
     """Admit each batch doc iff NO smaller-id seen doc is a SimHash
@@ -535,23 +597,16 @@ def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     stats row is per-partition overwritten — a foreachBatch replay
     recomputes the identical decision set.
 
-    Scale shape: the store is scanned ONCE per micro-batch and never
-    shuffled — its chunk rows join map-side against the BROADCAST batch
-    chunk rows (4 rows per batch doc), the same inversion
-    novel_against_store documents; Hamming verifies inline during that
-    join, so only rejected batch doc_ids survive. Within-batch pairs use
-    the same banded self-join over the 4xbatch chunk rows. A degenerate
+    Scale shape: see neardup_rejected — store never shuffled in the
+    normal regime (chunk rows stream map-side vs the broadcast batch),
+    with the broadcast gated on the measured batch size and a sort-free
+    shuffle-hash fallback for backfill-sized batches. A degenerate
     chunk value whose store bucket floods grows the per-batch verify
     linearly with that bucket — bounded by the store scan the gate
     already pays, never by |store|^2.
     """
     spark = batch_df.sparkSession
-    from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
-        hamming_expr,
-    )
     from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
-        HAMMING_THRESHOLD,
-        simhash_chunk_rows,
         simhash_fp,
     )
 
@@ -575,37 +630,17 @@ def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         n_batch = fps.count()
         base.unpersist()
         assert_store_not_mid_compaction(spark, store_dir)
-        bcl = simhash_chunk_rows(
-            fps.select("doc_id", "h0", "h1", "h2", "h3")
-        )
-        a = bcl.select("ci", "cv", F.col("d").alias("a"))
-        b = bcl.select("ci", "cv", F.col("d").alias("b"))
-        ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
-        within = (
-            a.join(b, ["ci", "cv"])
-            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
-            .filter(ham_ab <= HAMMING_THRESHOLD)
-            .select(F.col("a.doc_id").alias("doc_id"))
-        )
-        rejected = within
+        store = None
         if _store_path_exists(spark, store_dir):
             store = (
                 spark.read.schema(NEARDUP_STORE_SCHEMA)
                 .parquet(store_dir)
                 .filter(F.col("batch_id") < batch_id)
             )
-            scl = simhash_chunk_rows(
-                store.select("doc_id", "h0", "h1", "h2", "h3")
-            ).select("ci", "cv", F.col("d").alias("s"))
-            ham_sb = F.expr(hamming_expr("s.h", "a.h", "spark"))
-            vs_store = (
-                scl.join(F.broadcast(a), ["ci", "cv"])
-                .filter(F.col("s.doc_id") < F.col("a.doc_id"))
-                .filter(ham_sb <= HAMMING_THRESHOLD)
-                .select(F.col("a.doc_id").alias("doc_id"))
-            )
-            rejected = rejected.unionByName(vs_store)
-        rejected = rejected.distinct().withColumn("r", F.lit(1))
+        rejected = (
+            neardup_rejected(fps, store, batch_rows=n_batch)
+            .distinct().withColumn("r", F.lit(1))
+        )
         out = fps.join(rejected, "doc_id", "left").select(
             "doc_id", "source", "h0", "h1", "h2", "h3",
             F.col("r").isNull().alias("admitted"),

@@ -63,8 +63,8 @@ def test_every_backticked_query_name_is_registered():
         "novel_against_store", "after_batch_hook", "forced_gates",
         "start_windowed_parquet_query", "start_join_parquet_query",
         "compact_store", "assert_store_not_mid_compaction",
-            # artifact JSON keys referenced by the changelog
-            "env_knobs",
+        # artifact JSON keys referenced by the changelog
+        "env_knobs",
         "start_neardup_gate", "neardup_gate_batch", "chaos_compaction",
         "start_pipeline", "twin_merged_base_docs",
         # compact_store swap-window names (chaos-compact rehearsal)

@@ -515,6 +515,64 @@ def test_gate_pathological_batch_falls_back_to_shuffle_hash(spark, sf_dir):
     assert "ShuffledHashJoin LeftAnti" in plan, plan
 
 
+def _neardup_gate_plan(spark, sf_dir, batch_rows):
+    # synthetic no-join fps frame (production fps is a persisted cache, so
+    # its upstream join never appears in the per-batch plan): the plan's
+    # exchanges all belong to neardup_rejected itself
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import neardup_rejected
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = docs.select(
+        "doc_id", "source",
+        *[(F.col("doc_id") % (97 + c)).cast("int").alias(f"h{c}") for c in range(4)],
+    )
+    store = fps.withColumn("admitted", F.lit(True)).withColumn("batch_id", F.lit(0))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            neardup_rejected(fps, store, batch_rows=batch_rows).explain("formatted")
+        return buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_neardup_gate_store_never_shuffles_in_broadcast_regime(spark, sf_dir):
+    # normal regime (batch under GATE_BATCH_BROADCAST_MAX // 4 docs): the
+    # store's chunk rows stream map-side against the BROADCAST batch —
+    # exactly one broadcast join, no shuffle-hash anywhere, and the only
+    # exchanges are the within-batch self-join's two batch-side shuffles
+    # (the store branch contributes zero: scanned once, never shuffled)
+    plan = _neardup_gate_plan(spark, sf_dir, batch_rows=100)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count(") Exchange") == 2, plan
+
+
+def test_neardup_gate_pathological_batch_falls_back_to_shuffle_hash(spark, sf_dir):
+    # a backfill-sized batch (> GATE_BATCH_BROADCAST_MAX // 4 docs, i.e.
+    # 4x chunk rows over the broadcast cap) must NOT pin 4xbatch chunk
+    # rows in every executor: both (ci, cv) joins degrade to sort-free
+    # shuffle-hash — store shuffles once for that batch, nothing sorts,
+    # nothing broadcasts
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import GATE_BATCH_BROADCAST_MAX
+
+    cap = GATE_BATCH_BROADCAST_MAX // 4
+    plan = _neardup_gate_plan(spark, sf_dir, batch_rows=cap + 1)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count(") ShuffledHashJoin") == 2, plan
+    # boundary: exactly at the cap the broadcast shape must survive
+    at_cap = _neardup_gate_plan(spark, sf_dir, batch_rows=cap)
+    assert "BroadcastHashJoin" in at_cap, at_cap
+
+
 def test_token_stats_is_shuffle_free(spark, sf_dir):
     """token_stats' group key (doc_id) is row-local — every token of a
     doc lives in the doc's own text row — so the per-doc stats compute
@@ -565,3 +623,46 @@ def test_docset_verify_fallback_is_spillable_sort_merge(spark, sf_dir, monkeypat
     plan = buf.getvalue()
     assert "SortMergeJoin" in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_selection_gate_scoring_is_single_exchange(spark, sf_dir, tmp_path):
+    # the streaming selection gate's per-batch plan against the FROZEN
+    # on-disk model: hashed-gram features join the ~8k-row lr table via
+    # an explicit broadcast (survives threshold=-1), the 1-row params
+    # ride a broadcast too, and the ONLY exchange is the map-side-
+    # combined per-doc aggregate — no sort-merge, no shuffle-hash, no
+    # batch-proportional broadcast, no store
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SELECTION_CAL_MOD,
+        dsir_features,
+        dsir_score_against_model,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import (
+        freeze_selection_model,
+        read_selection_model,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model_dir = str(tmp_path / "model")
+    freeze_selection_model(
+        docs.filter(F.col("doc_id") % SELECTION_CAL_MOD == 0), model_dir
+    )
+    lr, params = read_selection_model(spark, model_dir)
+    scored = dsir_score_against_model(
+        dsir_features(docs.select("doc_id", "lang", "text")), lr, params
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            scored.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count(") Exchange") == 1, plan

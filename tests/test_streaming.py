@@ -840,3 +840,191 @@ def test_streaming_dedup_gate_survives_restart(spark, tmp_path):
     assert store.select("fingerprint").distinct().count() == n_distinct
     # the resumed drain processed only the held-back chunks: 4 batches total
     assert read_gate_stats(spark, out_root).count() == 4
+
+
+def test_neardup_gate_fallback_reaches_same_admission_set(spark, tmp_path, monkeypatch):
+    """A backfill-sized batch (over GATE_BATCH_BROADCAST_MAX // 4 docs)
+    must route through the shuffle-hash fallback and still admit EXACTLY
+    the batch twin's set — the fallback changes the physical join
+    strategy, never the decision. Cap monkeypatched tiny so real sf0.001
+    batches exceed it; both the within-batch and vs-store fallback paths
+    run (two batches, second sees a populated store)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        incremental_neardup_gate,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming import dedup as sd
+
+    monkeypatch.setattr(sd, "GATE_BATCH_BROADCAST_MAX", 8)  # cap = 2 docs/batch
+
+    sf_dir = "/root/testdata/sf0.001"
+    out_root = str(tmp_path / "ngate_fb")
+    store_dir = f"{out_root}/neardup_store"
+    stats_dir = f"{out_root}/neardup_stats"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    sd.neardup_gate_batch(docs.filter(F.col("doc_id") <= mid), 0, store_dir, stats_dir)
+    sd.neardup_gate_batch(docs.filter(F.col("doc_id") > mid), 1, store_dir, stats_dir)
+
+    got = {
+        (r.doc_id, r.admitted)
+        for r in spark.read.parquet(store_dir).select("doc_id", "admitted").collect()
+    }
+    # the twin runs over base docs + its synthetic incoming snapshot; the
+    # gate here saw only the base docs — compare on that slice
+    base_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    want = {
+        (r.doc_id, r.admitted)
+        for r in incremental_neardup_gate(spark, sf_dir)
+        .select("doc_id", "admitted")
+        .collect()
+        if r.doc_id in base_ids
+    }
+    assert {d for d, _ in got} == base_ids
+    assert got == want
+
+
+def test_selection_gate_matches_batch_twin(spark, tmp_path):
+    """Drained DSIR selection stream == the batch twin, decision for
+    decision — and the frozen model makes that hold for ANY chunking
+    (scores depend only on the model, unlike the dedup gates' id-order
+    requirement). Also pins the freeze-once contract: a restart without
+    cal_docs reuses the on-disk model; a fresh root without cal_docs
+    refuses loudly."""
+    import pytest as _pytest
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SELECTION_CAL_MOD,
+        incremental_selection_gate,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import (
+        read_selection_results,
+        read_selection_stats,
+        read_selection_stream,
+        start_selection_gate,
+        write_selection_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "schunks")
+    out_root = str(tmp_path / "sgate")
+    n = write_selection_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    cal = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % SELECTION_CAL_MOD == 0)
+    )
+
+    q = start_selection_gate(read_selection_stream(spark, chunk_dir), out_root, cal)
+    try:
+        q.processAllAvailable()
+        input_rows = sum(p.numInputRows for p in q.recentProgress)
+    finally:
+        q.stop()
+
+    # single-source-scan contract: raw count + scored build share one
+    # persisted projection (see selection_gate_batch)
+    assert input_rows == n
+
+    got = {
+        (r.doc_id, r.admitted, r.sel_z)
+        for r in read_selection_results(spark, out_root)
+        .select("doc_id", "admitted", "sel_z")
+        .collect()
+    }
+    want = {
+        (r.doc_id, r.admitted, r.sel_z)
+        for r in incremental_selection_gate(spark, sf_dir)
+        .select("doc_id", "admitted", "sel_z")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    stats = read_selection_stats(spark, out_root).toPandas()
+    assert stats.n_batch.sum() == n
+    assert stats.n_scored.sum() == len(want)
+    assert stats.n_admitted.sum() == sum(1 for _, a, _z in want if a)
+    assert stats.n_batch.count() >= 2  # really micro-batched
+
+    # freeze-once: restart over the SAME root without cal_docs reuses the
+    # durable model (nothing new to drain; the start itself must not
+    # demand calibration data)
+    q2 = start_selection_gate(read_selection_stream(spark, chunk_dir), out_root)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert read_selection_results(spark, out_root).count() == len(want)
+
+    # a fresh root with no model and no cal_docs must refuse loudly
+    with _pytest.raises(ValueError, match="no frozen model"):
+        start_selection_gate(
+            read_selection_stream(spark, chunk_dir), str(tmp_path / "fresh")
+        )
+
+
+def test_selection_gate_crash_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay contract under a crash AFTER the batch's side
+    effects but BEFORE the checkpoint commit (the dedup gates' chaos
+    window, injected via after_batch_hook): the restart replays the
+    crashed batch against the immutable frozen model, its partition
+    overwrite repairs any partial write, and the drained results + stats
+    equal an uninterrupted control's exactly."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SELECTION_CAL_MOD,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import (
+        read_selection_results,
+        read_selection_stats,
+        read_selection_stream,
+        start_selection_gate,
+        write_selection_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "chunks")
+    write_selection_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    cal = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % SELECTION_CAL_MOD == 0)
+    )
+
+    def drain(root, hook=None):
+        q = start_selection_gate(
+            read_selection_stream(spark, chunk_dir), root, cal,
+            after_batch_hook=hook,
+        )
+        try:
+            q.processAllAvailable()
+        except StreamingQueryException:
+            assert hook is not None  # only the injected crash may raise
+        finally:
+            q.stop()
+
+    ctrl = str(tmp_path / "ctrl")
+    drain(ctrl)
+
+    crashed = []
+
+    def hook(bid):
+        if bid == 1 and not crashed:
+            crashed.append(bid)
+            raise RuntimeError("chaos: crash after side effects, before commit")
+
+    chaos = str(tmp_path / "chaos")
+    drain(chaos, hook=hook)
+    assert crashed == [1]
+    drain(chaos)  # resume from the checkpoint; model must NOT re-freeze
+
+    cols = ["doc_id", "admitted", "sel_z", "dsir_logratio"]
+    ctrl_rows = {tuple(r) for r in read_selection_results(spark, ctrl).select(cols).collect()}
+    chaos_rows = {tuple(r) for r in read_selection_results(spark, chaos).select(cols).collect()}
+    assert chaos_rows == ctrl_rows
+
+    cs = read_selection_stats(spark, ctrl).toPandas()
+    xs = read_selection_stats(spark, chaos).toPandas()
+    assert cs.n_batch.sum() == xs.n_batch.sum()
+    assert cs.n_admitted.sum() == xs.n_admitted.sum()

@@ -64,7 +64,26 @@ sys.path.insert(0, _REPO_ROOT)
 from pyspark.sql import functions as F  # noqa: E402
 
 from reddit_sentiment_spark_streaming_pipeline_spark import registry  # noqa: E402
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (  # noqa: E402
+    DSIR_TARGET_LANG_DEFAULT,
+)
+from reddit_sentiment_spark_streaming_pipeline_spark.operators.similarity import (  # noqa: E402
+    COS_BAND_BITS_DEFAULT,
+)
 from reddit_sentiment_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+
+# knob defaults imported from the modules that OWN them (one source of
+# truth): a changed module default flows into both the artifact stamp
+# below and tests/test_scale_evidence.py's default-knob guard
+KNOB_DEFAULTS = {
+    "SPARK_GRAFT_COS_BAND_BITS": str(COS_BAND_BITS_DEFAULT),
+    "SPARK_GRAFT_DSIR_TARGET_LANG": DSIR_TARGET_LANG_DEFAULT,
+}
+
+
+def _env_knobs() -> dict[str, str]:
+    return {k: os.environ.get(k, d) for k, d in KNOB_DEFAULTS.items()}
+
 
 REPLICAS = 10
 QUERIES = [
@@ -1011,12 +1030,7 @@ def main() -> None:
         # back the default contract's scale claims —
         # tests/test_scale_evidence.py asserts committed artifacts
         # carry the defaults)
-        "env_knobs": {
-            "SPARK_GRAFT_COS_BAND_BITS":
-                os.environ.get("SPARK_GRAFT_COS_BAND_BITS", "24"),
-            "SPARK_GRAFT_DSIR_TARGET_LANG":
-                os.environ.get("SPARK_GRAFT_DSIR_TARGET_LANG", "en"),
-        },
+        "env_knobs": _env_knobs(),
         "replicas": REPLICAS,
         "base": base,
         "big": big,

@@ -28,7 +28,7 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-compact|compaction]
+           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-compact|chaos-compact-neardup|compaction]
            [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
@@ -263,7 +263,10 @@ def main() -> None:
     if "--compact-crash" in args:
         # child-process mode for chaos_compaction: die mid-swap for real
         i = args.index("--compact-crash")
-        _compact_crash_child_main(args[i + 1], args[i + 2], int(args[i + 3]))
+        _compact_crash_child_main(
+            args[i + 1], args[i + 2], int(args[i + 3]),
+            args[i + 4] if len(args) > i + 4 else "exact",
+        )
         return
     if "--replicas" in args:
         i = args.index("--replicas")
@@ -336,17 +339,24 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    if scenario == "chaos-compact":
-        # kill a REAL process mid-compact_store swap, once per window
+    if scenario in ("chaos-compact", "chaos-compact-neardup"):
+        # kill a REAL process mid-compact_store swap, once per window;
+        # the -neardup variant drives the NEAR-dup gate's store through
+        # the same kills under schema=NEARDUP_STORE_SCHEMA
+        flavor = "neardup" if scenario.endswith("neardup") else "exact"
         big_docs_dir = os.path.join(work, "big_docs")
         import tools.scale_rehearsal as _sr
 
         _sr.REPLICAS = REPLICAS
         _sr.build_fixture(spark, sf_dir, big_docs_dir)
-        result = chaos_compaction(spark, big_docs_dir, work, chunks * REPLICAS)
+        result = chaos_compaction(
+            spark, big_docs_dir, work, chunks * REPLICAS, flavor=flavor
+        )
+        tag = "neardup_gate" if flavor == "neardup" else "gate"
         out = {
-            "rehearsal": f"gate_chaos_compaction_{REPLICAS}x",
+            "rehearsal": f"{tag}_chaos_compaction_{REPLICAS}x",
             "replicas": REPLICAS,
+            "env_knobs": _sr._env_knobs(),
             **result,
         }
         if out_path:
@@ -967,7 +977,8 @@ def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
 _COMPACT_CRASH_WINDOWS = ("tmp_complete", "dest_deleted", "renamed")
 
 
-def _run_compact_crash_child(window: str, store_dir: str, upto: int) -> int:
+def _run_compact_crash_child(window: str, store_dir: str, upto: int,
+                             flavor: str = "exact") -> int:
     """Run compact_store in a REAL separate process that dies (os._exit,
     filesystem-indistinguishable from SIGKILL) at the named swap window.
     Returns the child's exit code (137 = crashed where injected)."""
@@ -976,15 +987,18 @@ def _run_compact_crash_child(window: str, store_dir: str, upto: int) -> int:
 
     return subprocess.run(
         [_sys.executable, os.path.abspath(__file__),
-         "--compact-crash", window, store_dir, str(upto)],
+         "--compact-crash", window, store_dir, str(upto), flavor],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         timeout=600,
     ).returncode
 
 
-def _compact_crash_child_main(window: str, store_dir: str, upto: int) -> None:
+def _compact_crash_child_main(window: str, store_dir: str, upto: int,
+                              flavor: str = "exact") -> None:
     """Child-process entry for --compact-crash: own SparkSession, crash
-    hook armed at `window`, then the real compact_store."""
+    hook armed at `window`, then the real compact_store (with the
+    NEAR-dup store's schema when flavor says so — the same call the
+    production maintenance job would make)."""
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming import dedup as sd
 
     spark = get_spark("compact-crash-child")
@@ -994,12 +1008,14 @@ def _compact_crash_child_main(window: str, store_dir: str, upto: int) -> None:
             os._exit(137)
 
     sd._compact_crash_hook = die
-    sd.compact_store(spark, store_dir, upto)
+    schema = sd.NEARDUP_STORE_SCHEMA if flavor == "neardup" else sd.STORE_SCHEMA
+    sd.compact_store(spark, store_dir, upto, schema=schema)
     # reaching here means the window never fired — report it as failure
     os._exit(3)
 
 
-def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
+def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int,
+                     flavor: str = "exact") -> dict:
     """Kill the process DURING a live compact_store swap — once per swap
     window — and prove the full operational story end-to-end:
 
@@ -1028,18 +1044,46 @@ def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
     simulated in-process by pytest (test_compact_store_cross_bound_orphan
     _recovery), and r8's checkpoint namespacing silently broke the chaos
     rehearsal itself for a round — end-to-end kills are the only evidence
-    class that catches that."""
+    class that catches that.
+
+    `flavor` picks which gate's store is compacted under the kill:
+    "exact" (fingerprint store, default schema) or "neardup" (the
+    SimHash admission store, schema=NEARDUP_STORE_SCHEMA — membership
+    compared on (doc_id, admitted): a flipped admission flag after
+    recovery would be a correctness loss the fingerprint diff can't
+    see). The neardup lap additionally proves the wrong-schema refusal:
+    compact_store pointed at the near-dup store WITHOUT its schema must
+    refuse before any destructive step."""
     import glob as _glob
     import shutil as _sh
 
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        NEARDUP_STORE_SCHEMA,
+        STORE_SCHEMA,
         assert_store_not_mid_compaction,
         compact_store,
         read_doc_stream,
         read_gate_stats,
+        read_neardup_stats,
         start_dedup_gate,
+        start_neardup_gate,
         write_doc_chunks,
     )
+
+    if flavor == "neardup":
+        schema = NEARDUP_STORE_SCHEMA
+        store_name = "neardup_store"
+        member_cols = ["doc_id", "admitted"]
+        start_gate_fn = start_neardup_gate
+        run_gate_fn = run_neardup_gate
+        read_stats_fn = read_neardup_stats
+    else:
+        schema = STORE_SCHEMA
+        store_name = "fingerprint_store"
+        member_cols = ["fingerprint"]
+        start_gate_fn = start_dedup_gate
+        run_gate_fn = run_gate
+        read_stats_fn = read_gate_stats
 
     chunk_dir = os.path.join(work, "chaoscompact_chunks")
     hold_dir = os.path.join(work, "chaoscompact_held")
@@ -1054,7 +1098,7 @@ def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
         held.append((dest, f))
 
     base_root = os.path.join(work, "chaoscompact_base")
-    _, prog1 = run_gate(spark, chunk_dir, base_root, None)
+    _, prog1 = run_gate_fn(spark, chunk_dir, base_root, None)
     n_committed = max(p["batchId"] for p in prog1) + 1
 
     variants = ["ctrl"] + list(_COMPACT_CRASH_WINDOWS)
@@ -1063,12 +1107,36 @@ def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
         roots[v] = os.path.join(work, f"chaoscompact_{v}")
         _sh.copytree(base_root, roots[v])
 
-    store = lambda r: os.path.join(r, "fingerprint_store")  # noqa: E731
-    compact_store(spark, store(roots["ctrl"]), n_committed)
+    store = lambda r: os.path.join(r, store_name)  # noqa: E731
+
+    wrong_schema_refused = None
+    if flavor == "neardup":
+        # the guard this store's silent-drop hazard motivated: the
+        # default (exact) schema pointed at the near-dup store must
+        # refuse BEFORE any destructive step — probe on a scratch copy
+        probe = os.path.join(work, "chaoscompact_schema_probe")
+        _sh.copytree(base_root, probe)
+        try:
+            compact_store(spark, os.path.join(probe, store_name), n_committed)
+            wrong_schema_refused = False
+        except IOError as e:
+            wrong_schema_refused = "wrong `schema`" in str(e)
+        probe_rows = spark.read.schema(schema).parquet(
+            os.path.join(probe, store_name)
+        ).count()
+        base_rows = spark.read.schema(schema).parquet(
+            store(base_root)
+        ).count()
+        wrong_schema_refused = bool(
+            wrong_schema_refused and probe_rows == base_rows
+        )
+
+    compact_store(spark, store(roots["ctrl"]), n_committed, schema=schema)
 
     results: dict[str, dict] = {}
     for w in _COMPACT_CRASH_WINDOWS:
-        rc = _run_compact_crash_child(w, store(roots[w]), n_committed)
+        rc = _run_compact_crash_child(w, store(roots[w]), n_committed,
+                                      flavor=flavor)
         assert_fired = False
         try:
             assert_store_not_mid_compaction(spark, store(roots[w]))
@@ -1085,7 +1153,7 @@ def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     refused = False
-    q = start_dedup_gate(
+    q = start_gate_fn(
         read_doc_stream(spark, chunk_dir), roots["dest_deleted"]
     )
     try:
@@ -1097,38 +1165,40 @@ def chaos_compaction(spark, docs_dir: str, work: str, n_chunks: int) -> dict:
     results["dest_deleted"]["gate_restart_refused"] = refused
     # recovery: the documented operator move — re-run compact_store
     results["dest_deleted"]["recovered_rows"] = compact_store(
-        spark, store(roots["dest_deleted"]), n_committed
+        spark, store(roots["dest_deleted"]), n_committed, schema=schema
     )
 
     # phase-2 drain everywhere (tmp_complete / renamed restart directly —
     # no recovery step by design), then the next scheduled compaction
     finals = {}
     for v in variants:
-        _, prog2 = run_gate(spark, chunk_dir, roots[v], None)
+        _, prog2 = run_gate_fn(spark, chunk_dir, roots[v], None)
         n2 = max(
             [p["batchId"] for p in prog1 + prog2]
         ) + 1
-        compact_store(spark, store(roots[v]), n2)
+        compact_store(spark, store(roots[v]), n2, schema=schema)
         finals[v] = prog2
 
     ctrl_store = spark.read.parquet(store(roots["ctrl"]))
-    ctrl_stats = read_gate_stats(spark, roots["ctrl"])
+    ctrl_stats = read_stats_fn(spark, roots["ctrl"])
     out = {"rows_expected": n_rows, "phase1_batches": n_committed,
-           "windows": results}
+           "flavor": flavor, "windows": results}
+    if wrong_schema_refused is not None:
+        out["wrong_schema_refused"] = wrong_schema_refused
     ok = all(
         r["child_exit"] == 137 for r in results.values()
     ) and results["dest_deleted"]["assert_fired"] and refused and not (
         results["tmp_complete"]["assert_fired"]
         or results["renamed"]["assert_fired"]
-    )
+    ) and wrong_schema_refused is not False
     for w in _COMPACT_CRASH_WINDOWS:
         s = spark.read.parquet(store(roots[w]))
-        st = read_gate_stats(spark, roots[w])
+        st = read_stats_fn(spark, roots[w])
         sym = (
-            ctrl_store.select("fingerprint")
-            .exceptAll(s.select("fingerprint")).count()
-            + s.select("fingerprint")
-            .exceptAll(ctrl_store.select("fingerprint")).count()
+            ctrl_store.select(*member_cols)
+            .exceptAll(s.select(*member_cols)).count()
+            + s.select(*member_cols)
+            .exceptAll(ctrl_store.select(*member_cols)).count()
         )
         stats_sym = (
             ctrl_stats.exceptAll(st).count() + st.exceptAll(ctrl_stats).count()
