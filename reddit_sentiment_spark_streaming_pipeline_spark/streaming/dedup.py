@@ -103,7 +103,19 @@ def _store_path_exists(spark: SparkSession, path: str) -> bool:
 # Most batch fingerprints we'd ever pin executor-resident: md5 hex +
 # join-row overhead ≈ 80 B/row, 2M rows ≈ 160 MB — same sizing logic as
 # the span join-back's SPAN_REP_BROADCAST_MAX (operators/dedup.py).
+# Rehearsal-only env override SPARK_GRAFT_GATE_BATCH_BROADCAST_MAX (the
+# operators/dedup.py _env_gate convention): setting it to 0 forces every
+# batch through the shuffle-hash fallback so the post-switch regime's
+# behavior can be driven at volume, not just plan-pinned; unset, byte-
+# identical to the constant.
 GATE_BATCH_BROADCAST_MAX = 2_000_000
+
+
+def _gate_batch_max() -> int:
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import _env_gate
+
+    return _env_gate("SPARK_GRAFT_GATE_BATCH_BROADCAST_MAX",
+                     GATE_BATCH_BROADCAST_MAX)
 
 
 def novel_against_store(firsts: DataFrame, store: DataFrame,
@@ -129,7 +141,7 @@ def novel_against_store(firsts: DataFrame, store: DataFrame,
     slow-but-correct) instead of the broadcast OOM-ing the driver.
     ``batch_rows=None`` (tests, plan dumps) keeps the broadcast shape.
     """
-    if batch_rows is not None and batch_rows > GATE_BATCH_BROADCAST_MAX:
+    if batch_rows is not None and batch_rows > _gate_batch_max():
         return firsts.join(
             store.hint("shuffle_hash"), "fingerprint", "left_anti"
         )
@@ -554,7 +566,7 @@ def neardup_rejected(fps: DataFrame, store: DataFrame | None,
     )
 
     fallback = (batch_rows is not None
-                and batch_rows > GATE_BATCH_BROADCAST_MAX // 4)
+                and batch_rows > _gate_batch_max() // 4)
     bcl = simhash_chunk_rows(fps.select("doc_id", "h0", "h1", "h2", "h3"))
     a = bcl.select("ci", "cv", F.col("d").alias("a"))
     b = bcl.select("ci", "cv", F.col("d").alias("b"))

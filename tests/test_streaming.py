@@ -1028,3 +1028,60 @@ def test_selection_gate_crash_replay_is_idempotent(spark, tmp_path):
     xs = read_selection_stats(spark, chaos).toPandas()
     assert cs.n_batch.sum() == xs.n_batch.sum()
     assert cs.n_admitted.sum() == xs.n_admitted.sum()
+
+
+def test_selection_gate_refreezes_after_partial_model_write(spark, tmp_path):
+    """A crash between the model's two writes (lr lands first, params
+    last) must not wedge the gate: start_selection_gate keys freeze-once
+    on the params dir — the LAST artifact written — so a partial freeze
+    re-freezes from cal_docs on restart, and the deterministic inputs
+    reproduce the identical model."""
+    import shutil
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SELECTION_CAL_MOD,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import (
+        read_selection_model,
+        read_selection_results,
+        read_selection_stream,
+        start_selection_gate,
+        write_selection_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "chunks")
+    n = write_selection_chunks(spark, sf_dir, chunk_dir, n_chunks=2)
+    cal = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % SELECTION_CAL_MOD == 0)
+    )
+    out_root = str(tmp_path / "gate")
+
+    q = start_selection_gate(read_selection_stream(spark, chunk_dir), out_root, cal)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    lr0, params0 = read_selection_model(spark, f"{out_root}/dsir_model")
+    want_lr = {(r.bucket, r.logratio) for r in lr0.collect()}
+    want_params = params0.collect()[0]
+    n_results = read_selection_results(spark, out_root).count()
+    assert n_results == n
+
+    # simulate the mid-freeze crash on a fresh root: lr present, params
+    # absent — the freeze-once check must NOT treat this as frozen
+    root2 = str(tmp_path / "gate2")
+    os.makedirs(f"{root2}/dsir_model")
+    shutil.copytree(f"{out_root}/dsir_model/lr", f"{root2}/dsir_model/lr")
+    q2 = start_selection_gate(read_selection_stream(spark, chunk_dir), root2, cal)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    lr2, params2 = read_selection_model(spark, f"{root2}/dsir_model")
+    assert {(r.bucket, r.logratio) for r in lr2.collect()} == want_lr
+    got_params = params2.collect()[0]
+    assert got_params.mu == want_params.mu
+    assert got_params.sigma == want_params.sigma
+    assert read_selection_results(spark, root2).count() == n

@@ -28,7 +28,7 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-compact|chaos-compact-neardup|compaction]
+           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-selection|neardup-forced-fallback|chaos-compact|chaos-compact-neardup|compaction]
            [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
@@ -55,6 +55,12 @@ of BOTH sides' buffered join state from the checkpointed state store.
 at the SimHash NEAR-dup admission gate, over the template-spam flood
 fixture so the crashed batch's replay must reproduce store-dependent
 REJECT decisions (see chaos_neardup).
+
+--scenario chaos-selection is the same crash-injection protocol pointed
+at the DSIR selection gate over the cipher replica fixture: the replayed
+batch must be rescored against the FROZEN on-disk model (no re-freeze on
+resume) and its partition overwrite must land identical scores and
+admission flags (see chaos_selection).
 
 --scenario chaos-compact kills a REAL subprocess mid-compact_store swap
 — once per swap window (tmp_complete / dest_deleted / renamed) — then
@@ -339,6 +345,118 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    if scenario == "neardup-forced-fallback":
+        # drive the NEAR-dup gate's batch-broadcast fallback at VOLUME:
+        # every micro-batch forced through the shuffle-hash regime
+        # (SPARK_GRAFT_GATE_BATCH_BROADCAST_MAX=0) over the spam flood
+        # fixture, at 1x and REPLICASx, plus a default-regime REPLICASx
+        # drain — the forced store must be row-identical to the default
+        # store (the fallback changes join physics, never decisions),
+        # and the forced drain's wall must scale ~linearly
+        from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+            read_neardup_store,
+            write_doc_chunks,
+        )
+        import tools.scale_rehearsal as _sr
+
+        GATE_ENV = "SPARK_GRAFT_GATE_BATCH_BROADCAST_MAX"
+
+        def build_spam(replicas: int, dest: str) -> None:
+            _sr.REPLICAS = replicas
+            prev = _sr.TEXT_PERTURB
+            _sr.TEXT_PERTURB = "spam"
+            try:
+                _sr.build_fixture(spark, sf_dir, dest)
+            finally:
+                _sr.TEXT_PERTURB = prev
+
+        def drain(docs_dir: str, n_chunks: int, root: str, forced: bool):
+            chunk_dir = os.path.join(work, f"ffchunks_{os.path.basename(root)}")
+            n = write_doc_chunks(spark, docs_dir, chunk_dir, n_chunks=n_chunks)
+            if forced:
+                os.environ[GATE_ENV] = "0"
+            try:
+                sec, _prog = run_neardup_gate(
+                    spark, chunk_dir, os.path.join(work, root), n
+                )
+            finally:
+                os.environ.pop(GATE_ENV, None)
+            return n, round(sec, 3)
+
+        small_docs = os.path.join(work, "ff_docs_1x")
+        big_docs = os.path.join(work, "ff_docs_big")
+        build_spam(1, small_docs)
+        build_spam(REPLICAS, big_docs)
+        n1, t_forced_1x = drain(small_docs, chunks, "ff_forced_1x", True)
+        nb, t_forced_big = drain(big_docs, chunks * REPLICAS, "ff_forced_big", True)
+        _, t_default_big = drain(big_docs, chunks * REPLICAS, "ff_default_big", False)
+
+        cols = ["doc_id", "source", "h0", "h1", "h2", "h3", "admitted", "batch_id"]
+        fs = read_neardup_store(spark, os.path.join(work, "ff_forced_big")).select(cols)
+        ds = read_neardup_store(spark, os.path.join(work, "ff_default_big")).select(cols)
+        sym = fs.exceptAll(ds).count() + ds.exceptAll(fs).count()
+        out = {
+            "rehearsal": f"neardup_gate_forced_fallback_{REPLICAS}x_spam_flood",
+            "replicas": REPLICAS,
+            "env_knobs": _sr._env_knobs(),
+            "forced_gates": {GATE_ENV: "0"},
+            # metric map nested under "gate" like the other gate
+            # artifacts — the COVERAGE claim-drift guard reads ratio
+            # keys (*_x) from that nest
+            "gate": {
+                "rows_1x": n1,
+                "rows_big": nb,
+                "forced_1x_sec": t_forced_1x,
+                "forced_big_sec": t_forced_big,
+                "default_big_sec": t_default_big,
+                "forced_scaling_x": round(t_forced_big / t_forced_1x, 2),
+                "forced_vs_default_big_x": round(t_forced_big / t_default_big, 2),
+                "store_rows": fs.count(),
+                "store_sym_diff_forced_vs_default": sym,
+            },
+            "pass": sym == 0,
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
+    if scenario == "chaos-selection":
+        # kill/resume exactly-once for the SELECTION gate over the cipher
+        # replica fixture (score diversity without duplicate semantics —
+        # the gate has no store; the window under test is the frozen
+        # model reuse + partition-overwrite replay)
+        big_docs_dir = os.path.join(work, "big_docs")
+        import tools.scale_rehearsal as _sr
+
+        _sr.REPLICAS = REPLICAS
+        _sr.build_fixture(spark, sf_dir, big_docs_dir)
+        n_gate_chunks = chunks * REPLICAS
+        ka = kill_after if kill_after is not None else n_gate_chunks // 3
+        gate = chaos_selection(spark, big_docs_dir, work, n_gate_chunks, ka)
+        out = {
+            "rehearsal": f"selection_gate_chaos_{REPLICAS}x",
+            "replicas": REPLICAS,
+            "env_knobs": _sr._env_knobs(),
+            "gate": gate,
+            "pass": (
+                gate["results_sym_diff"] == 0
+                and gate["stats_sym_diff_rows"] == 0
+                and gate["chaos_input_rows"] == gate["rows_expected"]
+                and gate["crashed_batch_replayed"]
+                # the replayed batch must have exercised BOTH sides of
+                # the frozen threshold, or the lap proves little
+                and (gate["admitted_in_crashed_batch"] or 0) > 0
+                and (gate["rejected_in_crashed_batch"] or 0) > 0
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
     if scenario in ("chaos-compact", "chaos-compact-neardup"):
         # kill a REAL process mid-compact_store swap, once per window;
         # the -neardup variant drives the NEAR-dup gate's store through
@@ -598,13 +716,16 @@ def main() -> None:
 
 def run_gate(spark, chunk_dir: str, out_root: str, n_rows: int | None,
              after_batch_hook=None, allow_failure: bool = False,
-             start_fn=None, query_name: str = "dedup_gate"):
+             start_fn=None, query_name: str = "dedup_gate",
+             read_fn=None):
     """Start a foreachBatch gate over prebuilt chunks and drain; returns
     (total_sec, progresses). With allow_failure, a StreamingQueryException
     (the chaos hook's injected crash) is swallowed and the partial
     progress curve returned — the caller restarts from the checkpoint.
-    One body for both gates (the drain() convention): `start_fn` defaults
-    to the exact gate; run_neardup_gate passes the near-dup one."""
+    One body for all three gates (the drain() convention): `start_fn`
+    defaults to the exact gate; run_neardup_gate / run_selection_gate
+    pass theirs (the selection runner also passes `read_fn`, whose chunk
+    schema carries lang)."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
@@ -614,11 +735,13 @@ def run_gate(spark, chunk_dir: str, out_root: str, n_rows: int | None,
 
     if start_fn is None:
         start_fn = start_dedup_gate
+    if read_fn is None:
+        read_fn = read_doc_stream
     progresses: list[dict] = []
     listener = make_progress_listener(query_name, progresses)
     spark.streams.addListener(listener)
     t0 = time.perf_counter()
-    q = start_fn(read_doc_stream(spark, chunk_dir), out_root,
+    q = start_fn(read_fn(spark, chunk_dir), out_root,
                  after_batch_hook=after_batch_hook)
     try:
         try:
@@ -969,6 +1092,106 @@ def chaos_neardup(spark, docs_dir: str, work: str, n_chunks: int,
         "control_store_rows": ctrl_store.count(),
         "chaos_store_rows": chaos_store.count(),
         "store_sym_diff": store_sym_diff,
+        "stats_sym_diff_rows": stats_sym_diff,
+    })
+    return out
+
+
+def run_selection_gate(spark, chunk_dir: str, out_root: str,
+                       n_rows: int | None, after_batch_hook=None,
+                       allow_failure: bool = False):
+    """run_gate pointed at the DSIR selection gate. Calibration docs =
+    the doc_id % SELECTION_CAL_MOD slice of the chunk corpus (batch read
+    of the same files), passed to every start — freeze-once semantics
+    mean only the FIRST start consumes them; a resume reuses the durable
+    model untouched (the contract the restart leg of the chaos protocol
+    exercises for real)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SELECTION_CAL_MOD,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import (
+        read_selection_stream,
+        start_selection_gate,
+    )
+
+    cal = (
+        spark.read.parquet(chunk_dir)
+        .filter(F.col("doc_id") % SELECTION_CAL_MOD == 0)
+        .select("doc_id", "lang", "text")
+    )
+
+    def start_fn(stream, root, after_batch_hook=None):
+        return start_selection_gate(stream, root, cal_docs=cal,
+                                    after_batch_hook=after_batch_hook)
+
+    return run_gate(spark, chunk_dir, out_root, n_rows,
+                    after_batch_hook=after_batch_hook,
+                    allow_failure=allow_failure,
+                    start_fn=start_fn, query_name="selection_gate",
+                    read_fn=read_selection_stream)
+
+
+def chaos_selection(spark, docs_dir: str, work: str, n_chunks: int,
+                    kill_after: int) -> dict:
+    """Kill/resume equivalence for the SELECTION gate's durable side
+    effects (chaos_gate's protocol pointed at selection_gate_batch).
+
+    The crash is injected in the worst window: after batch
+    `kill_after`'s scored-results partition and stats row are written,
+    before the checkpoint commit. The restart must reuse the FROZEN
+    on-disk model (a re-freeze would shift the threshold mid-stream and
+    split the corpus across two contracts), replay the batch against it,
+    and land the identical partition via overwrite. Pass = full scored
+    row multiset (scores + flags + batch ownership) and per-batch stats
+    both sym-diff 0 vs an uninterrupted control, every input row drained
+    exactly once, and the crashed batch's decisions mixed (admitted AND
+    rejected rows present — a one-sided batch would under-exercise the
+    replayed threshold comparison)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import (
+        read_selection_results,
+        read_selection_stats,
+        write_selection_chunks,
+    )
+
+    chunk_dir = os.path.join(work, "chaossel_chunks")
+    n_rows = write_selection_chunks(spark, docs_dir, chunk_dir,
+                                    n_chunks=n_chunks)
+    ctrl_root, chaos_root, out = _chaos_crash_replay(
+        spark, chunk_dir, work, "chaossel", n_rows, kill_after,
+        run_selection_gate,
+    )
+
+    # full-row membership, batch ownership included: a replayed batch
+    # must rewrite its OWN partition with IDENTICAL scores and flags
+    cols = ["doc_id", "lang", "n_feats", "dsir_logratio", "sel_z",
+            "admitted", "batch_id"]
+    ctrl_res = read_selection_results(spark, ctrl_root).select(cols)
+    chaos_res = read_selection_results(spark, chaos_root).select(cols)
+    results_sym_diff = (
+        ctrl_res.exceptAll(chaos_res).count()
+        + chaos_res.exceptAll(ctrl_res).count()
+    )
+    ctrl_stats = read_selection_stats(spark, ctrl_root)
+    chaos_stats = read_selection_stats(spark, chaos_root)
+    stats_sym_diff = (
+        ctrl_stats.exceptAll(chaos_stats).count()
+        + chaos_stats.exceptAll(ctrl_stats).count()
+    )
+    stats_rows = ctrl_stats.toPandas().to_dict("records")
+    crashed = [r for r in stats_rows if r["batch_id"] == kill_after]
+    out.update({
+        "admitted_in_crashed_batch": (
+            int(crashed[0]["n_admitted"]) if crashed else None
+        ),
+        "rejected_in_crashed_batch": (
+            int(crashed[0]["n_scored"] - crashed[0]["n_admitted"])
+            if crashed else None
+        ),
+        "admitted_total": int(sum(r["n_admitted"] for r in stats_rows)),
+        "scored_total": int(sum(r["n_scored"] for r in stats_rows)),
+        "control_result_rows": ctrl_res.count(),
+        "chaos_result_rows": chaos_res.count(),
+        "results_sym_diff": results_sym_diff,
         "stats_sym_diff_rows": stats_sym_diff,
     })
     return out
