@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.sketches",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.curation",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.selection",
+    "reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest",
     "reddit_sentiment_spark_streaming_pipeline_spark.operators.winnowing",
     "reddit_sentiment_spark_streaming_pipeline_spark.sql",
     "reddit_sentiment_spark_streaming_pipeline_spark.sinks",

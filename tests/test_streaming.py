@@ -1085,3 +1085,120 @@ def test_selection_gate_refreezes_after_partial_model_write(spark, tmp_path):
     assert got_params.mu == want_params.mu
     assert got_params.sigma == want_params.sigma
     assert read_selection_results(spark, root2).count() == n
+
+
+def test_ingest_pipeline_matches_batch_twin(spark, tmp_path):
+    """Drained composed INGEST stream (exact -> near-dup -> selection in
+    one foreachBatch) == the batch twin, flag for flag, for id-ordered
+    replay — the three gates compose without contract drift. Also pins
+    exactly-once input accounting (one persisted base per batch) and the
+    stats rows' stage funnel."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+        incremental_ingest_pipeline,
+        ingest_cal_docs,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        read_ingest_results,
+        read_ingest_stats,
+        read_ingest_stream,
+        start_ingest_pipeline,
+        write_ingest_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "ichunks")
+    out_root = str(tmp_path / "ingest")
+    n = write_ingest_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    q = start_ingest_pipeline(
+        read_ingest_stream(spark, chunk_dir), out_root,
+        ingest_cal_docs(spark, sf_dir),
+    )
+    try:
+        q.processAllAvailable()
+        input_rows = sum(p.numInputRows for p in q.recentProgress)
+    finally:
+        q.stop()
+    assert input_rows == n  # single-source-scan contract
+
+    cols = ["doc_id", "exact_ok", "neardup_ok", "kept"]
+    got = {tuple(r) for r in read_ingest_results(spark, out_root).select(cols).collect()}
+    want = {
+        tuple(r)
+        for r in incremental_ingest_pipeline(spark, sf_dir).select(cols).collect()
+    }
+    assert len(got) == n
+    assert got == want
+    # all three stages really bound on this corpus
+    n_exact = sum(1 for _, e, _n, _k in want if e)
+    n_neardup = sum(1 for _, _e, nd, _k in want if nd)
+    n_kept = sum(1 for _, _e, _n, k in want if k)
+    assert n > n_exact > n_neardup > n_kept > 0
+
+    stats = read_ingest_stats(spark, out_root).toPandas()
+    assert stats.n_batch.sum() == n
+    assert stats.n_exact_ok.sum() == n_exact
+    assert stats.n_neardup_ok.sum() == n_neardup
+    assert stats.n_kept.sum() == n_kept
+    assert stats.n_batch.count() >= 2  # really micro-batched
+
+
+def test_ingest_pipeline_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash after batch 1's side effects (THREE store partitions + the
+    results partition + the stats row) but before the checkpoint commit:
+    the replay re-reads only `batch_id < 1` from every store — its own
+    leaked partitions invisible — recomputes the identical three-stage
+    decision set, and overwrite repairs everything. Drained results and
+    stats equal an uninterrupted control's exactly."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import ingest_cal_docs
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        read_ingest_results,
+        read_ingest_stats,
+        read_ingest_stream,
+        start_ingest_pipeline,
+        write_ingest_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "chunks")
+    write_ingest_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    cal = ingest_cal_docs(spark, sf_dir)
+
+    def drain(root, hook=None):
+        q = start_ingest_pipeline(
+            read_ingest_stream(spark, chunk_dir), root, cal,
+            after_batch_hook=hook,
+        )
+        try:
+            q.processAllAvailable()
+        except StreamingQueryException:
+            assert hook is not None
+        finally:
+            q.stop()
+
+    ctrl = str(tmp_path / "ctrl")
+    drain(ctrl)
+
+    crashed = []
+
+    def hook(bid):
+        if bid == 1 and not crashed:
+            crashed.append(bid)
+            raise RuntimeError("chaos: crash after side effects, before commit")
+
+    chaos = str(tmp_path / "chaos")
+    drain(chaos, hook=hook)
+    assert crashed == [1]
+    drain(chaos)  # resume from the checkpoint
+
+    cols = ["doc_id", "lang", "exact_ok", "neardup_ok", "kept", "batch_id"]
+    ctrl_rows = {tuple(r) for r in read_ingest_results(spark, ctrl).select(cols).collect()}
+    chaos_rows = {tuple(r) for r in read_ingest_results(spark, chaos).select(cols).collect()}
+    assert chaos_rows == ctrl_rows
+
+    cs = read_ingest_stats(spark, ctrl).toPandas().sort_values("batch_id")
+    xs = read_ingest_stats(spark, chaos).toPandas().sort_values("batch_id")
+    for col in ("n_batch", "n_exact_ok", "n_neardup_ok", "n_kept"):
+        assert list(cs[col]) == list(xs[col])
