@@ -188,6 +188,47 @@ def cmd_gate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """Composed streaming ingest pipeline: chunk the ingest corpus,
+    freeze the DSIR model from the calibration slice, drain exact →
+    near-dup → selection, print the per-batch stage funnel."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import ingest_cal_docs
+    from reddit_sentiment_spark_streaming_pipeline_spark.sinks import show_console
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        read_ingest_stats,
+        read_ingest_stream,
+        start_ingest_pipeline,
+        write_ingest_chunks,
+    )
+
+    spark = _spark("ingest")
+    n = write_ingest_chunks(spark, args.sf_dir, args.chunks_dir, n_chunks=args.chunks)
+    print(f"wrote {n} docs as {args.chunks} replay chunks", file=sys.stderr)
+    prev_max = -1
+    if _os.path.isdir(_os.path.join(args.out, "ingest_stats")):
+        row = read_ingest_stats(spark, args.out).agg(F.max("batch_id")).first()
+        prev_max = -1 if row[0] is None else row[0]
+    q = start_ingest_pipeline(
+        read_ingest_stream(spark, args.chunks_dir), args.out,
+        ingest_cal_docs(spark, args.sf_dir),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stats = (
+        read_ingest_stats(spark, args.out)
+        .filter(F.col("batch_id") > prev_max)
+        .orderBy("batch_id")
+    )
+    show_console(stats, n=args.chunks + 1)
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from reddit_sentiment_spark_streaming_pipeline_spark import registry
 
@@ -244,6 +285,15 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--chunks", type=int, default=4)
     pg.add_argument("--out", default="/tmp/reddit_sentiment_spark_streaming_pipeline_gate")
     pg.set_defaults(fn=cmd_gate)
+
+    pi = sub.add_parser(
+        "ingest", help="run the composed streaming ingest pipeline"
+    )
+    pi.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pi.add_argument("--chunks", type=int, default=4)
+    pi.add_argument("--chunks-dir", default="/tmp/reddit_sentiment_spark_streaming_pipeline_ingest_chunks")
+    pi.add_argument("--out", default="/tmp/reddit_sentiment_spark_streaming_pipeline_ingest")
+    pi.set_defaults(fn=cmd_ingest)
 
     pl = sub.add_parser("list", help="list registry queries")
     pl.set_defaults(fn=cmd_list)

@@ -14,8 +14,10 @@ document, in order,
                      identical fingerprint and plays the blocker);
   3. SELECTION gate — among near-dup survivors, keep iff the FROZEN DSIR
                      model (calibration = the doc_id % SELECTION_CAL_MOD
-                     slice of the full corpus, the incremental_selection_
-                     gate convention) admits at sel_z >= DSIR_SELECT_Z.
+                     slice of the EXISTING base-id corpus — a production
+                     freeze happens on the curated reference corpus
+                     before the ingest stream opens) admits at
+                     sel_z >= DSIR_SELECT_Z.
 
 `incremental_ingest_pipeline` is the oracle-checked semantics spec: one
 row per input doc with per-stage flags and the final keep decision. The
@@ -47,7 +49,6 @@ from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
     simhash_fp,
 )
 from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
-    _DSIR_TOK_SQL,
     DSIR_ALPHA,
     DSIR_BUCKETS,
     DSIR_SELECT_Z,

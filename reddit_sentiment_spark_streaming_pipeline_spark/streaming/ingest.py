@@ -47,7 +47,6 @@ from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
 )
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import _order_files_by_name
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import (
-    SEL_CHUNK_SCHEMA,
     freeze_selection_model,
     read_selection_model,
     read_selection_stream,

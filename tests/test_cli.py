@@ -37,3 +37,14 @@ def test_cli_gate_drains_and_reports(spark, sf_dir, tmp_path, capsys):
     assert os.path.isdir(os.path.join(out, "fingerprint_store"))
     shown = capsys.readouterr().out
     assert "n_admitted" in shown and "n_rejected" in shown
+
+
+def test_cli_ingest_drains_and_reports(spark, sf_dir, tmp_path, capsys):
+    chunks = str(tmp_path / "ingest_chunks")
+    out = str(tmp_path / "ingest_out")
+    assert main(["ingest", "--sf-dir", sf_dir, "--chunks-dir", chunks,
+                 "--chunks", "3", "--out", out]) == 0
+    for store in ("exact_store", "neardup_store", "ingest_results", "dsir_model"):
+        assert os.path.isdir(os.path.join(out, store))
+    shown = capsys.readouterr().out
+    assert "n_exact_ok" in shown and "n_neardup_ok" in shown and "n_kept" in shown
