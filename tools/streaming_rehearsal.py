@@ -28,7 +28,7 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-selection|neardup-forced-fallback|chaos-compact|chaos-compact-neardup|compaction]
+           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-selection|chaos-ingest|neardup-forced-fallback|chaos-compact|chaos-compact-neardup|compaction]
            [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
@@ -61,6 +61,12 @@ at the DSIR selection gate over the cipher replica fixture: the replayed
 batch must be rescored against the FROZEN on-disk model (no re-freeze on
 resume) and its partition overwrite must land identical scores and
 admission flags (see chaos_selection).
+
+--scenario chaos-ingest is the crash-injection protocol pointed at the
+COMPOSED ingest pipeline (exact -> near-dup -> selection): the crash
+lands after all FOUR of a batch's sinks are written, and the replay must
+recompute every stage against batch_id < N store views (see
+chaos_ingest).
 
 --scenario chaos-compact kills a REAL subprocess mid-compact_store swap
 — once per swap window (tmp_complete / dest_deleted / renamed) — then
@@ -337,6 +343,43 @@ def main() -> None:
                 # path is actually exercised, or the lap proves nothing
                 and (gate["rejected_in_crashed_batch"] or 0) > 0
                 and gate["rejected_total"] > 0
+            ),
+        }
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
+    if scenario == "chaos-ingest":
+        # kill/resume exactly-once for the COMPOSED ingest pipeline over
+        # the cipher replica fixture (the twin plants its own resubmits
+        # and tail copies on top, so all three stages bind in-fixture)
+        big_docs_dir = os.path.join(work, "big_docs")
+        import tools.scale_rehearsal as _sr
+
+        _sr.REPLICAS = REPLICAS
+        _sr.build_fixture(spark, sf_dir, big_docs_dir)
+        n_gate_chunks = chunks * REPLICAS
+        ka = kill_after if kill_after is not None else n_gate_chunks // 3
+        gate = chaos_ingest(spark, big_docs_dir, work, n_gate_chunks, ka)
+        cb = gate["crashed_batch_stats"] or {}
+        out = {
+            "rehearsal": f"ingest_pipeline_chaos_{REPLICAS}x",
+            "replicas": REPLICAS,
+            "env_knobs": _sr._env_knobs(),
+            "gate": gate,
+            "pass": (
+                gate["results_sym_diff"] == 0
+                and gate["stats_sym_diff_rows"] == 0
+                and gate["chaos_input_rows"] == gate["rows_expected"]
+                and gate["crashed_batch_replayed"]
+                # the replayed batch's funnel must be non-degenerate:
+                # at least one stage rejected something AND something
+                # survived to a kept decision
+                and bool(cb)
+                and cb["n_batch"] > cb["n_neardup_ok"]
+                and cb["n_kept"] > 0
             ),
         }
         if out_path:
@@ -1189,6 +1232,103 @@ def chaos_selection(spark, docs_dir: str, work: str, n_chunks: int,
         ),
         "admitted_total": int(sum(r["n_admitted"] for r in stats_rows)),
         "scored_total": int(sum(r["n_scored"] for r in stats_rows)),
+        "control_result_rows": ctrl_res.count(),
+        "chaos_result_rows": chaos_res.count(),
+        "results_sym_diff": results_sym_diff,
+        "stats_sym_diff_rows": stats_sym_diff,
+    })
+    return out
+
+
+def run_ingest_pipeline(spark, chunk_dir: str, out_root: str,
+                        n_rows: int | None, after_batch_hook=None,
+                        allow_failure: bool = False):
+    """run_gate pointed at the composed INGEST pipeline. Calibration =
+    the base-id doc_id % SELECTION_CAL_MOD slice read from the chunk
+    corpus itself (freeze-once: only the first start consumes it)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SELECTION_CAL_MOD,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        read_ingest_stream,
+        start_ingest_pipeline,
+    )
+
+    cal = (
+        spark.read.parquet(chunk_dir)
+        .filter(
+            (F.col("doc_id") < 1000000)
+            & (F.col("doc_id") % SELECTION_CAL_MOD == 0)
+        )
+        .select("doc_id", "lang", "text")
+    )
+
+    def start_fn(stream, root, after_batch_hook=None):
+        return start_ingest_pipeline(stream, root, cal_docs=cal,
+                                     after_batch_hook=after_batch_hook)
+
+    return run_gate(spark, chunk_dir, out_root, n_rows,
+                    after_batch_hook=after_batch_hook,
+                    allow_failure=allow_failure,
+                    start_fn=start_fn, query_name="ingest_pipeline",
+                    read_fn=read_ingest_stream)
+
+
+def chaos_ingest(spark, docs_dir: str, work: str, n_chunks: int,
+                 kill_after: int) -> dict:
+    """Kill/resume equivalence for the composed INGEST pipeline — the
+    crash lands after batch `kill_after`'s FOUR sinks (exact store,
+    near-dup store, per-doc results, stats) are written but before the
+    checkpoint commit, so the replay must recompute all three stages
+    against `batch_id < N` views of BOTH stores (its own leaked
+    partitions invisible) and land identical flags everywhere. Pass =
+    per-doc results (flags + batch ownership) and per-batch stats both
+    sym-diff 0 vs an uninterrupted control, exactly-once input
+    accounting, and the crashed batch's decisions spread across the
+    funnel (exact and near-dup rejections plus kept rows present — a
+    batch where only one stage binds under-exercises the replay)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        read_ingest_results,
+        read_ingest_stats,
+        write_ingest_chunks,
+    )
+
+    chunk_dir = os.path.join(work, "chaosingest_chunks")
+    n_rows = write_ingest_chunks(spark, docs_dir, chunk_dir,
+                                 n_chunks=n_chunks)
+    ctrl_root, chaos_root, out = _chaos_crash_replay(
+        spark, chunk_dir, work, "chaosingest", n_rows, kill_after,
+        run_ingest_pipeline,
+    )
+
+    cols = ["doc_id", "lang", "exact_ok", "neardup_ok", "kept", "batch_id"]
+    ctrl_res = read_ingest_results(spark, ctrl_root).select(cols)
+    chaos_res = read_ingest_results(spark, chaos_root).select(cols)
+    results_sym_diff = (
+        ctrl_res.exceptAll(chaos_res).count()
+        + chaos_res.exceptAll(ctrl_res).count()
+    )
+    ctrl_stats = read_ingest_stats(spark, ctrl_root)
+    chaos_stats = read_ingest_stats(spark, chaos_root)
+    stats_sym_diff = (
+        ctrl_stats.exceptAll(chaos_stats).count()
+        + chaos_stats.exceptAll(ctrl_stats).count()
+    )
+    rows = ctrl_stats.toPandas().to_dict("records")
+    crashed = [r for r in rows if r["batch_id"] == kill_after]
+    out.update({
+        "crashed_batch_stats": (
+            {k: int(crashed[0][k]) for k in
+             ("n_batch", "n_exact_ok", "n_neardup_ok", "n_kept")}
+            if crashed else None
+        ),
+        "exact_rejected_total": int(
+            sum(r["n_batch"] - r["n_exact_ok"] for r in rows)
+        ),
+        "neardup_rejected_total": int(
+            sum(r["n_exact_ok"] - r["n_neardup_ok"] for r in rows)
+        ),
+        "kept_total": int(sum(r["n_kept"] for r in rows)),
         "control_result_rows": ctrl_res.count(),
         "chaos_result_rows": chaos_res.count(),
         "results_sym_diff": results_sym_diff,
