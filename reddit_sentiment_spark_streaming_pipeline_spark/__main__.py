@@ -166,8 +166,19 @@ def cmd_gate(args: argparse.Namespace) -> int:
     )
 
     spark = _spark("gate")
-    n = write_doc_chunks(spark, args.sf_dir, args.chunks_dir, n_chunks=args.chunks)
-    print(f"wrote {n} docs as {args.chunks} replay chunks", file=sys.stderr)
+    # same resume-only contract as cmd_ingest: a durable checkpoint under
+    # --out means the default chunk paths were already consumed
+    if _os.path.isdir(_os.path.join(args.out, "_checkpoint")):
+        print(
+            f"existing checkpoint under {args.out}: resume-only mode — "
+            f"reusing chunks in {args.chunks_dir} (not re-chunking)",
+            file=sys.stderr,
+        )
+    else:
+        n = write_doc_chunks(
+            spark, args.sf_dir, args.chunks_dir, n_chunks=args.chunks
+        )
+        print(f"wrote {n} docs as {args.chunks} replay chunks", file=sys.stderr)
     # the gate's outputs are durable across runs (that is the point); note
     # any batches already in the stats so the report covers THIS run only
     prev_max = -1
@@ -206,8 +217,21 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     )
 
     spark = _spark("ingest")
-    n = write_ingest_chunks(spark, args.sf_dir, args.chunks_dir, n_chunks=args.chunks)
-    print(f"wrote {n} docs as {args.chunks} replay chunks", file=sys.stderr)
+    # a prior run's durable checkpoint already marks the default chunk
+    # paths as consumed — re-chunking over them would drain nothing (or a
+    # misleading subset). Detect the checkpoint and run resume-only: the
+    # existing chunks replay from where the checkpoint left off.
+    if _os.path.isdir(_os.path.join(args.out, "_checkpoint")):
+        print(
+            f"existing checkpoint under {args.out}: resume-only mode — "
+            f"reusing chunks in {args.chunks_dir} (not re-chunking)",
+            file=sys.stderr,
+        )
+    else:
+        n = write_ingest_chunks(
+            spark, args.sf_dir, args.chunks_dir, n_chunks=args.chunks
+        )
+        print(f"wrote {n} docs as {args.chunks} replay chunks", file=sys.stderr)
     prev_max = -1
     if _os.path.isdir(_os.path.join(args.out, "ingest_stats")):
         row = read_ingest_stats(spark, args.out).agg(F.max("batch_id")).first()

@@ -8,10 +8,12 @@ document, in order,
 
   1. EXACT gate    — keep iff no smaller-id doc has the same md5(text);
   2. NEAR-DUP gate — among exact survivors, keep iff no smaller-id
-                     exact-SURVIVOR shares a SimHash 16-bit chunk within
-                     Hamming <= HAMMING_THRESHOLD (stage 2 never sees an
-                     exact dup: its byte-identical original carries the
-                     identical fingerprint and plays the blocker);
+                     BLOCKER (one of the NEARDUP_BLOCKER_CAP smallest-id
+                     survivors of a shared SimHash 16-bit chunk bucket)
+                     sits within Hamming <= HAMMING_THRESHOLD (stage 2
+                     never sees an exact dup: its byte-identical
+                     original carries the identical fingerprint and
+                     plays the blocker);
   3. SELECTION gate — among near-dup survivors, keep iff the FROZEN DSIR
                      model (calibration = the doc_id % SELECTION_CAL_MOD
                      slice of the EXISTING base-id corpus — a production
@@ -26,12 +28,14 @@ drains to exactly this set for id-ordered replay — proven by
 tests/test_streaming.py::test_ingest_pipeline_matches_batch_twin.
 
 Scale shape: stage 1 is the md5 keep-first window (fingerprint-narrow
-shuffle); stage 2 is the uncapped chunk equi-join over survivors ONLY
-(the gate-path shape — bounded by the store scan in streaming, by the
-survivor set here, never |corpus|^2 thanks to the chunk bands); stage 3
-is the bounded-model broadcast join + one map-side-combined doc
-aggregate. Composition adds NO materialization barrier — the flags fold
-back onto the staged frame with fingerprint-narrow left joins.
+shuffle); stage 2 decides each survivor against the CAPPED per-bucket
+blocker set (NEARDUP_BLOCKER_CAP smallest-id survivors per chunk
+bucket) — O(cap) per member, never member×member: the uncapped form
+this replaced went quadratic in a flooded chunk value (r12 spam-flood
+measurement at NEARDUP_BLOCKER_CAP's comment); stage 3 is the
+bounded-model broadcast join + one map-side-combined doc aggregate.
+Composition adds NO materialization barrier — the flags fold back onto
+the staged frame with fingerprint-narrow left joins.
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
     _CHUNKS_LONG,
     _FP_BODY_SQL,
     HAMMING_THRESHOLD,
+    MAX_LSH_BUCKET,
     simhash_chunk_rows,
     simhash_fp,
 )
@@ -61,32 +66,81 @@ from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import 
 from reddit_sentiment_spark_streaming_pipeline_spark.registry import register
 from reddit_sentiment_spark_streaming_pipeline_spark.sources import load_table
 
+# Planted-id offsets for the ingest fixture. The resubmit offset doubles
+# as the calibration-slice bound (`doc_id < INGEST_RESUB_OFFSET` = "an
+# EXISTING base doc") everywhere the twin's convention is consumed —
+# here, in the frozen-model oracle fragment below, and in
+# tools/streaming_rehearsal.py's calibration reads. Any base fixture
+# whose doc_ids reach the offset would silently collide planted ids with
+# base ids AND drift the calibration slice — and since engine and oracle
+# share the convention, the oracle check could not see it — so
+# ingest_corpus fails loudly instead (the guard below), the same hazard
+# contract as tools/scale_rehearsal.py's replica-stride guard.
+INGEST_RESUB_OFFSET = 1_000_000
+INGEST_TAILED_OFFSET = 2 * INGEST_RESUB_OFFSET
+
+# Per-bucket cap on the stage-2 BLOCKER set: a doc's near-dup rejection
+# is decided against the NEARDUP_BLOCKER_CAP smallest-id exact survivors
+# of each of its 4 chunk buckets, not against every bucket member. The
+# uncapped member×member form goes quadratic in a flooded chunk value —
+# measured r12 on the template-spam fixture: 10× docs → 111× join pairs
+# (2,758 → 307,666; max bucket 31 → 282) — the regime exact dedup cannot
+# fold because spam variants differ by bytes. Capping the BLOCKER side
+# keeps per-member cost O(cap): a flood family's smallest-id members
+# fill the cap and reject every later member (rejection recall measured
+# in REHEARSAL_r12_ingest_flood*.json), while the admission rule stays
+# deterministic and oracle-expressible (row_number by doc_id). The known
+# trade (shared with simhash_pair_rows' MAX_LSH_BUCKET, same cap value):
+# a doc whose ONLY smaller-id matches hide beyond the cap in ALL FOUR of
+# its buckets — behind ≥ cap unrelated smaller-id docs per bucket — is
+# wrongly admitted; the flood artifact measures that loss directly
+# against the uncapped rule.
+NEARDUP_BLOCKER_CAP = MAX_LSH_BUCKET
+
 # The ingest corpus: the existing documents plus an incoming crawl slice
-# with planted byte-identical resubmits (+1M — stage 1's food) and
-# tail-edited near copies (+2M — stage 2's food), the snapshot-fixture
-# convention (operators/curation.py) except lang RIDES ALONG (stage 3
-# needs it) and text stays RAW (md5/simhash/tokens all see the same
-# bytes in engine and oracle).
-_INGEST_CORPUS_SQL = """
+# with planted byte-identical resubmits (+INGEST_RESUB_OFFSET — stage
+# 1's food) and tail-edited near copies (+INGEST_TAILED_OFFSET — stage
+# 2's food), the snapshot-fixture convention (operators/curation.py)
+# except lang RIDES ALONG (stage 3 needs it) and text stays RAW
+# (md5/simhash/tokens all see the same bytes in engine and oracle).
+_INGEST_CORPUS_SQL = f"""
         SELECT doc_id, lang, text, source FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, lang, text, source
+        SELECT doc_id + {INGEST_RESUB_OFFSET}, lang, text, source
         FROM documents WHERE doc_id % 10 = 0
         UNION ALL
-        SELECT doc_id + 2000000, lang, text || ' zz fresh snapshot tail', source
+        SELECT doc_id + {INGEST_TAILED_OFFSET}, lang,
+               text || ' zz fresh snapshot tail', source
         FROM documents WHERE doc_id % 7 = 0
 """
 
 
 def ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collision guard (see INGEST_RESUB_OFFSET): base ids at or past the
+    # offset abort the scan row-side — raise_error lives in the projected
+    # doc_id expression itself, so no plan rewrite can prune the check
+    # and no extra driver-side action (count/max) is spent on it
+    guarded = F.when(
+        F.col("doc_id") < INGEST_RESUB_OFFSET, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ingest_corpus: base doc_id %s >= planted-id offset "
+                f"{INGEST_RESUB_OFFSET} — resubmit/tail ids would collide "
+                "with base ids and the calibration slice would drift",
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text", "source"
+        guarded.alias("doc_id"), "lang", "text", "source"
     )
     resub = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text", "source"
+        (F.col("doc_id") + INGEST_RESUB_OFFSET).alias("doc_id"),
+        "lang", "text", "source",
     )
     tailed = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
+        (F.col("doc_id") + INGEST_TAILED_OFFSET).alias("doc_id"),
         "lang",
         F.concat("text", F.lit(" zz fresh snapshot tail")).alias("text"),
         "source",
@@ -137,7 +191,7 @@ _DSIR_MODEL_SQL = f"""dtok AS (SELECT * FROM ({_DSIR_TOK_ICORPUS_SQL}) WHERE wor
     ),
     dcal AS (
         SELECT * FROM dfl
-        WHERE doc_id < 1000000 AND doc_id % {SELECTION_CAL_MOD} = 0
+        WHERE doc_id < {INGEST_RESUB_OFFSET} AND doc_id % {SELECTION_CAL_MOD} = 0
     ),
     dcnts AS (
         SELECT bucket, count(*) AS raw_cnt,
@@ -177,9 +231,17 @@ _DSIR_MODEL_SQL = f"""dtok AS (SELECT * FROM ({_DSIR_TOK_ICORPUS_SQL}) WHERE wor
     corpus AS (SELECT doc_id, text FROM st1 WHERE exact_ok),
     {_FP_BODY_SQL},
     cl AS ({_CHUNKS_LONG}),
+    blk2 AS (
+        SELECT * FROM (
+            SELECT cl.*,
+                   row_number() OVER (
+                       PARTITION BY ci, cv ORDER BY doc_id) AS rn
+            FROM cl
+        ) WHERE rn <= {NEARDUP_BLOCKER_CAP}
+    ),
     rej2 AS (
         SELECT DISTINCT a.doc_id
-        FROM cl a JOIN cl b
+        FROM cl a JOIN blk2 b
           ON a.ci = b.ci AND a.cv = b.cv AND b.doc_id < a.doc_id
         WHERE {hamming_expr('a.h', 'b.h', 'duckdb')} <= {HAMMING_THRESHOLD}
     ),
@@ -211,16 +273,17 @@ _DSIR_MODEL_SQL = f"""dtok AS (SELECT * FROM ({_DSIR_TOK_ICORPUS_SQL}) WHERE wor
     "frozen-model DSIR selection, composed per document with per-stage "
     "flags (exact_ok, neardup_ok) and the final kept decision. Stage 2 "
     "runs over exact SURVIVORS only (an exact dup's byte-identical "
-    "original carries the same fingerprint and plays its blocker), "
-    "stage 3 over near-dup survivors against the model frozen on the "
-    "full corpus's calibration slice — each stage's semantics verbatim "
-    "from its standalone twin (exact_dup_groups' keep-first rule, "
-    "incremental_neardup_gate's smaller-id chunk rule, "
+    "original carries the same fingerprint and plays its blocker) and "
+    "decides each survivor against the CAPPED per-bucket blocker set — "
+    "the NEARDUP_BLOCKER_CAP smallest-id survivors per shared chunk "
+    "bucket, the r12 fix for the uncapped member-squared flood shape; "
+    "stage 3 scores near-dup survivors against the model frozen on the "
+    "base-id calibration slice — stages 1/3 verbatim from their "
+    "standalone twins (exact_dup_groups' keep-first rule, "
     "incremental_selection_gate's frozen threshold). Scale shape: the "
-    "md5 keep-first window, the uncapped survivor chunk join (the gate "
-    "path's shape), the bounded-model broadcast scoring — composition "
-    "folds flags back with fingerprint-narrow left joins, no "
-    "materialization barrier.",
+    "md5 keep-first window, the O(cap)-per-member blocker join, the "
+    "bounded-model broadcast scoring — composition folds flags back "
+    "with fingerprint-narrow left joins, no materialization barrier.",
 )
 def incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ingest_corpus(spark, sf_dir).select("doc_id", "lang", "text")
@@ -229,11 +292,16 @@ def incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = staged.filter("exact_ok")
 
     cl = simhash_chunk_rows(simhash_fp(s1.select("doc_id", "text")))
+    wb = Window.partitionBy("ci", "cv").orderBy(F.col("d.doc_id"))
+    blockers = (
+        cl.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= NEARDUP_BLOCKER_CAP)
+        .select("ci", "cv", F.col("d").alias("b"))
+    )
     a = cl.select("ci", "cv", F.col("d").alias("a"))
-    b = cl.select("ci", "cv", F.col("d").alias("b"))
     ham = F.expr(hamming_expr("a.h", "b.h", "spark"))
     rej2 = (
-        a.join(b, ["ci", "cv"])
+        a.join(blockers, ["ci", "cv"])
         .filter(F.col("b.doc_id") < F.col("a.doc_id"))
         .filter(ham <= HAMMING_THRESHOLD)
         .select(F.col("a.doc_id").alias("doc_id"))

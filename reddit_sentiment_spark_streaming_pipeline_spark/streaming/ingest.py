@@ -16,18 +16,28 @@ model lives beside the checkpoint and a resume reuses it untouched).
 Replay contract (the gate_batch contract, three stores wide): candidate
 reads filter `batch_id < N`; every batch overwrites its OWN batch_id=N
 partition in the exact store (admitted fingerprints), the near-dup
-store (ALL stage-1 survivors, admission flagged — a stage-2-rejected
-doc must keep blocking), the per-doc results table (all flags), and the
-stats table — so a crash-after-side-effects-before-commit replay
-recomputes the identical decision set and repairs partial writes.
+store (ALL stage-1 survivors, admission + per-chunk blk flags — a
+stage-2-rejected doc keeps blocking whenever it holds a blocker slot,
+which a flood family's first arrivals always do), the per-doc results
+table (all flags), and the stats table — so a
+crash-after-side-effects-before-commit replay recomputes the identical
+decision set and repairs partial writes.
 
 Scale shape: both store joins are the inverted broadcast-batch form
 with the measured batch-size gate and sort-free shuffle-hash fallback
-(novel_against_store / neardup_rejected — stores scanned once, never
-shuffled, in the default regime); stage 3 is the bounded-model
-broadcast join + one map-side-combined doc aggregate. Per-batch cost
-grows only with the store scans the dedup gates already pay —
-composition adds nothing corpus-proportional.
+(novel_against_store and the capped stage-2 joins below — stores
+scanned once, never shuffled, in the default regime). Stage 2 decides
+admission against the CAPPED per-bucket blocker set (operators/
+ingest.py::NEARDUP_BLOCKER_CAP): each store row carries per-chunk blk
+flags assigned at write time (global arrival rank <= cap, computed as
+store-blocker count + within-batch rank — never by ranking the store),
+so the blocker read is a map-side filter on the scan the gate already
+pays and the join fan-out is O(cap) per batch member whatever floods a
+bucket — the uncapped form went quadratic under the template-spam
+fixture (r12 measurement at NEARDUP_BLOCKER_CAP's comment). Stage 3 is
+the bounded-model broadcast join + one map-side-combined doc aggregate.
+Per-batch cost grows only with the store scans the dedup gates already
+pay — composition adds nothing corpus-proportional.
 """
 
 from __future__ import annotations
@@ -39,10 +49,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
+from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
+    SIMHASH_CHUNKS,
+    hamming_expr,
+)
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+    _gate_batch_max,
     _store_path_exists,
     assert_store_not_mid_compaction,
-    neardup_rejected,
     novel_against_store,
 )
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import _order_files_by_name
@@ -52,10 +66,16 @@ from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import 
     read_selection_stream,
 )
 
-# Store layouts (explicit read schemas — no footer inference)
+# Store layouts (explicit read schemas — no footer inference). The
+# near-dup store's blk0..blk3 flags mark, per chunk, whether this row is
+# one of its bucket's NEARDUP_BLOCKER_CAP first-arrived members — the
+# capped blocker set later batches decide against. Flags are immutable
+# once written (arrival order never changes), so the blocker read is a
+# plain map-side filter on the store scan.
 INGEST_EXACT_STORE_SCHEMA = "fingerprint string, doc_id bigint, batch_id bigint"
 INGEST_NEARDUP_STORE_SCHEMA = (
     "doc_id bigint, h0 int, h1 int, h2 int, h3 int, "
+    "blk0 boolean, blk1 boolean, blk2 boolean, blk3 boolean, "
     "admitted boolean, batch_id bigint"
 )
 INGEST_RESULT_SCHEMA = (
@@ -86,6 +106,31 @@ def write_ingest_chunks(spark: SparkSession, sf_dir: str, out_dir: str,
 
 # chunk schema == the selection stream's (doc_id, text, lang, source)
 read_ingest_stream = read_selection_stream
+
+
+def _store_blocker_rows(store: DataFrame) -> DataFrame:
+    """Chunk-long rows of the store's BLOCKER subset: (d struct, ci, cv)
+    for every (doc, chunk) whose blk flag was set at write time. Pure
+    map-side explode+filter on the store scan — the store is never
+    ranked, windowed, or shuffled to recover its blocker set, and at
+    most NEARDUP_BLOCKER_CAP rows survive per (ci, cv) bucket."""
+    return (
+        store.select(
+            F.struct("doc_id", "h0", "h1", "h2", "h3").alias("d"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.col(f"h{c}").alias("cv"),
+                        F.col(f"blk{c}").alias("blk"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ])
+            ).alias("e"),
+        )
+        .filter("e.blk")
+        .select("d", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
+    )
 
 
 def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
@@ -134,22 +179,89 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
         s1_ids = s1_ids.persist()
         s1 = base.join(s1_ids.select("doc_id"), "doc_id").persist()
 
-        # ---- stage 2: near-dup among stage-1 survivors
+        # ---- stage 2: near-dup among stage-1 survivors, decided against
+        # the CAPPED per-bucket blocker set (module docstring). The
+        # batch's chunk rows are ranked ONCE per bucket by doc_id, offset
+        # by the store's existing blocker count (a bounded aggregate over
+        # the blk-filtered scan — the (ci, cv) keyspace is at most
+        # SIMHASH_CHUNKS x 2^16, so the counts frame always broadcasts),
+        # giving each row its global arrival rank; rank <= cap marks it a
+        # blocker for this batch and, via the persisted blk flags, every
+        # later one. rej2 and the ranked frame each feed several plan
+        # subtrees, so both persist for the batch (one store scan + one
+        # self-join per batch, not one per sink).
+        from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+            HAMMING_THRESHOLD,
+        )
+        from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+            simhash_chunk_rows,
+        )
+        from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+            NEARDUP_BLOCKER_CAP,
+        )
+
         fp2 = simhash_fp(s1.select("doc_id", "text")).persist()
+        sbl = ranked = rej2 = None
         try:
             n_s1 = fp2.count()
-            store2 = None
             if _store_path_exists(spark, neardup_dir):
                 store2 = (
                     spark.read.schema(INGEST_NEARDUP_STORE_SCHEMA)
                     .parquet(neardup_dir)
                     .filter(F.col("batch_id") < batch_id)
                 )
-            rej2 = (
-                neardup_rejected(fp2, store2, batch_rows=n_s1)
-                .distinct()
-                .withColumn("r2", F.lit(1))
+                sbl = _store_blocker_rows(store2).persist()
+            cl2 = simhash_chunk_rows(fp2)
+            wb = Window.partitionBy("ci", "cv").orderBy(F.col("d.doc_id"))
+            ranked = cl2.withColumn("rn", F.row_number().over(wb))
+            if sbl is not None:
+                counts = sbl.groupBy("ci", "cv").agg(
+                    F.count(F.lit(1)).alias("c")
+                )
+                ranked = ranked.join(F.broadcast(counts), ["ci", "cv"], "left")
+                grk = F.col("rn") + F.coalesce(F.col("c"), F.lit(0))
+            else:
+                grk = F.col("rn")
+            ranked = ranked.select(
+                "ci", "cv", "d", grk.alias("grk")
+            ).persist()
+
+            # broadcast regime gated on the measured batch size with the
+            # sort-free shuffle-hash fallback — the novel_against_store /
+            # r11 near-dup gate convention (÷4: chunk rows per doc)
+            fallback = n_s1 > _gate_batch_max() // 4
+            a = ranked.select("ci", "cv", F.col("d").alias("a"))
+            bb = ranked.filter(F.col("grk") <= NEARDUP_BLOCKER_CAP).select(
+                "ci", "cv", F.col("d").alias("b")
             )
+            ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
+            rej = (
+                a.join(bb.hint("shuffle_hash") if fallback else bb, ["ci", "cv"])
+                .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+                .filter(ham_ab <= HAMMING_THRESHOLD)
+                .select(F.col("a.doc_id").alias("doc_id"))
+            )
+            if sbl is not None:
+                ham_sa = F.expr(hamming_expr("s.h", "a.h", "spark"))
+                batch_side = a.hint("shuffle_hash") if fallback else F.broadcast(a)
+                vs_store = (
+                    sbl.select("ci", "cv", F.col("d").alias("s"))
+                    .join(batch_side, ["ci", "cv"])
+                    .filter(F.col("s.doc_id") < F.col("a.doc_id"))
+                    .filter(ham_sa <= HAMMING_THRESHOLD)
+                    .select(F.col("a.doc_id").alias("doc_id"))
+                )
+                rej = rej.unionByName(vs_store)
+            rej2 = rej.distinct().withColumn("r2", F.lit(1)).persist()
+
+            # per-doc blk flags for the store write: fold the chunk ranks
+            # back to one row per doc
+            blk = ranked.groupBy(F.col("d.doc_id").alias("doc_id")).agg(*[
+                F.max(
+                    F.when(F.col("ci") == c, F.col("grk") <= NEARDUP_BLOCKER_CAP)
+                ).alias(f"blk{c}")
+                for c in range(SIMHASH_CHUNKS)
+            ])
 
             # ---- stage 3: frozen-model scoring of stage-2 survivors
             lr, params = read_selection_model(spark, model_dir)
@@ -183,8 +295,9 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
                 s1_ids.select("fingerprint", "doc_id").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(exact_dir, f"batch_id={batch_id}"))
-                fp2.join(rej2, "doc_id", "left").select(
+                fp2.join(rej2, "doc_id", "left").join(blk, "doc_id").select(
                     "doc_id", "h0", "h1", "h2", "h3",
+                    *[f"blk{c}" for c in range(SIMHASH_CHUNKS)],
                     F.col("r2").isNull().alias("admitted"),
                 ).write.mode("overwrite").parquet(
                     os.path.join(neardup_dir, f"batch_id={batch_id}")
@@ -192,7 +305,9 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
             finally:
                 out.unpersist()
         finally:
-            fp2.unpersist()
+            for df in (rej2, ranked, sbl, fp2):
+                if df is not None:
+                    df.unpersist()
             s1.unpersist()
             s1_ids.unpersist()
     finally:

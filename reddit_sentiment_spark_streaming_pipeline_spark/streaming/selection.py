@@ -151,16 +151,17 @@ def selection_gate_batch(batch_df: DataFrame, batch_id: int, model_dir: str,
     base = batch_df.select("doc_id", "lang", "text").persist()
     scored = dsir_score_against_model(dsir_features(base), lr, params).persist()
     try:
-        n_batch = base.count()
-        n_scored = scored.count()
-        base.unpersist()
+        try:
+            n_batch = base.count()
+            n_scored = scored.count()
+        finally:
+            base.unpersist()
         n_admitted = scored.filter("admitted").count()
         scored.write.mode("overwrite").parquet(
             os.path.join(results_dir, f"batch_id={batch_id}")
         )
     finally:
         scored.unpersist()
-        base.unpersist()
     spark.createDataFrame(
         [(n_batch, n_scored, n_admitted)],
         "n_batch long, n_scored long, n_admitted long",

@@ -1202,3 +1202,140 @@ def test_ingest_pipeline_crash_replay_is_idempotent(spark, tmp_path):
     xs = read_ingest_stats(spark, chaos).toPandas().sort_values("batch_id")
     for col in ("n_batch", "n_exact_ok", "n_neardup_ok", "n_kept"):
         assert list(cs[col]) == list(xs[col])
+
+
+def _spam_family_fixture(spark, tmp_path, n_docs: int):
+    """A documents.parquet holding ONE template-spam family — n_docs
+    near-identical texts differing by one tail token (byte-exact dedup
+    cannot fold them; every pair is far inside the SimHash threshold),
+    ids 0..n_docs-1 so arrival order == id order — plus a few DIVERSE
+    filler docs at ids 100000+ so the DSIR calibration slice's score
+    spread is nonzero (an all-identical calibration corpus has sigma=0
+    and the z-score threshold is undefined)."""
+    import hashlib
+
+    template = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts carefully measure gravitational anomalies near the "
+        "southern observatory during a long equatorial summer"
+    )
+    rows = [(i, "en", f"{template} qq{i}", "crawl") for i in range(n_docs)]
+    # non-target lang: with a single-language corpus every DSIR bucket
+    # has tgt_cnt == raw_cnt, all logratios are 0, and sigma degenerates
+    for j in range(6):
+        words = " ".join(
+            hashlib.md5(f"fill{j}:{w}".encode()).hexdigest()[:7]
+            for w in range(30)
+        )
+        rows.append((100_000 + j * 5, "de", words, "crawl"))
+    sf_dir = str(tmp_path / "spamsf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string, source string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_ingest_stage2_blocker_cap_binds_and_stream_matches_twin(spark, tmp_path):
+    """Template-spam flood bigger than NEARDUP_BLOCKER_CAP through the
+    composed pipeline: the capped blocker rule must (a) actually engage
+    (bucket occupancy > cap), (b) still reject EVERY family member but
+    the smallest id — a flood family's first arrivals hold the blocker
+    slots, so capping loses no rejection here — and (c) keep the drained
+    stream decision-identical to the batch twin, which exercises the
+    cross-batch blocker arithmetic (store blk counts offsetting later
+    batches' ranks) that the under-cap fixtures never reach. Also pins
+    the store's blk-flag invariant: at most cap blocker rows per (ci,
+    cv) bucket, with at least one bucket saturated."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        simhash_chunk_rows,
+        simhash_fp,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+        NEARDUP_BLOCKER_CAP,
+        incremental_ingest_pipeline,
+        ingest_cal_docs,
+        ingest_corpus,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        INGEST_NEARDUP_STORE_SCHEMA,
+        read_ingest_results,
+        read_ingest_stream,
+        start_ingest_pipeline,
+        write_ingest_chunks,
+    )
+
+    n_docs = NEARDUP_BLOCKER_CAP + 16
+    sf_dir = _spam_family_fixture(spark, tmp_path, n_docs)
+
+    # the flood really exceeds the cap in every chunk bucket
+    occ = (
+        simhash_chunk_rows(
+            simhash_fp(ingest_corpus(spark, sf_dir).select("doc_id", "text"))
+        )
+        .groupBy("ci", "cv").count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert occ > NEARDUP_BLOCKER_CAP
+
+    twin = incremental_ingest_pipeline(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in twin.collect()}
+    # every FAMILY member except doc 0 is neardup-rejected (rejection
+    # recall 1.0 under the flood despite the cap: the family's first
+    # arrivals hold the blocker slots); doc 0 is the lone family survivor
+    assert rows[0]["neardup_ok"]
+    lost = [
+        d for d, r in rows.items()
+        if d in range(1, n_docs) and r["exact_ok"] and r["neardup_ok"]
+    ]
+    assert lost == []
+
+    chunk_dir = str(tmp_path / "fchunks")
+    out_root = str(tmp_path / "fingest")
+    write_ingest_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    q = start_ingest_pipeline(
+        read_ingest_stream(spark, chunk_dir), out_root,
+        ingest_cal_docs(spark, sf_dir),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = ["doc_id", "exact_ok", "neardup_ok", "kept"]
+    got = {tuple(r) for r in read_ingest_results(spark, out_root).select(cols).collect()}
+    want = {tuple(r) for r in twin.select(cols).collect()}
+    assert got == want
+
+    store = spark.read.schema(INGEST_NEARDUP_STORE_SCHEMA).parquet(
+        f"{out_root}/neardup_store"
+    )
+    per_bucket = [
+        store.filter(f"blk{c}").groupBy(f"h{c}").count() for c in range(4)
+    ]
+    maxes = [pb.agg(F.max("count")).first()[0] for pb in per_bucket]
+    assert all(m <= NEARDUP_BLOCKER_CAP for m in maxes), maxes
+    assert max(maxes) == NEARDUP_BLOCKER_CAP  # saturated under the flood
+
+
+def test_ingest_corpus_refuses_colliding_base_ids(spark, tmp_path):
+    """A base fixture whose doc_ids reach INGEST_RESUB_OFFSET would
+    silently collide planted ids with base ids and drift the calibration
+    slice — and the oracle shares the convention, so the oracle check
+    cannot see it. The engine must fail loudly instead (the row-side
+    raise_error guard in ingest_corpus)."""
+    import pytest
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+        INGEST_RESUB_OFFSET,
+        ingest_corpus,
+    )
+
+    sf_dir = str(tmp_path / "badsf")
+    spark.createDataFrame(
+        [(5, "en", "a perfectly ordinary document", "s"),
+         (INGEST_RESUB_OFFSET + 5, "en", "an id past the planted offset", "s")],
+        "doc_id bigint, lang string, text string, source string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    with pytest.raises(Exception, match="planted-id offset"):
+        ingest_corpus(spark, sf_dir).count()

@@ -1246,6 +1246,9 @@ def run_ingest_pipeline(spark, chunk_dir: str, out_root: str,
     """run_gate pointed at the composed INGEST pipeline. Calibration =
     the base-id doc_id % SELECTION_CAL_MOD slice read from the chunk
     corpus itself (freeze-once: only the first start consumes it)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+        INGEST_RESUB_OFFSET,
+    )
     from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
         SELECTION_CAL_MOD,
     )
@@ -1254,10 +1257,12 @@ def run_ingest_pipeline(spark, chunk_dir: str, out_root: str,
         start_ingest_pipeline,
     )
 
+    # base-id slice only: doc_id < INGEST_RESUB_OFFSET is the twin's
+    # "EXISTING corpus" convention (named constant, not a literal)
     cal = (
         spark.read.parquet(chunk_dir)
         .filter(
-            (F.col("doc_id") < 1000000)
+            (F.col("doc_id") < INGEST_RESUB_OFFSET)
             & (F.col("doc_id") % SELECTION_CAL_MOD == 0)
         )
         .select("doc_id", "lang", "text")
