@@ -61,6 +61,8 @@ HEADLINE = [
     "doc_chunks",                # overlapping token-window chunking (map-only)
     "dsir_logratio_scores",      # DSIR importance-weighted data selection
     "semantic_decontam_flags",   # embedding-space eval-set decontamination
+    "incremental_selection_gate",  # frozen-model DSIR admission (batch twin)
+    "incremental_ingest_pipeline",  # composed exact->neardup->selection twin
 ]
 
 

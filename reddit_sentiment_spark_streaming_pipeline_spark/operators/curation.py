@@ -258,6 +258,77 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic pseudo-random arrival order for the arrival-order gate
+# twin: a real crawl does NOT deliver documents in id order, and the
+# production admission rule is first-SEEN-wins (keyed by batch, then
+# within-batch order), not smallest-id-wins. md5 over the id gives both
+# engines the identical shuffled order with no stored side table.
+def arrival_seq_col(doc_id_col: str = "doc_id"):
+    return F.md5(F.concat(F.lit("arr"), F.col(doc_id_col).cast("string")))
+
+
+_ARRIVAL_SEQ_SQL = "md5('arr' || CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "arrival_order_exact_gate",
+    oracle=f"""
+    WITH existing AS (SELECT doc_id, lower(text) AS text FROM documents),
+    corpus AS (
+        SELECT doc_id, text FROM existing
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM existing WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zz fresh snapshot tail'
+        FROM existing WHERE doc_id % 7 = 0
+    ),
+    arr AS (
+        SELECT doc_id, {_ARRIVAL_SEQ_SQL} AS arrival_seq,
+               md5(text) AS fingerprint
+        FROM corpus
+    )
+    SELECT doc_id, arrival_seq,
+           row_number() OVER (
+               PARTITION BY fingerprint ORDER BY arrival_seq, doc_id) = 1
+               AS admitted
+    FROM arr ORDER BY doc_id
+    """,
+    doc="ARRIVAL-ORDER twin of the streaming exact dedup gate: admission "
+    "under first-SEEN-wins — each doc carries a deterministic "
+    "pseudo-random arrival_seq (md5 of its id: the order a crawl "
+    "actually delivers is unrelated to id order), and a fingerprint "
+    "family's survivor is its FIRST ARRIVAL, not its smallest id. This "
+    "is the honest semantics spec for unordered ingestion: the id-order "
+    "twins' batching-invariance premise replays chunks sorted by id, "
+    "where keep-first-by-id and first-seen-wins coincide; here they "
+    "deliberately diverge (about half the planted resubmit pairs arrive "
+    "copy-before-original), and the streaming gate driven over "
+    "arrival-shuffled chunks must land exactly this set "
+    "(tests/test_streaming.py::test_exact_gate_arrival_order...). Shape: "
+    "one row_number window over (fingerprint) ordered by arrival — the "
+    "same fingerprint-narrow shuffle as the id-order rule.",
+)
+def arrival_order_exact_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = snapshot_existing(spark, sf_dir)
+    corpus = existing.unionByName(snapshot_incoming(existing)).select(
+        "doc_id", "text"
+    )
+    arr = corpus.select(
+        "doc_id",
+        arrival_seq_col().alias("arrival_seq"),
+        F.md5("text").alias("fingerprint"),
+    )
+    w = W.partitionBy("fingerprint").orderBy("arrival_seq", "doc_id")
+    return (
+        arr.select(
+            "doc_id",
+            "arrival_seq",
+            (F.row_number().over(w) == 1).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "doc_chunks",
     oracle=r"""

@@ -41,6 +41,14 @@ from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import _or
 
 DOC_CHUNK_SCHEMA = "doc_id bigint, text string, source string"
 
+# Arrival-order variant: the stream carries an explicit arrival_seq and
+# the gate's within-batch keep-first window orders by it — first-SEEN-
+# wins, the production admission rule for a crawl that does NOT deliver
+# in id order (batch order supplies the cross-batch arrival order; the
+# column supplies it within a batch). Semantics spec:
+# operators/curation.py::arrival_order_exact_gate.
+ARRIVAL_CHUNK_SCHEMA = DOC_CHUNK_SCHEMA + ", arrival_seq string"
+
 # Durable fingerprint store layout: data columns + the batch-owned
 # partition column (from the batch_id=N directory names).
 STORE_SCHEMA = "fingerprint string, doc_id bigint, source string, batch_id bigint"
@@ -78,6 +86,44 @@ def read_doc_stream(spark: SparkSession, chunk_dir: str,
                     max_files_per_trigger: int = 1) -> DataFrame:
     return (
         spark.readStream.schema(DOC_CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(chunk_dir)
+    )
+
+
+def write_doc_chunks_arrival(spark: SparkSession, sf_dir: str, out_dir: str,
+                             n_chunks: int = 4) -> int:
+    """Replayable chunks of the snapshot corpus in ARRIVAL order: each
+    doc carries its deterministic arrival_seq and chunks are
+    range-partitioned on it, so replay delivers the corpus the way a
+    crawl would — id order scrambled, resubmits often arriving before
+    their originals. The gate driven over these chunks must land the
+    arrival_order_exact_gate twin's admission set exactly."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
+        arrival_seq_col,
+        snapshot_existing,
+        snapshot_incoming,
+    )
+
+    existing = snapshot_existing(spark, sf_dir)
+    corpus = existing.unionByName(snapshot_incoming(existing)).withColumn(
+        "arrival_seq", arrival_seq_col()
+    )
+    n = corpus.count()
+    (
+        corpus.repartitionByRange(n_chunks, "arrival_seq")
+        .sortWithinPartitions("arrival_seq")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    _order_files_by_name(out_dir, ".parquet")
+    return n
+
+
+def read_doc_stream_arrival(spark: SparkSession, chunk_dir: str,
+                            max_files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(ARRIVAL_CHUNK_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(chunk_dir)
     )
@@ -156,8 +202,10 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     """Admit the batch's unseen fingerprints into the store; upsert stats.
 
     Within-batch collisions keep the lowest doc_id (the same greedy
-    keep-first rule as the batch operators); cross-batch collisions are
-    rejected by the store anti-join. The store read is gated on the
+    keep-first rule as the batch operators) — or the first arrival_seq
+    when the stream carries one (ARRIVAL_CHUNK_SCHEMA: first-seen-wins
+    for unordered ingestion); cross-batch collisions are rejected by
+    the store anti-join. The store read is gated on the
     path existing on the store's OWN filesystem (Hadoop FileSystem API,
     not the driver's local disk) — and NOT on a broad exception swallow —
     so a real read failure (corrupt part file, FS error) propagates and
@@ -169,11 +217,19 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     # (batch count, admitted count, store append) would otherwise each
     # re-scan the streaming source — 3× the input read per micro-batch
     # (and a 3×-inflated numInputRows in query progress)
+    # first-SEEN-wins: a stream carrying an explicit arrival_seq (the
+    # arrival-order chunk layout) keeps its within-batch first ARRIVAL
+    # per fingerprint; without one, doc_id is the within-batch order
+    # (the id-ordered replay premise). Cross-batch order is batch order
+    # either way — the store anti-join below.
+    arrival = "arrival_seq" in batch_df.columns
+    cols = ["doc_id", "source"] + (["arrival_seq"] if arrival else [])
     fps = batch_df.select(
-        "doc_id", "source", F.md5("text").alias("fingerprint")
+        *cols, F.md5("text").alias("fingerprint")
     ).persist()
     try:
-        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        order = (["arrival_seq", "doc_id"] if arrival else ["doc_id"])
+        w = Window.partitionBy("fingerprint").orderBy(*order)
         firsts = (
             fps.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -1317,6 +1317,61 @@ def test_ingest_stage2_blocker_cap_binds_and_stream_matches_twin(spark, tmp_path
     assert max(maxes) == NEARDUP_BLOCKER_CAP  # saturated under the flood
 
 
+def test_exact_gate_arrival_order_matches_twin(spark, tmp_path):
+    """First-SEEN-wins under unordered ingestion: chunks delivered in
+    arrival order (id order scrambled — resubmits often arrive before
+    their originals), gate admission keyed by (batch order, within-batch
+    arrival_seq). The drained store must equal the arrival_order twin's
+    admitted set exactly, and that set must genuinely DIFFER from the
+    id-order rule's (the premise the id-ordered twins replay under), or
+    the lap proves nothing."""
+    from pyspark.sql.window import Window
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
+        arrival_order_exact_gate,
+        snapshot_existing,
+        snapshot_incoming,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream_arrival,
+        read_gate_stats,
+        start_dedup_gate,
+        write_doc_chunks_arrival,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    twin = arrival_order_exact_gate(spark, sf_dir)
+    want = {r["doc_id"] for r in twin.collect() if r["admitted"]}
+
+    # non-vacuous: first-seen-wins must disagree with smallest-id-wins
+    existing = snapshot_existing(spark, sf_dir)
+    corpus = existing.unionByName(snapshot_incoming(existing))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    by_id = {
+        r["doc_id"]
+        for r in corpus.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").select("doc_id").collect()
+    }
+    assert want != by_id
+    assert len(want) == len(by_id)  # same families, different survivors
+
+    chunk_dir = str(tmp_path / "achunks")
+    out_root = str(tmp_path / "agate")
+    n = write_doc_chunks_arrival(spark, sf_dir, chunk_dir, n_chunks=4)
+    q = start_dedup_gate(read_doc_stream_arrival(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = spark.read.parquet(f"{out_root}/fingerprint_store")
+    got = {r["doc_id"] for r in store.select("doc_id").collect()}
+    assert got == want
+    stats = read_gate_stats(spark, out_root).toPandas()
+    assert stats.n_batch.sum() == n
+    assert stats.n_rejected.sum() > 0
+
+
 def test_ingest_corpus_refuses_colliding_base_ids(spark, tmp_path):
     """A base fixture whose doc_ids reach INGEST_RESUB_OFFSET would
     silently collide planted ids with base ids and drift the calibration
