@@ -830,6 +830,149 @@ def _text_flood_deep(spark, specs, sf_dir: str, stride: int) -> dict:
     return out
 
 
+def _ingest_flood_deep(spark, sf_dir: str, stride: int) -> dict:
+    """Stage-2 deep-point for the COMPOSED ingest pipeline under the
+    template-spam flood — the regime exact dedup cannot fold (spam
+    variants differ by bytes), so every flood member reaches the near-dup
+    stage. Measured on the exact production frames (operators/ingest.py
+    internals, not re-derivations):
+
+    - blocker-cap pressure: pre-cap max chunk-bucket occupancy, chunk
+      rows vs capped blocker rows;
+    - pair ATTRIBUTION: decided pairs under the NEARDUP_BLOCKER_CAP
+      blocker join vs the uncapped member×member counterfactual (the
+      r12-replaced shape that measured 10× docs → 111× join pairs) —
+      both exact closed forms over the bucket occupancy histogram, no
+      quadratic join needed for the count;
+    - rejection RECALL: the capped stage-2 rejection set vs the uncapped
+      rule's (the one quadratic join this lap pays for, as ground
+      truth). `cap_missed_rejections` = docs the uncapped rule rejects
+      but the cap admits (their ONLY smaller-id Hamming-matches hide
+      beyond the cap in all four buckets — the documented trade);
+      split out for the flood replicas (spam members k≥1, whose family
+      first-arrivals hold the blocker slots) and the planted tail-edited
+      copies (+INGEST_TAILED_OFFSET, stage 2's in-fixture food);
+    - the twin's funnel (docs → exact_ok → neardup_ok → kept) so the
+      artifact shows the composition still ends in a non-degenerate
+      admission set.
+    """
+    from reddit_sentiment_spark_streaming_pipeline_spark.functions.hashing import (
+        hamming_expr,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        HAMMING_THRESHOLD,
+        simhash_chunk_rows,
+        simhash_fp,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+        INGEST_RESUB_OFFSET,
+        INGEST_TAILED_OFFSET,
+        NEARDUP_BLOCKER_CAP,
+        ingest_corpus,
+        incremental_ingest_pipeline,
+    )
+    from pyspark.sql.window import Window
+
+    docs = ingest_corpus(spark, sf_dir).select("doc_id", "lang", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s1 = (
+        docs.withColumn("ok", F.row_number().over(w) == 1)
+        .filter("ok")
+        .select("doc_id", "text")
+    )
+    cl = simhash_chunk_rows(simhash_fp(s1)).localCheckpoint()
+
+    cnt = F.col("cnt")
+    cap = F.lit(NEARDUP_BLOCKER_CAP)
+    capped_lo = cap * (cap - F.lit(1)) / 2 + (cnt - cap) * cap
+    bucket_row = (
+        cl.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.max(cnt).alias("max_bucket"),
+            F.sum(cnt).alias("chunk_rows"),
+            F.sum(F.least(cnt, cap)).alias("blocker_rows"),
+            F.sum(cnt * (cnt - 1) / 2).alias("uncapped_pairs"),
+            F.sum(
+                F.when(cnt <= cap, cnt * (cnt - 1) / 2).otherwise(capped_lo)
+            ).alias("capped_pairs"),
+        )
+        .first()
+    )
+
+    wb = Window.partitionBy("ci", "cv").orderBy(F.col("d.doc_id"))
+    blockers = (
+        cl.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= NEARDUP_BLOCKER_CAP)
+        .select("ci", "cv", F.col("d").alias("b"))
+    )
+    a = cl.select("ci", "cv", F.col("d").alias("a"))
+    ham = F.expr(hamming_expr("a.h", "b.h", "spark"))
+
+    def rejected(bside) -> DataFrame:
+        return (
+            a.join(bside, ["ci", "cv"])
+            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+            .filter(ham <= HAMMING_THRESHOLD)
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+    rej_cap = rejected(blockers)
+    rej_unc = rejected(cl.select("ci", "cv", F.col("d").alias("b")))
+    missed = rej_unc.join(rej_cap, "doc_id", "left_anti")
+
+    flood = (F.col("doc_id") >= stride) & (F.col("doc_id") < INGEST_RESUB_OFFSET)
+    tailed = F.col("doc_id") >= INGEST_TAILED_OFFSET
+
+    def split(df: DataFrame) -> dict[str, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("all"),
+            F.sum(flood.cast("long")).alias("flood"),
+            F.sum(tailed.cast("long")).alias("tailed"),
+        ).first()
+        return {k: int(r[k] or 0) for k in ("all", "flood", "tailed")}
+
+    n_cap, n_unc, n_missed = split(rej_cap), split(rej_unc), split(missed)
+    funnel = (
+        incremental_ingest_pipeline(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("exact_ok").cast("long")).alias("exact_ok"),
+            F.sum(F.col("neardup_ok").cast("long")).alias("neardup_ok"),
+            F.sum(F.col("kept").cast("long")).alias("kept"),
+        )
+        .first()
+    )
+
+    def recall(k: str) -> float | None:
+        return round(n_cap[k] / n_unc[k], 4) if n_unc[k] else None
+
+    return {
+        "corpus_docs": docs.count(),
+        "exact_survivors": s1.count(),
+        "max_bucket_occupancy": int(bucket_row["max_bucket"] or 0),
+        "chunk_rows": int(bucket_row["chunk_rows"] or 0),
+        "blocker_rows": int(bucket_row["blocker_rows"] or 0),
+        "capped_decided_pairs": int(bucket_row["capped_pairs"] or 0),
+        "uncapped_decided_pairs": int(bucket_row["uncapped_pairs"] or 0),
+        "capped_rejected": n_cap["all"],
+        "uncapped_rejected": n_unc["all"],
+        "cap_missed_rejections": n_missed["all"],
+        "rejection_recall": recall("all"),
+        "flood_members_rejected_capped": n_cap["flood"],
+        "flood_members_rejected_uncapped": n_unc["flood"],
+        "flood_rejection_recall": recall("flood"),
+        "tailed_rejected_capped": n_cap["tailed"],
+        "tailed_rejected_uncapped": n_unc["tailed"],
+        "tailed_rejection_recall": recall("tailed"),
+        "funnel": {
+            k: int(funnel[k]) for k in ("docs", "exact_ok", "neardup_ok", "kept")
+        },
+    }
+
+
 def _span_isolation(spark, sf_dir: str, out_dir: str) -> dict:
     """Empirical check that the affine cipher family keeps replicas
     span-disjoint: count 8-word windows shared across replica bands in
@@ -898,6 +1041,9 @@ def main() -> None:
     text_flood_deep = "--text-flood-deep" in args
     if text_flood_deep:
         args.remove("--text-flood-deep")
+    ingest_flood_deep = "--ingest-flood-deep" in args
+    if ingest_flood_deep:
+        args.remove("--ingest-flood-deep")
     if "--replicas" in args:
         i = args.index("--replicas")
         REPLICAS = int(args[i + 1])
@@ -992,6 +1138,17 @@ def main() -> None:
             "base": _text_flood_deep(spark, specs, base_dir, stride),
             "big": _text_flood_deep(spark, specs, out_dir, stride),
         }
+    ingest_flood_metrics = None
+    if ingest_flood_deep:
+        stride = int(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .agg(F.max("doc_id") + 1)
+            .first()[0]
+        )
+        ingest_flood_metrics = {
+            "base": _ingest_flood_deep(spark, base_dir, stride),
+            "big": _ingest_flood_deep(spark, out_dir, stride),
+        }
 
     kinds = {
         "relational" if q in RELATIONAL_QUERIES
@@ -1013,6 +1170,8 @@ def main() -> None:
         **({"text_perturb": TEXT_PERTURB} if TEXT_PERTURB != "cipher" else {}),
         **({"emb_deep": emb_metrics} if emb_metrics is not None else {}),
         **({"text_flood_deep": flood_metrics} if flood_metrics is not None else {}),
+        **({"ingest_flood_deep": ingest_flood_metrics}
+           if ingest_flood_metrics is not None else {}),
         # run-time plan pins: which implementation this artifact measured
         # (tools/pin_scale_evidence.py + tests/test_scale_evidence.py use
         # these to fail the build when a plan rewrite orphans its evidence)
