@@ -733,14 +733,19 @@ def simhash_fp(corpus: DataFrame) -> DataFrame:
     return simhash_fp_from_token_arrays(corpus.select("doc_id", toks.alias("toks")))
 
 
-def simhash_chunk_rows(fp: DataFrame) -> DataFrame:
+def simhash_chunk_rows(fp: DataFrame, extra: tuple = ()) -> DataFrame:
     """(d struct, ci, cv) — one row per doc per 16-bit SimHash chunk, the
     banding long form; `d` carries the doc_id plus the full packed
     fingerprint so pair expansion can Hamming-verify inline. Extracted so
     the scale-rehearsal flood deep-point measures bucket occupancy and
-    flood reachability on the exact production chunk table."""
+    flood reachability on the exact production chunk table. `extra`
+    names additional fp columns to ride inside the struct (the
+    arrival-order gate threads arrival_seq through for its precedence
+    compare)."""
     return fp.select(
-        F.struct("doc_id", *[f"h{c}" for c in range(SIMHASH_CHUNKS)]).alias("d"),
+        F.struct(
+            "doc_id", *[f"h{c}" for c in range(SIMHASH_CHUNKS)], *extra
+        ).alias("d"),
         F.explode(
             F.array(
                 *[
@@ -1473,6 +1478,116 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(blk, "doc_id", "left")
         .select(
             "doc_id",
+            F.col("m").isNull().alias("admitted"),
+            F.col("m.db").alias("blocker"),
+            F.col("m.ham").alias("blocker_hamming"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "arrival_order_neardup_gate",
+    oracle=f"""
+    WITH corpus AS ({_SNAP_CORPUS_SQL}),
+    {_FP_BODY_SQL},
+    arr AS (
+        SELECT doc_id, md5('arr' || CAST(doc_id AS VARCHAR)) AS arrival_seq
+        FROM corpus
+    ),
+    cl AS ({_CHUNKS_LONG}),
+    cla AS (SELECT cl.*, arr.arrival_seq FROM cl JOIN arr USING (doc_id)),
+    cand AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS db, b.arrival_seq AS barr,
+               {hamming_expr('a.h', 'b.h', 'duckdb')} AS ham
+        FROM cla a JOIN cla b
+          ON a.ci = b.ci AND a.cv = b.cv
+         AND (b.arrival_seq < a.arrival_seq
+              OR (b.arrival_seq = a.arrival_seq AND b.doc_id < a.doc_id))
+        WHERE {hamming_expr('a.h', 'b.h', 'duckdb')} <= {HAMMING_THRESHOLD}
+    ),
+    blk AS (
+        SELECT doc_id, db AS blocker, ham AS blocker_hamming
+        FROM (
+            SELECT doc_id, db, ham,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY ham, barr, db) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT f.doc_id, arr.arrival_seq,
+           (b.blocker IS NULL) AS admitted,
+           b.blocker AS blocker,
+           b.blocker_hamming AS blocker_hamming
+    FROM fp f
+    JOIN arr ON arr.doc_id = f.doc_id
+    LEFT JOIN blk b ON b.doc_id = f.doc_id
+    ORDER BY f.doc_id
+    """,
+    doc="ARRIVAL-ORDER twin of the streaming NEAR-dup admission gate: "
+    "first-SEEN-wins for unordered ingestion — each doc carries the "
+    "deterministic pseudo-random arrival_seq (md5 of its id, the "
+    "arrival_order_exact_gate convention: a crawl does not deliver in "
+    "id order), and a doc is rejected iff some EARLIER-ARRIVED doc "
+    "(lexicographic (arrival_seq, doc_id) precedence) shares a SimHash "
+    "16-bit chunk within Hamming <= 8; the blocker reported is the "
+    "(hamming, arrival, id)-minimal earlier match. The id-order twin "
+    "(incremental_neardup_gate) and this rule genuinely diverge on the "
+    "snapshot corpus — a near-dup family's survivor is its first "
+    "arrival, not its smallest id — and the streaming gate driven over "
+    "arrival-shuffled chunks must land exactly this set "
+    "(tests/test_streaming.py::test_neardup_gate_arrival_order...): "
+    "within-batch precedence comes from the arrival_seq column, "
+    "cross-batch precedence from batch order, which the arrival-ranged "
+    "chunk layout makes consistent with the global rule. Same physical "
+    "shape as the id-order twin — banded chunk equi-join + inline "
+    "Hamming verify; arrival_seq rides inside the chunk struct, "
+    "adding ~32 B/row to the banding exchange, nothing else.",
+)
+def arrival_order_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
+        arrival_seq_col,
+        snapshot_existing,
+        snapshot_incoming,
+    )
+
+    docs = snapshot_existing(spark, sf_dir)
+    corpus = docs.unionByName(snapshot_incoming(docs)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fpa = simhash_fp(corpus).join(
+        corpus.select("doc_id", arrival_seq_col().alias("arrival_seq")),
+        "doc_id",
+    )
+    cl = simhash_chunk_rows(fpa, extra=("arrival_seq",))
+    a = cl.select("ci", "cv", F.col("d").alias("a"))
+    b = cl.select("ci", "cv", F.col("d").alias("b"))
+    earlier = (F.col("b.arrival_seq") < F.col("a.arrival_seq")) | (
+        (F.col("b.arrival_seq") == F.col("a.arrival_seq"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    ham = F.expr(hamming_expr("a.h", "b.h", "spark"))
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(earlier)
+        .withColumn("ham", ham)
+        .filter(F.col("ham") <= HAMMING_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("ham"),
+            F.col("b.arrival_seq").alias("barr"),
+            F.col("b.doc_id").alias("db"),
+        )
+    )
+    blk = cand.groupBy("doc_id").agg(
+        F.min(F.struct("ham", "barr", "db")).alias("m")
+    )
+    return (
+        fpa.select("doc_id", "arrival_seq")
+        .join(blk, "doc_id", "left")
+        .select(
+            "doc_id",
+            "arrival_seq",
             F.col("m").isNull().alias("admitted"),
             F.col("m.db").alias("blocker"),
             F.col("m.ham").alias("blocker_hamming"),

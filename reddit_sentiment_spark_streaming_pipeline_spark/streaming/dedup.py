@@ -623,13 +623,33 @@ def neardup_rejected(fps: DataFrame, store: DataFrame | None,
 
     fallback = (batch_rows is not None
                 and batch_rows > _gate_batch_max() // 4)
-    bcl = simhash_chunk_rows(fps.select("doc_id", "h0", "h1", "h2", "h3"))
+    # first-SEEN-wins: a batch carrying an explicit arrival_seq (the
+    # arrival-order chunk layout) compares within-batch precedence by
+    # (arrival_seq, doc_id) instead of doc_id, and EVERY store row blocks
+    # (store rows arrived in strictly earlier batches, hence earlier) —
+    # the gate_batch exact-gate convention, semantics spec
+    # operators/dedup.py::arrival_order_neardup_gate. Without the column
+    # the id-ordered-replay rule below is unchanged.
+    arrival = "arrival_seq" in fps.columns
+    fp_cols = ["doc_id", "h0", "h1", "h2", "h3"] + (
+        ["arrival_seq"] if arrival else []
+    )
+    bcl = simhash_chunk_rows(
+        fps.select(*fp_cols), extra=("arrival_seq",) if arrival else ()
+    )
     a = bcl.select("ci", "cv", F.col("d").alias("a"))
     b = bcl.select("ci", "cv", F.col("d").alias("b"))
+    if arrival:
+        earlier = (F.col("b.arrival_seq") < F.col("a.arrival_seq")) | (
+            (F.col("b.arrival_seq") == F.col("a.arrival_seq"))
+            & (F.col("b.doc_id") < F.col("a.doc_id"))
+        )
+    else:
+        earlier = F.col("b.doc_id") < F.col("a.doc_id")
     ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
     within = (
         a.join(b.hint("shuffle_hash") if fallback else b, ["ci", "cv"])
-        .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+        .filter(earlier)
         .filter(ham_ab <= HAMMING_THRESHOLD)
         .select(F.col("a.doc_id").alias("doc_id"))
     )
@@ -642,7 +662,9 @@ def neardup_rejected(fps: DataFrame, store: DataFrame | None,
     batch_side = a.hint("shuffle_hash") if fallback else F.broadcast(a)
     vs_store = (
         scl.join(batch_side, ["ci", "cv"])
-        .filter(F.col("s.doc_id") < F.col("a.doc_id"))
+        .filter(
+            F.lit(True) if arrival else (F.col("s.doc_id") < F.col("a.doc_id"))
+        )
         .filter(ham_sb <= HAMMING_THRESHOLD)
         .select(F.col("a.doc_id").alias("doc_id"))
     )
@@ -690,9 +712,11 @@ def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     # end: a backfill-sized micro-batch must not keep corpus-sized text
     # blocks resident while the store joins and partition writes run
     # (gate_batch persists only its md5 projection for the same reason).
-    base = batch_df.select("doc_id", "text", "source").persist()
+    arrival = "arrival_seq" in batch_df.columns
+    side_cols = ["doc_id", "source"] + (["arrival_seq"] if arrival else [])
+    base = batch_df.select("doc_id", "text", *side_cols[1:]).persist()
     fp = simhash_fp(base.select("doc_id", "text"))
-    fps = fp.join(base.select("doc_id", "source"), "doc_id").persist()
+    fps = fp.join(base.select(*side_cols), "doc_id").persist()
     try:
         base.count()
         n_batch = fps.count()

@@ -1372,6 +1372,59 @@ def test_exact_gate_arrival_order_matches_twin(spark, tmp_path):
     assert stats.n_rejected.sum() > 0
 
 
+def test_neardup_gate_arrival_order_matches_twin(spark, tmp_path):
+    """First-SEEN-wins for the NEAR-dup gate under unordered ingestion:
+    within-batch precedence from the arrival_seq column, cross-batch
+    precedence from batch order (every store row blocks — it arrived in
+    a strictly earlier batch). The drained store's admitted set must
+    equal the arrival_order_neardup_gate twin's exactly, and that set
+    must genuinely DIFFER from the id-order rule's — near-dup admission
+    is order-sensitive even in survivor COUNT (the relation is not
+    transitive: admitting a chain's middle member first can block both
+    ends, where id order admits one end and the middle blocks only the
+    other)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
+        arrival_order_neardup_gate,
+        incremental_neardup_gate,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import (
+        read_doc_stream_arrival,
+        read_neardup_stats,
+        read_neardup_store,
+        start_neardup_gate,
+        write_doc_chunks_arrival,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    twin = arrival_order_neardup_gate(spark, sf_dir)
+    want = {r["doc_id"] for r in twin.collect() if r["admitted"]}
+
+    # non-vacuous: first-seen-wins must disagree with smallest-id-wins
+    by_id = {
+        r["doc_id"]
+        for r in incremental_neardup_gate(spark, sf_dir).collect()
+        if r["admitted"]
+    }
+    assert want != by_id
+
+    chunk_dir = str(tmp_path / "nachunks")
+    out_root = str(tmp_path / "nagate")
+    n = write_doc_chunks_arrival(spark, sf_dir, chunk_dir, n_chunks=4)
+    q = start_neardup_gate(read_doc_stream_arrival(spark, chunk_dir), out_root)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = read_neardup_store(spark, out_root)
+    got = {r["doc_id"] for r in store.filter("admitted").collect()}
+    assert got == want
+    assert store.count() == n  # one row per SEEN doc, admitted or not
+    stats = read_neardup_stats(spark, out_root).toPandas()
+    assert stats.n_batch.sum() == n
+    assert stats.n_rejected.sum() > 0
+
+
 def test_ingest_corpus_refuses_colliding_base_ids(spark, tmp_path):
     """A base fixture whose doc_ids reach INGEST_RESUB_OFFSET would
     silently collide planted ids with base ids and drift the calibration

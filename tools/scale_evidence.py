@@ -73,6 +73,12 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     "stratified_sample_counts": ("sibling", "stratified_quota_sample"),
     "length_band_filter": ("sibling", "vocab_coverage_thresholds"),
     "dedup_keep_last": ("sibling", "exact_dup_groups"),
+    # arrival-order twins: same physical shape as their id-order twins
+    # (md5 keep-first window / banded chunk equi-join + Hamming verify)
+    # with the order key widened by the 32-char arrival_seq — no new
+    # exchange, no new join
+    "arrival_order_exact_gate": ("sibling", "incremental_dedup_gate"),
+    "arrival_order_neardup_gate": ("sibling", "incremental_neardup_gate"),
     "doc_fingerprints": ("sibling", "exact_dup_groups"),
     "dedup_survivor_stats": ("sibling", "exact_dup_groups"),
     "windowed_subreddit_sentiment": ("sibling", "windowed_event_counts"),
