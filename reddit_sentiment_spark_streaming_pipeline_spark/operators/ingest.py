@@ -329,3 +329,149 @@ def incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_ok.alias("neardup_ok"),
         F.coalesce(neardup_ok & F.col("admitted"), F.lit(False)).alias("kept"),
     )
+
+
+# Arrival-order twin: the composed pipeline under FIRST-SEEN-WINS. The
+# deterministic pseudo-random arrival convention is operators/
+# curation.py::arrival_seq_col (md5 of the id — both engines derive the
+# identical shuffled order with no stored side table).
+_ARRIVAL_SEQ_SQL = "md5('arr' || CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "arrival_order_ingest_pipeline",
+    oracle=f"""
+    WITH icorpus AS ({_INGEST_CORPUS_SQL}),
+    st1 AS (
+        SELECT doc_id, lang, text, {_ARRIVAL_SEQ_SQL} AS arrival_seq,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY {_ARRIVAL_SEQ_SQL}, doc_id) = 1 AS exact_ok
+        FROM icorpus
+    ),
+    corpus AS (SELECT doc_id, text FROM st1 WHERE exact_ok),
+    {_FP_BODY_SQL},
+    cl AS ({_CHUNKS_LONG}),
+    cla AS (
+        SELECT cl.*, s.arrival_seq
+        FROM cl JOIN (SELECT doc_id, arrival_seq FROM st1) s USING (doc_id)
+    ),
+    blk2 AS (
+        SELECT * FROM (
+            SELECT cla.*,
+                   row_number() OVER (
+                       PARTITION BY ci, cv
+                       ORDER BY arrival_seq, doc_id) AS rn
+            FROM cla
+        ) WHERE rn <= {NEARDUP_BLOCKER_CAP}
+    ),
+    rej2 AS (
+        SELECT DISTINCT a.doc_id
+        FROM cla a JOIN blk2 b
+          ON a.ci = b.ci AND a.cv = b.cv
+         AND (b.arrival_seq < a.arrival_seq
+              OR (b.arrival_seq = a.arrival_seq AND b.doc_id < a.doc_id))
+        WHERE {hamming_expr('a.h', 'b.h', 'duckdb')} <= {HAMMING_THRESHOLD}
+    ),
+    {_DSIR_MODEL_SQL},
+    s2 AS (
+        SELECT s.doc_id FROM st1 s
+        WHERE s.exact_ok AND s.doc_id NOT IN (SELECT doc_id FROM rej2)
+    ),
+    sel AS (
+        SELECT dfl.doc_id, round(avg(dlr.logratio), 6) AS score
+        FROM dfl JOIN dlr USING (bucket)
+        WHERE dfl.doc_id IN (SELECT doc_id FROM s2)
+        GROUP BY dfl.doc_id
+    )
+    SELECT st1.doc_id, st1.lang, st1.arrival_seq, st1.exact_ok,
+           (st1.exact_ok AND r.doc_id IS NULL) AS neardup_ok,
+           coalesce(
+               st1.exact_ok AND r.doc_id IS NULL
+               AND round((sel.score - p.mu) / p.sigma, 4) >= {DSIR_SELECT_Z},
+               false
+           ) AS kept
+    FROM st1
+    LEFT JOIN rej2 r ON r.doc_id = st1.doc_id
+    LEFT JOIN sel ON sel.doc_id = st1.doc_id
+    CROSS JOIN dparams p
+    """,
+    doc="ARRIVAL-ORDER twin of the composed INGEST pipeline: the full "
+    "exact -> near-dup -> selection admission funnel under "
+    "first-SEEN-wins — the honest semantics for a crawl that does not "
+    "deliver in id order. Each doc carries the deterministic "
+    "pseudo-random arrival_seq (arrival_order_exact_gate convention); "
+    "stage 1 keeps a fingerprint family's FIRST ARRIVAL, stage 2's "
+    "capped per-bucket blocker set is the NEARDUP_BLOCKER_CAP "
+    "FIRST-ARRIVED survivors per chunk bucket and only "
+    "strictly-earlier-arrived blockers reject (lexicographic "
+    "(arrival_seq, doc_id) precedence), stage 3 is order-independent "
+    "by construction (the FROZEN model scores each doc in isolation). "
+    "The id-order twin (incremental_ingest_pipeline) and this rule "
+    "genuinely diverge — planted resubmits often arrive before their "
+    "originals — and the streaming pipeline driven over "
+    "arrival-shuffled chunks must land exactly this flag set "
+    "(tests/test_streaming.py::test_ingest_pipeline_arrival_order...). "
+    "Physical shape identical to the id-order twin: the md5 keep-first "
+    "window and per-bucket blocker ranks just order by (arrival_seq, "
+    "doc_id) — the 32-char seq rides the existing exchanges, no new "
+    "join or shuffle.",
+)
+def arrival_order_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import arrival_seq_col
+
+    docs = ingest_corpus(spark, sf_dir).select(
+        "doc_id", "lang", "text", arrival_seq_col().alias("arrival_seq")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("arrival_seq", "doc_id")
+    staged = docs.withColumn("exact_ok", F.row_number().over(w) == 1)
+    s1 = staged.filter("exact_ok")
+
+    fpa = simhash_fp(s1.select("doc_id", "text")).join(
+        s1.select("doc_id", "arrival_seq"), "doc_id"
+    )
+    cl = simhash_chunk_rows(fpa, extra=("arrival_seq",))
+    wb = Window.partitionBy("ci", "cv").orderBy(
+        F.col("d.arrival_seq"), F.col("d.doc_id")
+    )
+    blockers = (
+        cl.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= NEARDUP_BLOCKER_CAP)
+        .select("ci", "cv", F.col("d").alias("b"))
+    )
+    a = cl.select("ci", "cv", F.col("d").alias("a"))
+    earlier = (F.col("b.arrival_seq") < F.col("a.arrival_seq")) | (
+        (F.col("b.arrival_seq") == F.col("a.arrival_seq"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    ham = F.expr(hamming_expr("a.h", "b.h", "spark"))
+    rej2 = (
+        a.join(blockers, ["ci", "cv"])
+        .filter(earlier)
+        .filter(ham <= HAMMING_THRESHOLD)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("r2", F.lit(1))
+    )
+
+    cal = dsir_features(ingest_cal_docs(spark, sf_dir))
+    lr, params = dsir_frozen_model(cal)
+    s2 = s1.join(rej2, "doc_id", "left_anti")
+    scored = dsir_score_against_model(
+        dsir_features(s2.select("doc_id", "lang", "text")), lr, params
+    ).select("doc_id", "admitted")
+
+    flagged = (
+        staged.select("doc_id", "lang", "arrival_seq", "exact_ok")
+        .join(rej2, "doc_id", "left")
+        .join(scored, "doc_id", "left")
+    )
+    neardup_ok = F.col("exact_ok") & F.col("r2").isNull()
+    return flagged.select(
+        "doc_id",
+        "lang",
+        "arrival_seq",
+        "exact_ok",
+        neardup_ok.alias("neardup_ok"),
+        F.coalesce(neardup_ok & F.col("admitted"), F.lit(False)).alias("kept"),
+    )

@@ -13,6 +13,14 @@ scores stage-2 survivors against the model FROZEN before the stream
 opened (freeze-once semantics shared with the selection gate — the
 model lives beside the checkpoint and a resume reuses it untouched).
 
+Arrival-order ingestion: a stream whose rows carry an `arrival_seq`
+column (write_ingest_chunks_arrival's layout) is admitted under
+FIRST-SEEN-WINS — every within-batch precedence window and blocker
+compare orders by (arrival_seq, doc_id) and every store row blocks
+unconditionally (it arrived in a strictly earlier batch); semantics
+spec operators/ingest.py::arrival_order_ingest_pipeline. Without the
+column, id-ordered replay keeps the smaller-id rules below.
+
 Replay contract (the gate_batch contract, three stores wide): candidate
 reads filter `batch_id < N`; every batch overwrites its OWN batch_id=N
 partition in the exact store (admitted fingerprints), the near-dup
@@ -107,6 +115,47 @@ def write_ingest_chunks(spark: SparkSession, sf_dir: str, out_dir: str,
 # chunk schema == the selection stream's (doc_id, text, lang, source)
 read_ingest_stream = read_selection_stream
 
+INGEST_ARRIVAL_CHUNK_SCHEMA = (
+    "doc_id bigint, lang string, text string, source string, "
+    "arrival_seq string"
+)
+
+
+def write_ingest_chunks_arrival(spark: SparkSession, sf_dir: str,
+                                out_dir: str, n_chunks: int = 4) -> int:
+    """Replayable ingest chunks in ARRIVAL order: each doc carries its
+    deterministic arrival_seq and chunks are range-partitioned on it, so
+    replay delivers the corpus the way a crawl would — id order
+    scrambled, resubmits and tail copies often arriving before their
+    originals. The pipeline driven over these chunks must land the
+    arrival_order_ingest_pipeline twin's flag set exactly (batch order
+    supplies cross-batch precedence; the arrival-ranged layout makes it
+    consistent with the twin's global (arrival_seq, doc_id) rule)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import arrival_seq_col
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import ingest_corpus
+
+    corpus = ingest_corpus(spark, sf_dir).withColumn(
+        "arrival_seq", arrival_seq_col()
+    )
+    n = corpus.count()
+    (
+        corpus.repartitionByRange(n_chunks, "arrival_seq")
+        .sortWithinPartitions("arrival_seq")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    _order_files_by_name(out_dir, ".parquet")
+    return n
+
+
+def read_ingest_stream_arrival(spark: SparkSession, chunk_dir: str,
+                               max_files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(INGEST_ARRIVAL_CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(chunk_dir)
+    )
+
 
 def _store_blocker_rows(store: DataFrame) -> DataFrame:
     """Chunk-long rows of the store's BLOCKER subset: (d struct, ci, cv)
@@ -149,15 +198,29 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
     stats_dir = os.path.join(out_root, "ingest_stats")
     model_dir = os.path.join(out_root, "dsir_model")
 
-    base = batch_df.select("doc_id", "lang", "text").persist()
+    # first-SEEN-wins: a batch carrying an explicit arrival_seq (the
+    # arrival-order chunk layout) orders every within-batch precedence
+    # window/compare by (arrival_seq, doc_id), and every store row
+    # blocks unconditionally (it arrived in a strictly earlier batch) —
+    # semantics spec operators/ingest.py::arrival_order_ingest_pipeline.
+    # Without the column the id-ordered-replay rules below are unchanged.
+    arrival = "arrival_seq" in batch_df.columns
+    base_cols = ["doc_id", "lang", "text"] + (
+        ["arrival_seq"] if arrival else []
+    )
+    order_cols = ["arrival_seq", "doc_id"] if arrival else ["doc_id"]
+    base = batch_df.select(*base_cols).persist()
     try:
         n_batch = base.count()
         assert_store_not_mid_compaction(spark, exact_dir)
         assert_store_not_mid_compaction(spark, neardup_dir)
 
         # ---- stage 1: exact (within-batch keep-first + store anti-join)
-        fps = base.select("doc_id", F.md5("text").alias("fingerprint"))
-        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        fps = base.select(
+            "doc_id", F.md5("text").alias("fingerprint"),
+            *(["arrival_seq"] if arrival else []),
+        )
+        w = Window.partitionBy("fingerprint").orderBy(*order_cols)
         firsts = (
             fps.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -200,7 +263,10 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
             NEARDUP_BLOCKER_CAP,
         )
 
-        fp2 = simhash_fp(s1.select("doc_id", "text")).persist()
+        fp2 = simhash_fp(s1.select("doc_id", "text"))
+        if arrival:
+            fp2 = fp2.join(s1.select("doc_id", "arrival_seq"), "doc_id")
+        fp2 = fp2.persist()
         sbl = ranked = rej2 = None
         try:
             n_s1 = fp2.count()
@@ -211,8 +277,12 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
                     .filter(F.col("batch_id") < batch_id)
                 )
                 sbl = _store_blocker_rows(store2).persist()
-            cl2 = simhash_chunk_rows(fp2)
-            wb = Window.partitionBy("ci", "cv").orderBy(F.col("d.doc_id"))
+            cl2 = simhash_chunk_rows(
+                fp2, extra=("arrival_seq",) if arrival else ()
+            )
+            wb = Window.partitionBy("ci", "cv").orderBy(
+                *[F.col(f"d.{c}") for c in order_cols]
+            )
             ranked = cl2.withColumn("rn", F.row_number().over(wb))
             if sbl is not None:
                 counts = sbl.groupBy("ci", "cv").agg(
@@ -234,10 +304,19 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
             bb = ranked.filter(F.col("grk") <= NEARDUP_BLOCKER_CAP).select(
                 "ci", "cv", F.col("d").alias("b")
             )
+            if arrival:
+                earlier = (
+                    F.col("b.arrival_seq") < F.col("a.arrival_seq")
+                ) | (
+                    (F.col("b.arrival_seq") == F.col("a.arrival_seq"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id"))
+                )
+            else:
+                earlier = F.col("b.doc_id") < F.col("a.doc_id")
             ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
             rej = (
                 a.join(bb.hint("shuffle_hash") if fallback else bb, ["ci", "cv"])
-                .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+                .filter(earlier)
                 .filter(ham_ab <= HAMMING_THRESHOLD)
                 .select(F.col("a.doc_id").alias("doc_id"))
             )
@@ -247,7 +326,10 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
                 vs_store = (
                     sbl.select("ci", "cv", F.col("d").alias("s"))
                     .join(batch_side, ["ci", "cv"])
-                    .filter(F.col("s.doc_id") < F.col("a.doc_id"))
+                    .filter(
+                        F.lit(True) if arrival
+                        else (F.col("s.doc_id") < F.col("a.doc_id"))
+                    )
                     .filter(ham_sa <= HAMMING_THRESHOLD)
                     .select(F.col("a.doc_id").alias("doc_id"))
                 )

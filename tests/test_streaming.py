@@ -1425,6 +1425,69 @@ def test_neardup_gate_arrival_order_matches_twin(spark, tmp_path):
     assert stats.n_rejected.sum() > 0
 
 
+def test_ingest_pipeline_arrival_order_matches_twin(spark, tmp_path):
+    """First-SEEN-wins for the COMPOSED ingest pipeline under unordered
+    ingestion: the drained stream's per-doc flag set must equal the
+    arrival_order_ingest_pipeline twin's exactly, and that set must
+    genuinely DIFFER from the id-order twin's (planted resubmits often
+    arrive before their originals, flipping which family member
+    survives stage 1 — and stage 2's first-arrived blocker set shifts
+    with it). Stage 3 is order-independent (frozen model), so any
+    difference flows only through the dedup stages — exercised here
+    end-to-end through the real foreachBatch pipeline."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+        arrival_order_ingest_pipeline,
+        incremental_ingest_pipeline,
+        ingest_cal_docs,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        read_ingest_results,
+        read_ingest_stats,
+        read_ingest_stream_arrival,
+        start_ingest_pipeline,
+        write_ingest_chunks_arrival,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cols = ["doc_id", "exact_ok", "neardup_ok", "kept"]
+    twin = arrival_order_ingest_pipeline(spark, sf_dir)
+    want = {tuple(r) for r in twin.select(cols).collect()}
+
+    # non-vacuous: first-seen-wins must disagree with smallest-id-wins
+    by_id = {
+        tuple(r)
+        for r in incremental_ingest_pipeline(spark, sf_dir).select(cols).collect()
+    }
+    assert want != by_id
+
+    chunk_dir = str(tmp_path / "iachunks")
+    out_root = str(tmp_path / "iagate")
+    n = write_ingest_chunks_arrival(spark, sf_dir, chunk_dir, n_chunks=4)
+    q = start_ingest_pipeline(
+        read_ingest_stream_arrival(spark, chunk_dir), out_root,
+        ingest_cal_docs(spark, sf_dir),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in read_ingest_results(spark, out_root).select(cols).collect()
+    }
+    assert len(got) == n
+    assert got == want
+    # the funnel really bound at every stage on the arrival rule too
+    n_exact = sum(1 for _, e, _nd, _k in want if e)
+    n_neardup = sum(1 for _, _e, nd, _k in want if nd)
+    n_kept = sum(1 for _, _e, _nd, k in want if k)
+    assert n > n_exact > n_neardup > n_kept > 0
+    stats = read_ingest_stats(spark, out_root).toPandas()
+    assert stats.n_batch.sum() == n
+    assert stats.n_kept.sum() == n_kept
+
+
 def test_ingest_corpus_refuses_colliding_base_ids(spark, tmp_path):
     """A base fixture whose doc_ids reach INGEST_RESUB_OFFSET would
     silently collide planted ids with base ids and drift the calibration

@@ -79,6 +79,7 @@ CLASSIFIED: dict[str, tuple[str, str]] = {
     # exchange, no new join
     "arrival_order_exact_gate": ("sibling", "incremental_dedup_gate"),
     "arrival_order_neardup_gate": ("sibling", "incremental_neardup_gate"),
+    "arrival_order_ingest_pipeline": ("sibling", "incremental_ingest_pipeline"),
     "doc_fingerprints": ("sibling", "exact_dup_groups"),
     "dedup_survivor_stats": ("sibling", "exact_dup_groups"),
     "windowed_subreddit_sentiment": ("sibling", "windowed_event_counts"),
