@@ -182,6 +182,84 @@ def _store_blocker_rows(store: DataFrame) -> DataFrame:
     )
 
 
+def stage2_ranked(fp2: DataFrame, sbl: DataFrame | None,
+                  arrival: bool = False) -> DataFrame:
+    """Stage-2 chunk rows with each row's GLOBAL arrival rank (`grk`)
+    in its (ci, cv) bucket: within-batch rank (one row_number window —
+    the batch's only stage-2 exchange besides the decision joins) offset
+    by the store's existing blocker count. The counts frame is a bounded
+    aggregate over the blk-filtered store scan — the (ci, cv) keyspace
+    is at most SIMHASH_CHUNKS x 2^16, so it always broadcasts; the store
+    itself is never ranked, windowed, or shuffled (plan-pinned by
+    tests/test_plans.py::test_ingest_stage2_*)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import simhash_chunk_rows
+
+    cl2 = simhash_chunk_rows(fp2, extra=("arrival_seq",) if arrival else ())
+    order_cols = ["arrival_seq", "doc_id"] if arrival else ["doc_id"]
+    wb = Window.partitionBy("ci", "cv").orderBy(
+        *[F.col(f"d.{c}") for c in order_cols]
+    )
+    ranked = cl2.withColumn("rn", F.row_number().over(wb))
+    if sbl is not None:
+        counts = sbl.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("c"))
+        ranked = ranked.join(F.broadcast(counts), ["ci", "cv"], "left")
+        grk = F.col("rn") + F.coalesce(F.col("c"), F.lit(0))
+    else:
+        grk = F.col("rn")
+    return ranked.select("ci", "cv", "d", grk.alias("grk"))
+
+
+def stage2_rejected(ranked: DataFrame, sbl: DataFrame | None,
+                    batch_rows: int | None,
+                    arrival: bool = False) -> DataFrame:
+    """Stage-2 rejections (doc_id rows, pre-distinct): batch members
+    blocked by an earlier CAPPED-set blocker — within-batch (grk <=
+    NEARDUP_BLOCKER_CAP members of shared buckets) or from the store's
+    blk-flagged subset. Broadcast regime gated on the measured batch
+    size with the sort-free shuffle-hash fallback — the
+    novel_against_store / near-dup gate convention (÷4: chunk rows per
+    doc); in the default regime the store branch streams map-side
+    against the broadcast batch and contributes zero exchanges."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import HAMMING_THRESHOLD
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import NEARDUP_BLOCKER_CAP
+
+    fallback = (batch_rows is not None
+                and batch_rows > _gate_batch_max() // 4)
+    a = ranked.select("ci", "cv", F.col("d").alias("a"))
+    bb = ranked.filter(F.col("grk") <= NEARDUP_BLOCKER_CAP).select(
+        "ci", "cv", F.col("d").alias("b")
+    )
+    if arrival:
+        earlier = (F.col("b.arrival_seq") < F.col("a.arrival_seq")) | (
+            (F.col("b.arrival_seq") == F.col("a.arrival_seq"))
+            & (F.col("b.doc_id") < F.col("a.doc_id"))
+        )
+    else:
+        earlier = F.col("b.doc_id") < F.col("a.doc_id")
+    ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
+    rej = (
+        a.join(bb.hint("shuffle_hash") if fallback else bb, ["ci", "cv"])
+        .filter(earlier)
+        .filter(ham_ab <= HAMMING_THRESHOLD)
+        .select(F.col("a.doc_id").alias("doc_id"))
+    )
+    if sbl is not None:
+        ham_sa = F.expr(hamming_expr("s.h", "a.h", "spark"))
+        batch_side = a.hint("shuffle_hash") if fallback else F.broadcast(a)
+        vs_store = (
+            sbl.select("ci", "cv", F.col("d").alias("s"))
+            .join(batch_side, ["ci", "cv"])
+            .filter(
+                F.lit(True) if arrival
+                else (F.col("s.doc_id") < F.col("a.doc_id"))
+            )
+            .filter(ham_sa <= HAMMING_THRESHOLD)
+            .select(F.col("a.doc_id").alias("doc_id"))
+        )
+        rej = rej.unionByName(vs_store)
+    return rej
+
+
 def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
     """All three admission stages for one micro-batch; batch-owned
     partition writes throughout (see module docstring)."""
@@ -253,12 +331,6 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
         # later one. rej2 and the ranked frame each feed several plan
         # subtrees, so both persist for the batch (one store scan + one
         # self-join per batch, not one per sink).
-        from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
-            HAMMING_THRESHOLD,
-        )
-        from reddit_sentiment_spark_streaming_pipeline_spark.operators.dedup import (
-            simhash_chunk_rows,
-        )
         from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
             NEARDUP_BLOCKER_CAP,
         )
@@ -277,64 +349,13 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
                     .filter(F.col("batch_id") < batch_id)
                 )
                 sbl = _store_blocker_rows(store2).persist()
-            cl2 = simhash_chunk_rows(
-                fp2, extra=("arrival_seq",) if arrival else ()
+            ranked = stage2_ranked(fp2, sbl, arrival=arrival).persist()
+            rej2 = (
+                stage2_rejected(ranked, sbl, n_s1, arrival=arrival)
+                .distinct()
+                .withColumn("r2", F.lit(1))
+                .persist()
             )
-            wb = Window.partitionBy("ci", "cv").orderBy(
-                *[F.col(f"d.{c}") for c in order_cols]
-            )
-            ranked = cl2.withColumn("rn", F.row_number().over(wb))
-            if sbl is not None:
-                counts = sbl.groupBy("ci", "cv").agg(
-                    F.count(F.lit(1)).alias("c")
-                )
-                ranked = ranked.join(F.broadcast(counts), ["ci", "cv"], "left")
-                grk = F.col("rn") + F.coalesce(F.col("c"), F.lit(0))
-            else:
-                grk = F.col("rn")
-            ranked = ranked.select(
-                "ci", "cv", "d", grk.alias("grk")
-            ).persist()
-
-            # broadcast regime gated on the measured batch size with the
-            # sort-free shuffle-hash fallback — the novel_against_store /
-            # r11 near-dup gate convention (÷4: chunk rows per doc)
-            fallback = n_s1 > _gate_batch_max() // 4
-            a = ranked.select("ci", "cv", F.col("d").alias("a"))
-            bb = ranked.filter(F.col("grk") <= NEARDUP_BLOCKER_CAP).select(
-                "ci", "cv", F.col("d").alias("b")
-            )
-            if arrival:
-                earlier = (
-                    F.col("b.arrival_seq") < F.col("a.arrival_seq")
-                ) | (
-                    (F.col("b.arrival_seq") == F.col("a.arrival_seq"))
-                    & (F.col("b.doc_id") < F.col("a.doc_id"))
-                )
-            else:
-                earlier = F.col("b.doc_id") < F.col("a.doc_id")
-            ham_ab = F.expr(hamming_expr("a.h", "b.h", "spark"))
-            rej = (
-                a.join(bb.hint("shuffle_hash") if fallback else bb, ["ci", "cv"])
-                .filter(earlier)
-                .filter(ham_ab <= HAMMING_THRESHOLD)
-                .select(F.col("a.doc_id").alias("doc_id"))
-            )
-            if sbl is not None:
-                ham_sa = F.expr(hamming_expr("s.h", "a.h", "spark"))
-                batch_side = a.hint("shuffle_hash") if fallback else F.broadcast(a)
-                vs_store = (
-                    sbl.select("ci", "cv", F.col("d").alias("s"))
-                    .join(batch_side, ["ci", "cv"])
-                    .filter(
-                        F.lit(True) if arrival
-                        else (F.col("s.doc_id") < F.col("a.doc_id"))
-                    )
-                    .filter(ham_sa <= HAMMING_THRESHOLD)
-                    .select(F.col("a.doc_id").alias("doc_id"))
-                )
-                rej = rej.unionByName(vs_store)
-            rej2 = rej.distinct().withColumn("r2", F.lit(1)).persist()
 
             # per-doc blk flags for the store write: fold the chunk ranks
             # back to one row per doc

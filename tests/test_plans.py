@@ -573,6 +573,80 @@ def test_neardup_gate_pathological_batch_falls_back_to_shuffle_hash(spark, sf_di
     assert "BroadcastHashJoin" in at_cap, at_cap
 
 
+def _ingest_stage2_plan(spark, sf_dir, batch_rows):
+    # synthetic no-join fp2 frame (production fp2 is a persisted cache,
+    # so its upstream joins never appear in the per-batch plan) + a
+    # fully blk-flagged store: the plan's exchanges all belong to the
+    # stage-2 rank/decide shape itself
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        _store_blocker_rows,
+        stage2_ranked,
+        stage2_rejected,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp2 = docs.select(
+        "doc_id",
+        *[(F.col("doc_id") % (97 + c)).cast("int").alias(f"h{c}") for c in range(4)],
+    )
+    store = fp2.select(
+        "doc_id", "h0", "h1", "h2", "h3",
+        *[F.lit(True).alias(f"blk{c}") for c in range(4)],
+        F.lit(True).alias("admitted"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    sbl = _store_blocker_rows(store)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            stage2_rejected(
+                stage2_ranked(fp2, sbl), sbl, batch_rows
+            ).explain("formatted")
+        return buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ingest_stage2_store_never_shuffles_in_broadcast_regime(spark, sf_dir):
+    # normal regime: exactly two broadcasts — the bounded (ci, cv)
+    # blocker-count table and the batch side of the vs-store decide —
+    # so the store's blk-filtered scan streams map-side (zero store
+    # exchanges; its only shuffle is the counts aggregate's partial
+    # rows, bounded by the 4 x 2^16 keyspace). The single sort-merge is
+    # the within-batch self-join (batch-sized by definition); total
+    # exchanges: the rank window's, the counts aggregate's, and the
+    # self-join's second side
+    plan = _ingest_stage2_plan(spark, sf_dir, batch_rows=100)
+    assert plan.count(") BroadcastHashJoin") == 2, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count(") SortMergeJoin") == 1, plan
+    assert plan.count(") Exchange") == 3, plan
+
+
+def test_ingest_stage2_pathological_batch_falls_back_to_shuffle_hash(spark, sf_dir):
+    # a backfill-sized batch must NOT pin batch chunk rows in every
+    # executor: both (ci, cv) decision joins degrade to sort-free
+    # shuffle-hash; only the bounded counts table still broadcasts
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import GATE_BATCH_BROADCAST_MAX
+
+    cap = GATE_BATCH_BROADCAST_MAX // 4
+    plan = _ingest_stage2_plan(spark, sf_dir, batch_rows=cap + 1)
+    assert plan.count(") ShuffledHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count(") BroadcastHashJoin") == 1, plan
+    # boundary: exactly at the cap the broadcast shape must survive
+    at_cap = _ingest_stage2_plan(spark, sf_dir, batch_rows=cap)
+    assert "ShuffledHashJoin" not in at_cap, at_cap
+    assert at_cap.count(") BroadcastHashJoin") == 2, at_cap
+
+
 def test_token_stats_is_shuffle_free(spark, sf_dir):
     """token_stats' group key (doc_id) is row-local — every token of a
     doc lives in the doc's own text row — so the per-doc stats compute
