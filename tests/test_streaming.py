@@ -1204,6 +1204,90 @@ def test_ingest_pipeline_crash_replay_is_idempotent(spark, tmp_path):
         assert list(cs[col]) == list(xs[col])
 
 
+def test_ingest_store_compaction_mid_stream_preserves_decisions(spark, tmp_path):
+    """compact_store folds BOTH of the composed pipeline's stores
+    mid-stream without changing any later decision — the standalone
+    gates' compaction contract, two schemas over, exercised at the
+    worst point: a crash left batch 2's partitions written but
+    uncommitted, then both stores are compacted upto the committed
+    bound (batches 0-1 fold to one partition; the leaked batch-2
+    partitions must SURVIVE — folding an uncommitted batch would
+    relabel rows its replay still needs excluded), and the resumed
+    drain replays batch 2 against the folded batch_id<2 views. Final
+    results and stats must equal an uninterrupted control's exactly."""
+    import glob
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import ingest_cal_docs
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import compact_store
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        INGEST_EXACT_STORE_SCHEMA,
+        INGEST_NEARDUP_STORE_SCHEMA,
+        read_ingest_results,
+        read_ingest_stats,
+        read_ingest_stream,
+        start_ingest_pipeline,
+        write_ingest_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunk_dir = str(tmp_path / "chunks")
+    write_ingest_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    cal = ingest_cal_docs(spark, sf_dir)
+
+    def drain(root, hook=None):
+        q = start_ingest_pipeline(
+            read_ingest_stream(spark, chunk_dir), root, cal,
+            after_batch_hook=hook,
+        )
+        try:
+            q.processAllAvailable()
+        except StreamingQueryException:
+            assert hook is not None
+        finally:
+            q.stop()
+
+    ctrl = str(tmp_path / "ctrl")
+    drain(ctrl)
+
+    crashed = []
+
+    def hook(bid):
+        if bid == 2 and not crashed:
+            crashed.append(bid)
+            raise RuntimeError("chaos: crash after side effects, before commit")
+
+    root = str(tmp_path / "compacted")
+    drain(root, hook=hook)
+    assert crashed == [2]
+
+    for store, schema in (
+        ("exact_store", INGEST_EXACT_STORE_SCHEMA),
+        ("neardup_store", INGEST_NEARDUP_STORE_SCHEMA),
+    ):
+        store_dir = f"{root}/{store}"
+        compact_store(spark, store_dir, 2, schema=schema)
+        parts = sorted(
+            os.path.basename(p) for p in glob.glob(f"{store_dir}/batch_id=*")
+        )
+        # batches 0-1 folded; the leaked uncommitted batch-2 partition
+        # survives for its replay to overwrite
+        assert parts == ["batch_id=1", "batch_id=2"], (store, parts)
+
+    drain(root)  # resume: batch 2 replays against the folded stores
+
+    cols = ["doc_id", "lang", "exact_ok", "neardup_ok", "kept", "batch_id"]
+    ctrl_rows = {tuple(r) for r in read_ingest_results(spark, ctrl).select(cols).collect()}
+    got_rows = {tuple(r) for r in read_ingest_results(spark, root).select(cols).collect()}
+    assert got_rows == ctrl_rows
+
+    cs = read_ingest_stats(spark, ctrl).toPandas().sort_values("batch_id")
+    xs = read_ingest_stats(spark, root).toPandas().sort_values("batch_id")
+    for col in ("n_batch", "n_exact_ok", "n_neardup_ok", "n_kept"):
+        assert list(cs[col]) == list(xs[col])
+
+
 def _spam_family_fixture(spark, tmp_path, n_docs: int):
     """A documents.parquet holding ONE template-spam family — n_docs
     near-identical texts differing by one tail token (byte-exact dedup
