@@ -1143,13 +1143,18 @@ def test_ingest_pipeline_matches_batch_twin(spark, tmp_path):
     assert stats.n_batch.count() >= 2  # really micro-batched
 
 
-def test_ingest_pipeline_crash_replay_is_idempotent(spark, tmp_path):
+@pytest.mark.parametrize("order", ["id", "arrival"])
+def test_ingest_pipeline_crash_replay_is_idempotent(spark, tmp_path, order):
     """Crash after batch 1's side effects (THREE store partitions + the
     results partition + the stats row) but before the checkpoint commit:
     the replay re-reads only `batch_id < 1` from every store — its own
     leaked partitions invisible — recomputes the identical three-stage
     decision set, and overwrite repairs everything. Drained results and
-    stats equal an uninterrupted control's exactly."""
+    stats equal an uninterrupted control's exactly. Parametrized over
+    both replay contracts: id-ordered chunks (smaller-id rules) and
+    arrival-ordered chunks (first-seen-wins — the arrival_seq column
+    rides the chunk files, so a replayed batch re-derives the identical
+    precedence; admission decisions are deterministic either way)."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import ingest_cal_docs
@@ -1157,18 +1162,25 @@ def test_ingest_pipeline_crash_replay_is_idempotent(spark, tmp_path):
         read_ingest_results,
         read_ingest_stats,
         read_ingest_stream,
+        read_ingest_stream_arrival,
         start_ingest_pipeline,
         write_ingest_chunks,
+        write_ingest_chunks_arrival,
     )
 
     sf_dir = "/root/testdata/sf0.001"
     chunk_dir = str(tmp_path / "chunks")
-    write_ingest_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    if order == "arrival":
+        write_ingest_chunks_arrival(spark, sf_dir, chunk_dir, n_chunks=4)
+        stream = lambda: read_ingest_stream_arrival(spark, chunk_dir)  # noqa: E731
+    else:
+        write_ingest_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+        stream = lambda: read_ingest_stream(spark, chunk_dir)  # noqa: E731
     cal = ingest_cal_docs(spark, sf_dir)
 
     def drain(root, hook=None):
         q = start_ingest_pipeline(
-            read_ingest_stream(spark, chunk_dir), root, cal,
+            stream(), root, cal,
             after_batch_hook=hook,
         )
         try:
