@@ -28,7 +28,7 @@ stream length.
 
 Usage: python tools/streaming_rehearsal.py [sf_dir] [work_dir]
            [--replicas N] [--chunks N] [--out PATH]
-           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-selection|chaos-ingest|neardup-forced-fallback|chaos-compact|chaos-compact-neardup|compaction]
+           [--scenario all|stateful|join|chaos|chaos-join|chaos-neardup|chaos-selection|chaos-ingest|chaos-ingest-arrival|neardup-forced-fallback|chaos-compact|chaos-compact-neardup|compaction]
            [--kill-after-batch N]
 
 --scenario stateful runs ONLY the applyInPandasWithState drain and
@@ -351,10 +351,13 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    if scenario == "chaos-ingest":
+    if scenario in ("chaos-ingest", "chaos-ingest-arrival"):
         # kill/resume exactly-once for the COMPOSED ingest pipeline over
         # the cipher replica fixture (the twin plants its own resubmits
-        # and tail copies on top, so all three stages bind in-fixture)
+        # and tail copies on top, so all three stages bind in-fixture);
+        # the -arrival variant replays the same corpus in ARRIVAL order
+        # (first-seen-wins contract, arrival_seq precedence)
+        arrival = scenario.endswith("-arrival")
         big_docs_dir = os.path.join(work, "big_docs")
         import tools.scale_rehearsal as _sr
 
@@ -362,10 +365,12 @@ def main() -> None:
         _sr.build_fixture(spark, sf_dir, big_docs_dir)
         n_gate_chunks = chunks * REPLICAS
         ka = kill_after if kill_after is not None else n_gate_chunks // 3
-        gate = chaos_ingest(spark, big_docs_dir, work, n_gate_chunks, ka)
+        gate = chaos_ingest(spark, big_docs_dir, work, n_gate_chunks, ka,
+                            arrival=arrival)
         cb = gate["crashed_batch_stats"] or {}
         out = {
-            "rehearsal": f"ingest_pipeline_chaos_{REPLICAS}x",
+            "rehearsal": f"ingest_pipeline_chaos_{REPLICAS}x"
+            + ("_arrival" if arrival else ""),
             "replicas": REPLICAS,
             "env_knobs": _sr._env_knobs(),
             "gate": gate,
@@ -1279,8 +1284,45 @@ def run_ingest_pipeline(spark, chunk_dir: str, out_root: str,
                     read_fn=read_ingest_stream)
 
 
+def run_ingest_pipeline_arrival(spark, chunk_dir: str, out_root: str,
+                                n_rows: int | None, after_batch_hook=None,
+                                allow_failure: bool = False):
+    """run_ingest_pipeline over the ARRIVAL-ordered chunk layout: the
+    stream carries arrival_seq, so the pipeline admits first-seen-wins
+    (operators/ingest.py::arrival_order_ingest_pipeline semantics)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.ingest import (
+        INGEST_RESUB_OFFSET,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.operators.selection import (
+        SELECTION_CAL_MOD,
+    )
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
+        read_ingest_stream_arrival,
+        start_ingest_pipeline,
+    )
+
+    cal = (
+        spark.read.parquet(chunk_dir)
+        .filter(
+            (F.col("doc_id") < INGEST_RESUB_OFFSET)
+            & (F.col("doc_id") % SELECTION_CAL_MOD == 0)
+        )
+        .select("doc_id", "lang", "text")
+    )
+
+    def start_fn(stream, root, after_batch_hook=None):
+        return start_ingest_pipeline(stream, root, cal_docs=cal,
+                                     after_batch_hook=after_batch_hook)
+
+    return run_gate(spark, chunk_dir, out_root, n_rows,
+                    after_batch_hook=after_batch_hook,
+                    allow_failure=allow_failure,
+                    start_fn=start_fn, query_name="ingest_pipeline",
+                    read_fn=read_ingest_stream_arrival)
+
+
 def chaos_ingest(spark, docs_dir: str, work: str, n_chunks: int,
-                 kill_after: int) -> dict:
+                 kill_after: int, arrival: bool = False) -> dict:
     """Kill/resume equivalence for the composed INGEST pipeline — the
     crash lands after batch `kill_after`'s FOUR sinks (exact store,
     near-dup store, per-doc results, stats) are written but before the
@@ -1291,19 +1333,22 @@ def chaos_ingest(spark, docs_dir: str, work: str, n_chunks: int,
     sym-diff 0 vs an uninterrupted control, exactly-once input
     accounting, and the crashed batch's decisions spread across the
     funnel (exact and near-dup rejections plus kept rows present — a
-    batch where only one stage binds under-exercises the replay)."""
+    batch where only one stage binds under-exercises the replay).
+    `arrival` drives the ARRIVAL-ordered chunk layout instead (the
+    first-seen-wins contract): same protocol, arrival_seq precedence."""
     from reddit_sentiment_spark_streaming_pipeline_spark.streaming.ingest import (
         read_ingest_results,
         read_ingest_stats,
         write_ingest_chunks,
+        write_ingest_chunks_arrival,
     )
 
     chunk_dir = os.path.join(work, "chaosingest_chunks")
-    n_rows = write_ingest_chunks(spark, docs_dir, chunk_dir,
-                                 n_chunks=n_chunks)
+    writer = write_ingest_chunks_arrival if arrival else write_ingest_chunks
+    n_rows = writer(spark, docs_dir, chunk_dir, n_chunks=n_chunks)
     ctrl_root, chaos_root, out = _chaos_crash_replay(
         spark, chunk_dir, work, "chaosingest", n_rows, kill_after,
-        run_ingest_pipeline,
+        run_ingest_pipeline_arrival if arrival else run_ingest_pipeline,
     )
 
     cols = ["doc_id", "lang", "exact_ok", "neardup_ok", "kept", "batch_id"]
