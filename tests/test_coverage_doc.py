@@ -73,6 +73,11 @@ def test_every_backticked_query_name_is_registered():
         "memoryUsedBytes",
         # fixture key columns named by the skew-rehearsal bullet
         "event_type", "o_custkey",
+        # r12 arrival-order / composed-ingest internals referenced by the
+        # changelog: functions, CLI subcommands and the precedence column
+        "arrival_seq", "cmd_ingest", "cmd_gate", "ingest_batch",
+        "ingest_corpus", "raise_error", "stage2_ranked", "stage2_rejected",
+        "write_doc_chunks_arrival", "write_ingest_chunks_arrival",
     }
     unknown = {n for n in lookalike - set(reg) if n not in whitelist}
     assert not unknown, f"COVERAGE.md references unregistered names: {sorted(unknown)}"
