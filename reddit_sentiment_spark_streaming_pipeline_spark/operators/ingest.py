@@ -307,6 +307,13 @@ def incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id"))
         .distinct()
         .withColumn("r2", F.lit(1))
+        # rej2 feeds two joins (the stage-3 anti join and the flag
+        # assembly) whose downstream exchanges differ, so runtime
+        # exchange reuse cannot share the stage-2 subtree — without a
+        # cut the whole simhash + capped-blocker join runs twice per
+        # action. The rejected-id set is tiny (∝ true near-dups), so a
+        # lazy local checkpoint is the right lineage cut.
+        .localCheckpoint(eager=False)
     )
 
     cal = dsir_features(ingest_cal_docs(spark, sf_dir))
@@ -452,6 +459,8 @@ def arrival_order_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("a.doc_id").alias("doc_id"))
         .distinct()
         .withColumn("r2", F.lit(1))
+        # same two-consumer lineage cut as the id-order twin's rej2
+        .localCheckpoint(eager=False)
     )
 
     cal = dsir_features(ingest_cal_docs(spark, sf_dir))

@@ -177,7 +177,16 @@ _DSIR_TOK_SQL = r"""
 )
 def dsir_logratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    feat = dsir_features(docs)
+    # The feature stream feeds two different downstream exchanges (the
+    # bucket-count aggregate and the per-doc scoring join), so runtime
+    # exchange reuse can never share it: without a cut the corpus is
+    # tokenized + md5-hashed TWICE per action — the dominant CPU of the
+    # whole query (r12: 2.63 s -> 1.69 s at sf0.1 from this one cut). A
+    # LAZY local checkpoint materializes the fingerprint-narrow
+    # (doc_id, lang, bucket) rows once; MEMORY_AND_DISK-backed, so a
+    # corpus-scale stream spills instead of OOMing, and re-reading
+    # ~24 B/gram rows is far cheaper than re-hashing every gram.
+    feat = dsir_features(docs).localCheckpoint(eager=False)
 
     # The bucket table is <= DSIR_BUCKETS rows but its build scans the
     # full gram stream; without a cut both `tot` and `lr` would re-derive
@@ -261,6 +270,14 @@ def dsir_frozen_model(feat_cal: DataFrame) -> tuple[DataFrame, DataFrame]:
     is frozen with the model, never recomputed from a batch — admission
     must not depend on micro-batch composition."""
     spark = feat_cal.sparkSession
+    # feat_cal feeds two different exchanges (the bucket counts below
+    # and the calibration scoring join) — cut it so the calibration docs
+    # are tokenized + md5-hashed once per action, not twice. Callers
+    # that already pass a checkpointed stream (incremental_selection_-
+    # gate) pay one cheap re-materialization of the filtered slice;
+    # callers that pass a raw stream (the ingest twins, the streaming
+    # freeze) save a full calibration tokenize pass.
+    feat_cal = feat_cal.localCheckpoint(eager=False)
     counts = feat_cal.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_cnt"),
         F.sum(
@@ -407,11 +424,18 @@ def dsir_score_against_model(feat: DataFrame, lr: DataFrame,
 )
 def incremental_selection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cal = dsir_features(
-        docs.filter(F.col("doc_id") % SELECTION_CAL_MOD == 0)
-    )
+    # ONE tokenize+md5 pass: the calibration slice's features are a
+    # doc_id filter of the full feature stream (dsir_features is a
+    # per-row map, so filter commutes), and the model builder reads the
+    # calibration slice twice (bucket counts + calibration scores) while
+    # scoring reads the full stream once — without the cut that is ~1.2
+    # corpus tokenizations per action, with it exactly 1 (r12: 1.91 s ->
+    # 1.68 s at sf0.1). Same MEMORY_AND_DISK spill posture as
+    # dsir_logratio_scores' feature checkpoint.
+    feat = dsir_features(docs).localCheckpoint(eager=False)
+    cal = feat.filter(F.col("doc_id") % SELECTION_CAL_MOD == 0)
     lr, params = dsir_frozen_model(cal)
-    return dsir_score_against_model(dsir_features(docs), lr, params)
+    return dsir_score_against_model(feat, lr, params)
 
 
 # --------------------------- semantic benchmark decontamination (eval set)
