@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
@@ -38,6 +38,7 @@ from reddit_sentiment_spark_streaming_pipeline_spark.operators.curation import (
     snapshot_incoming,
 )
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import _order_files_by_name
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stats import write_stats_row
 
 DOC_CHUNK_SCHEMA = "doc_id bigint, text string, source string"
 
@@ -257,29 +258,28 @@ def gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         admitted = (
             firsts if store is None
             else novel_against_store(firsts, store, batch_rows=n_batch)
-        ).persist()
-        try:
-            n_admitted = admitted.count()
-            # batch-owned partition + overwrite = deterministic replay
-            # idempotence (see module docstring); partition-column typing
-            # comes from the directory name, matching STORE_SCHEMA
-            (
-                admitted.select("fingerprint", "doc_id", "source")
-                .write.mode("overwrite")
-                .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
-            )
-        finally:
-            admitted.unpersist()
+        )
+        # the admitted count rides the store write as an observed metric
+        # (one action instead of count + write; the admitted frame now
+        # has a single consumer, so its persist is gone too — r13,
+        # guide §1.2: fewer passes per micro-batch)
+        obs = Observation()
+        (
+            admitted.observe(obs, F.count(F.lit(1)).alias("n"))
+            .select("fingerprint", "doc_id", "source")
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        )
+        n_admitted = int(obs.get["n"])
     finally:
         fps.unpersist()
     # one stats row per batch, idempotent under replay: the batch owns its
     # batch_id=N partition and overwrites it (batch_id comes back as the
-    # partition column on read)
-    spark.createDataFrame(
-        [(n_batch, n_admitted, n_batch - n_admitted)],
+    # partition column on read); written driver-side — see streaming/stats.py
+    write_stats_row(
+        spark, stats_dir, batch_id,
         "n_batch long, n_admitted long, n_rejected long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(stats_dir, f"batch_id={batch_id}")
+        (n_batch, n_admitted, n_batch - n_admitted),
     )
 
 
@@ -736,22 +736,24 @@ def neardup_gate_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         out = fps.join(rejected, "doc_id", "left").select(
             "doc_id", "source", "h0", "h1", "h2", "h3",
             F.col("r").isNull().alias("admitted"),
-        ).persist()
-        try:
-            n_admitted = out.filter("admitted").count()
-            out.write.mode("overwrite").parquet(
-                os.path.join(store_dir, f"batch_id={batch_id}")
-            )
-        finally:
-            out.unpersist()
+        )
+        # the admitted count rides the store write as an observed metric
+        # (one action instead of count + write; out now has a single
+        # consumer, so its persist is gone too — r13, guide §1.2)
+        obs = Observation()
+        out.observe(
+            obs, F.coalesce(F.sum(F.col("admitted").cast("long")), F.lit(0)).alias("n")
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+        n_admitted = int(obs.get["n"])
     finally:
         fps.unpersist()
         base.unpersist()
-    spark.createDataFrame(
-        [(n_batch, n_admitted, n_batch - n_admitted)],
+    write_stats_row(
+        spark, stats_dir, batch_id,
         "n_batch long, n_admitted long, n_rejected long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(stats_dir, f"batch_id={batch_id}")
+        (n_batch, n_admitted, n_batch - n_admitted),
     )
 
 

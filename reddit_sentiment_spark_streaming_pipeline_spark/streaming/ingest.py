@@ -52,7 +52,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
@@ -73,6 +73,7 @@ from reddit_sentiment_spark_streaming_pipeline_spark.streaming.selection import 
     read_selection_model,
     read_selection_stream,
 )
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stats import write_stats_row
 
 # Store layouts (explicit read schemas — no footer inference). The
 # near-dup store's blk0..blk3 flags mark, per chunk, whether this row is
@@ -387,26 +388,35 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
                 F.col("e").isNotNull().alias("exact_ok"),
                 neardup_ok.alias("neardup_ok"),
                 F.coalesce(neardup_ok & F.col("admitted"), F.lit(False)).alias("kept"),
-            ).persist()
-            try:
-                n_exact = out.filter("exact_ok").count()
-                n_neardup = out.filter("neardup_ok").count()
-                n_kept = out.filter("kept").count()
-                out.write.mode("overwrite").parquet(
-                    os.path.join(results_dir, f"batch_id={batch_id}")
-                )
-                s1_ids.select("fingerprint", "doc_id").write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(exact_dir, f"batch_id={batch_id}"))
-                fp2.join(rej2, "doc_id", "left").join(blk, "doc_id").select(
-                    "doc_id", "h0", "h1", "h2", "h3",
-                    *[f"blk{c}" for c in range(SIMHASH_CHUNKS)],
-                    F.col("r2").isNull().alias("admitted"),
-                ).write.mode("overwrite").parquet(
-                    os.path.join(neardup_dir, f"batch_id={batch_id}")
-                )
-            finally:
-                out.unpersist()
+            )
+            # the three funnel counts ride the results write as observed
+            # metrics (one action instead of three counts + a write; out
+            # now has a single consumer, so its persist is gone too —
+            # r13, guide §1.2: fewer passes per micro-batch)
+            obs = Observation()
+            out.observe(
+                obs,
+                *[
+                    F.coalesce(F.sum(F.col(c).cast("long")), F.lit(0)).alias(c)
+                    for c in ("exact_ok", "neardup_ok", "kept")
+                ],
+            ).write.mode("overwrite").parquet(
+                os.path.join(results_dir, f"batch_id={batch_id}")
+            )
+            m = obs.get
+            n_exact, n_neardup, n_kept = (
+                int(m["exact_ok"]), int(m["neardup_ok"]), int(m["kept"])
+            )
+            s1_ids.select("fingerprint", "doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(exact_dir, f"batch_id={batch_id}"))
+            fp2.join(rej2, "doc_id", "left").join(blk, "doc_id").select(
+                "doc_id", "h0", "h1", "h2", "h3",
+                *[f"blk{c}" for c in range(SIMHASH_CHUNKS)],
+                F.col("r2").isNull().alias("admitted"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(neardup_dir, f"batch_id={batch_id}")
+            )
         finally:
             for df in (rej2, ranked, sbl, fp2):
                 if df is not None:
@@ -415,11 +425,10 @@ def ingest_batch(batch_df: DataFrame, batch_id: int, out_root: str) -> None:
             s1_ids.unpersist()
     finally:
         base.unpersist()
-    spark.createDataFrame(
-        [(n_batch, n_exact, n_neardup, n_kept)],
+    write_stats_row(
+        spark, stats_dir, batch_id,
         "n_batch long, n_exact_ok long, n_neardup_ok long, n_kept long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(stats_dir, f"batch_id={batch_id}")
+        (n_batch, n_exact, n_neardup, n_kept),
     )
 
 

@@ -38,12 +38,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.dedup import _store_path_exists
 from reddit_sentiment_spark_streaming_pipeline_spark.streaming.replay import _order_files_by_name
+from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stats import write_stats_row
 
 # chunk layout for the selection stream: the raw documents table's
 # scoring columns (no snapshot fixture — selection has no duplicate
@@ -149,24 +150,31 @@ def selection_gate_batch(batch_df: DataFrame, batch_id: int, model_dir: str,
     # absent from the scored output (the twin's convention), so stats
     # record the raw delivery (n_batch) and the scored count separately.
     base = batch_df.select("doc_id", "lang", "text").persist()
-    scored = dsir_score_against_model(dsir_features(base), lr, params).persist()
+    scored = dsir_score_against_model(dsir_features(base), lr, params)
     try:
-        try:
-            n_batch = base.count()
-            n_scored = scored.count()
-        finally:
-            base.unpersist()
-        n_admitted = scored.filter("admitted").count()
-        scored.write.mode("overwrite").parquet(
+        n_batch = base.count()
+        # scored-row and admitted counts ride the results write as
+        # observed metrics (one action instead of two counts + write;
+        # scored now has a single consumer, so its persist is gone too —
+        # r13, guide §1.2: fewer passes per micro-batch)
+        obs = Observation()
+        scored.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_scored"),
+            F.coalesce(F.sum(F.col("admitted").cast("long")), F.lit(0)).alias(
+                "n_admitted"
+            ),
+        ).write.mode("overwrite").parquet(
             os.path.join(results_dir, f"batch_id={batch_id}")
         )
+        m = obs.get
+        n_scored, n_admitted = int(m["n_scored"]), int(m["n_admitted"])
     finally:
-        scored.unpersist()
-    spark.createDataFrame(
-        [(n_batch, n_scored, n_admitted)],
+        base.unpersist()
+    write_stats_row(
+        spark, stats_dir, batch_id,
         "n_batch long, n_scored long, n_admitted long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(stats_dir, f"batch_id={batch_id}")
+        (n_batch, n_scored, n_admitted),
     )
 
 

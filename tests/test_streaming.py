@@ -1606,3 +1606,43 @@ def test_ingest_corpus_refuses_colliding_base_ids(spark, tmp_path):
 
     with pytest.raises(Exception, match="planted-id offset"):
         ingest_corpus(spark, sf_dir).count()
+
+
+def test_write_stats_row_roundtrip_and_overwrite(spark, tmp_path):
+    """The driver-side stats writer (streaming/stats.py) keeps the exact
+    on-disk contract of the Spark write it replaced: batch-owned
+    batch_id=N partition, int64 columns by name, spark.read.parquet
+    round-trip, replay overwrite replacing the committed row, and no
+    visible torn file (dot-prefixed temp + atomic rename)."""
+    from reddit_sentiment_spark_streaming_pipeline_spark.streaming.stats import (
+        write_stats_row,
+    )
+
+    stats_dir = str(tmp_path / "stats")
+    schema = "n_batch long, n_admitted long, n_rejected long"
+    write_stats_row(spark, stats_dir, 0, schema, (10, 7, 3))
+    write_stats_row(spark, stats_dir, 1, schema, (5, 5, 0))
+    got = {
+        (r.batch_id, r.n_batch, r.n_admitted, r.n_rejected)
+        for r in spark.read.parquet(stats_dir).collect()
+    }
+    assert got == {(0, 10, 7, 3), (1, 5, 5, 0)}
+    types = dict(spark.read.parquet(stats_dir).dtypes)
+    assert types["n_batch"] == "bigint" and types["n_admitted"] == "bigint"
+
+    # replay overwrite: batch 1 rewrites its own partition, batch 0 intact
+    write_stats_row(spark, stats_dir, 1, schema, (5, 4, 1))
+    got = {
+        (r.batch_id, r.n_batch, r.n_admitted, r.n_rejected)
+        for r in spark.read.parquet(stats_dir).collect()
+    }
+    assert got == {(0, 10, 7, 3), (1, 5, 4, 1)}
+    # exactly one visible file per partition (the committed row)
+    import glob as _glob
+
+    vis = [
+        f
+        for f in _glob.glob(str(tmp_path / "stats" / "batch_id=1" / "*"))
+        if not os.path.basename(f).startswith((".", "_"))
+    ]
+    assert len(vis) == 1
