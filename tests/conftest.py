@@ -16,6 +16,12 @@ ORACLE_DIR = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    # Tests run sf0.001 fixtures where 32-way task fan-out is pure
+    # scheduling overhead: the identical suite measured 21% faster at 8
+    # cores (r13; consistent with the bench's own c8-beats-c32 result at
+    # sf0.1). Default the TEST session to 8; an explicit
+    # SPARK_GRAFT_CPUS from the environment still wins.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_spark("tests", driver_memory="8g")
     yield s
 

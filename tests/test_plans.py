@@ -152,14 +152,23 @@ def test_partitioned_sink_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert back.count() == n_day
 
 
-def test_no_query_plans_a_cartesian_product(spark):
+def test_no_query_plans_a_cartesian_product(spark, monkeypatch):
     """Global guard: no registered query may degrade to CartesianProduct.
 
     (Scalar broadcasts appear as BroadcastNestedLoopJoin with a 1-row side
     and are fine; an unconstrained CartesianProduct at 100 TB is not.)
-    """
+
+    Runs under the plan-only hatch (SPARK_GRAFT_ASSUME_BROADCAST=1, the
+    PLANS.md / tools/dump_plans.py convention) so the handful of
+    measured-gate queries don't eagerly materialize their checkpoints —
+    this loop is O(157 plans), not O(157 executions). The hatch pins the
+    gates' BROADCAST regime; the fallback regime's join shape (merge /
+    shuffle_hash hints, also never cartesian) is asserted separately by
+    test_docset_verify_fallback_is_spillable_sort_merge and
+    test_span_joinback_broadcast_is_gated."""
     from reddit_sentiment_spark_streaming_pipeline_spark import registry
 
+    monkeypatch.setenv("SPARK_GRAFT_ASSUME_BROADCAST", "1")
     offenders = []
     for name in sorted(registry.load_all()):
         plan = plan_of(spark, name, "/root/testdata/sf0.001")

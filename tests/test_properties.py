@@ -125,7 +125,7 @@ def _write_docs(spark, texts_by_id):
     return d
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)  # parquet-writing example: ~10s each (r13 wall trim)
 @given(_n_tokens)
 def test_doc_chunks_match_python_model_on_arbitrary_lengths(spark, ns):
     """doc_chunks (window 32 / stride 24) vs an independent Python model
@@ -149,7 +149,7 @@ def test_doc_chunks_match_python_model_on_arbitrary_lengths(spark, ns):
     assert got == want
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)  # parquet-writing example: ~11s each (r13 wall trim)
 @given(st.lists(st.integers(min_value=1, max_value=200), min_size=2, max_size=6))
 def test_quota_sample_matches_python_model(spark, sizes):
     """stratified_quota_sample vs an independent Python reimplementation:
