@@ -426,7 +426,11 @@ def _pair_docset_join(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     # (tools/dump_plans.py) set SPARK_GRAFT_ASSUME_BROADCAST=1 to skip
     # the materialization and the measured gate count below.
     if not _assume_broadcast():
-        pairs = pairs.localCheckpoint()
+        # lazy: the cand_docs gate count below materializes the
+        # checkpoint AND computes the distinct-doc count in ONE job
+        # (eager=True paid a separate materialization job first — r13,
+        # guide §1.2); later consumers read the pinned blocks either way
+        pairs = pairs.localCheckpoint(eager=False)
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1293,10 +1297,14 @@ def prefix_editdist_pairs(corpus: DataFrame) -> DataFrame:
     # materialization each side re-runs the corpus normalization +
     # window (measured: 6 scans, no ReusedExchange once AQE turns the
     # build side into a broadcast). The ranked frame is ~|docs| rows of
-    # 152-char heads — tiny — so an eager localCheckpoint is the right
-    # lineage cut (same note as _pair_docset_join; reliable
-    # checkpoint() on a lossy cluster).
-    ranked = ranked.localCheckpoint()
+    # 152-char heads — tiny — so a localCheckpoint is the right lineage
+    # cut (same note as _pair_docset_join; reliable checkpoint() on a
+    # lossy cluster). LAZY (r13): eager=True paid one dedicated
+    # normalize+window materialization pass per action before the final
+    # action ran; lazy pins the same blocks on first compute inside the
+    # one consuming action (the plan is cut to Scan ExistingRDD either
+    # way, so the self-join still reads one shared RDD, not 6 scans).
+    ranked = ranked.localCheckpoint(eager=False)
     nb = ranked.filter(F.col("rn") <= 64).select("doc_id", "head", "block")
     a, b = nb.alias("a"), nb.alias("b")
     pairs = a.join(
@@ -1783,7 +1791,11 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _assume_broadcast():  # plan-dump escape hatch: O(plan), no count
         rep = F.broadcast(rep)
     else:
-        rep = rep.localCheckpoint()
+        # lazy: the gate count below materializes the checkpoint AND
+        # returns the count in ONE job (eager=True paid a separate
+        # materialization job running the same corpus→windows→aggregate
+        # pipeline first — r13, guide §1.2)
+        rep = rep.localCheckpoint(eager=False)
         gate = _env_gate("SPARK_GRAFT_SPAN_REP_BROADCAST_MAX",
                          SPAN_REP_BROADCAST_MAX)
         if rep.count() <= gate:

@@ -646,7 +646,10 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payload that actually ships is what must stay executor-resident,
     # and 50k × ~600 B ≈ 30 MB matches dedup.py's gated-verify sizing.
     if not _assume_broadcast():
-        pairs = pairs.localCheckpoint()
+        # lazy: the gate count below materializes the checkpoint AND
+        # returns the count in ONE job (eager=True paid a separate
+        # materialization job first — r13, guide §1.2)
+        pairs = pairs.localCheckpoint(eager=False)
     small = _assume_broadcast() or (
         pairs.count() <= _env_gate("SPARK_GRAFT_COS_PAIR_BROADCAST_MAX", 50_000)
     )
@@ -699,27 +702,60 @@ _IVF_SQL = f"""
 """
 
 
+def _argmin_cid(cents_col: Column, ce: Column) -> Column:
+    """Per-row nearest-centroid id over a broadcast centroid ARRAY:
+    fold `cents` (struct<cid, cv, cvv> with cvv = cv·cv precomputed) to
+    the lexicographic min of (round(dist, 6), cid) and take its cid —
+    exactly `min_by(cid, struct(dist, cid))` of the previous
+    crossJoin-then-aggregate shape, but with zero exchanges: no N×K
+    BroadcastNestedLoopJoin row explosion, no groupBy(vec_id) shuffle,
+    no join-back (r13, guide §2.4/§3 — the assignment is now a COLUMN
+    on the corpus pass). Bitwise-identical dist: same
+    `round(ce·ce − 2·(ce·cv) + cv·cv, 6)` expression tree, with ce·ce
+    hoisted once per row and cv·cv once per centroid (same fold over
+    the same values → the same double). Returns NULL on an empty
+    centroid set — callers filter, matching the old inner-join's
+    empty-result behavior."""
+    n2 = dot(ce, ce)
+    return F.array_min(
+        F.transform(
+            cents_col,
+            lambda t: F.struct(
+                F.round(n2 - 2 * dot(ce, t["cv"]) + t["cvv"], 6).alias("d"),
+                t["cid"].alias("c"),
+            ),
+        )
+    )["c"]
+
+
+def _cent_array(cent: DataFrame) -> DataFrame:
+    """1-row (always: agg over possibly-empty input) broadcast frame
+    holding every centroid as struct(cid, cv, cvv = cv·cv)."""
+    return cent.agg(
+        F.collect_list(
+            F.struct(
+                "cid", "cv", dot(F.col("cv"), F.col("cv")).alias("cvv")
+            )
+        ).alias("cents")
+    )
+
+
 def _ivf_assign(emb: DataFrame) -> DataFrame:
     """(vec_id, ce, cid): nearest-centroid assignment — broadcast the 8
-    centroids, one map-side pass plus a partial-aggregable arg-min; at
-    cluster scale cid becomes the inverted-list partition key."""
+    centroids as ONE array row and fold the arg-min per corpus row
+    (_argmin_cid); at cluster scale cid becomes the inverted-list
+    partition key. One map-side pass, zero assignment exchanges."""
     c = spread(emb.select("vec_id", as_double("embedding").alias("ce")))
     cent = c.filter(F.col("vec_id").between(_CENTROID_LO, _CENTROID_LO + N_CENTROIDS - 1)).select(
         (F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv")
     )
-    dist = F.round(
-        dot(F.col("ce"), F.col("ce"))
-        - 2 * dot(F.col("ce"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
+    return (
+        c.crossJoin(F.broadcast(_cent_array(cent)))
+        .select("vec_id", "ce", _argmin_cid(F.col("cents"), F.col("ce")).alias("cid"))
+        # empty centroid set → null cid → no rows, the old inner join's
+        # behavior (and the oracle's: empty cent ⇒ empty assign)
+        .filter(F.col("cid").isNotNull())
     )
-    assign = (
-        c.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
-    )
-    return c.join(assign, "vec_id")
 
 
 @register(
@@ -1214,23 +1250,22 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("vec_id") - _CENTROID_LO).alias("cid"), F.col("ce").alias("cv"))
     )
-    dist = F.round(
-        dot(F.col("ce"), F.col("ce"))
-        - 2 * dot(F.col("ce"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
-    )
-    assign = (
-        base.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
-    )
     # one materialization of (vec_id, ce, cid, nrm): both self-join sides
-    # read it, and norms are computed once per vector, not per pair
+    # read it, and norms are computed once per vector, not per pair.
+    # The assignment is a per-row arg-min fold over the broadcast
+    # centroid array (_argmin_cid) — the previous BroadcastNestedLoopJoin
+    # + min_by + join-back shape cost two exchanges and an N×K row
+    # explosion for the same (dist, cid)-lexicographic rule (r13,
+    # guide §2.4/§3; dist expression bitwise-identical).
     v = track(
-        base.join(assign, "vec_id")
-        .select("vec_id", "ce", "cid", F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"))
+        base.crossJoin(F.broadcast(_cent_array(cent)))
+        .select(
+            "vec_id",
+            "ce",
+            _argmin_cid(F.col("cents"), F.col("ce")).alias("cid"),
+            F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
+        )
+        .filter(F.col("cid").isNotNull())
         .persist()
     )
     x = v.select(F.col("vec_id").alias("keep_id"), F.col("ce").alias("ex"),
