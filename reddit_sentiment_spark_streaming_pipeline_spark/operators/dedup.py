@@ -426,11 +426,17 @@ def _pair_docset_join(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     # (tools/dump_plans.py) set SPARK_GRAFT_ASSUME_BROADCAST=1 to skip
     # the materialization and the measured gate count below.
     if not _assume_broadcast():
-        # lazy: the cand_docs gate count below materializes the
-        # checkpoint AND computes the distinct-doc count in ONE job
-        # (eager=True paid a separate materialization job first — r13,
-        # guide §1.2); later consumers read the pinned blocks either way
-        pairs = pairs.localCheckpoint(eager=False)
+        # EAGER on purpose: the first action here is cand_docs.count(),
+        # whose union references `pairs` TWICE — under a lazy checkpoint
+        # the two branches can race to fill the cache and compute the
+        # candidate pipeline twice inside that job. r13 A/B'd the lazy
+        # variant: no win outside the noise band (minhash floors bounce
+        # ±15% on this box — the same ABAB protocol read identical code
+        # 15% apart), so the deterministic single materialization stays.
+        # (The single-reference gates — embedding pairs, span rep — are
+        # lazy, where folding the materialization into the gate count
+        # saves a job with no race.)
+        pairs = pairs.localCheckpoint()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

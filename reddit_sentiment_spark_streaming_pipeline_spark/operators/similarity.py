@@ -394,7 +394,7 @@ _COS_VALUES = ", ".join(
 
 
 def _cos_band_ints() -> Column:
-    """All COS_BANDS band hashes of the quantized `xq` column as one
+    """All COS_BANDS band hashes of the (quantized) `ce` column as one
     array<long>: packed sign bits of the integer plane dots.
 
     The dots are INTEGER, so any summation order gives the exact same
@@ -408,28 +408,39 @@ def _cos_band_ints() -> Column:
     min-of-4, buckets and output byte-identical). The float cosine
     VERIFY stays on the JVM sequential fold — float sums are order-
     sensitive in the last ulp and the 6-dp cross-engine contract is
-    pinned to that order; integer signs have no such hazard."""
+    pinned to that order; integer signs have no such hazard.
+
+    r13: the millis quantization (floor(x*1000) as bigint) moved INSIDE
+    the UDF — np.floor(m*1000.0).astype(int64) is the same two IEEE
+    operations Spark's `transform(ce, x -> cast(floor(x*1000) as
+    bigint))` performs per element, so the quantized matrix is
+    bit-identical — which drops the 64-long `xq` column from the corpus
+    persist and its interpreted per-element transform from the corpus
+    pass (guide §2.3: the persist both verify sides re-read is ~half as
+    wide)."""
     coef_m = np.asarray(_COS_COEFS, dtype=np.int64)        # (planes, DIM)
     bitw = np.int64(1) << np.arange(COS_BAND_BITS, dtype=np.int64)
 
     @F.pandas_udf("array<long>")
-    def band_ints(xq: pd.Series) -> pd.Series:
-        if len(xq) == 0:
+    def band_ints(ce: pd.Series) -> pd.Series:
+        if len(ce) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack(xq.to_numpy())                        # (n, DIM) int64
-        dots = m @ coef_m.T                                # exact int64
+        m = np.stack(ce.to_numpy())                        # (n, DIM) float64
+        q = np.floor(m * 1000.0).astype(np.int64)          # == floor(x*1000)
+        dots = q @ coef_m.T                                # exact int64
         signs = (dots >= 0).astype(np.int64)
         bands = signs.reshape(len(m), COS_BANDS, COS_BAND_BITS) @ bitw
         return pd.Series(list(bands))
 
-    return band_ints("xq")
+    return band_ints("ce")
 
 
 def _cos_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dup corpus with per-vector norm and the integer-quantized
-    copy — norms computed once per vector, not per candidate pair; the
-    quantized copy feeds the band hashing only. Persisted: the band
-    stage and both verify join sides read this."""
+    """The dup corpus with per-vector norm — norms computed once per
+    vector, not per candidate pair. Persisted: the band stage and both
+    verify join sides read this. (The integer quantization for banding
+    happens inside the band UDF — see _cos_band_ints — so no 64-long
+    `xq` column rides the persist.)"""
     from reddit_sentiment_spark_streaming_pipeline_spark.caching import track
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -437,7 +448,6 @@ def _cos_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "ce",
         F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nrm"),
-        F.expr("transform(ce, x -> cast(floor(x * 1000) as bigint))").alias("xq"),
     ).persist())
 
 

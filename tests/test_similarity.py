@@ -461,9 +461,6 @@ def test_cos_bucket_cap_exemplar_chaining(spark):
             F.col("id").alias("vec_id"),
             F.array(*[F.lit(x) for x in base]).alias("ce"),
         )
-        .withColumn(
-            "xq", F.expr("transform(ce, x -> cast(floor(x * 1000) as bigint))")
-        )
         .withColumn("nrm", F.lit(1.0))  # unused by the candidate stage
     )
     pairs = _cos_candidate_pairs(c).collect()
